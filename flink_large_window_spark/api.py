@@ -1,0 +1,44 @@
+"""Driver-facing API: entry / queries / oracle_sql (see __spark_entry__.py).
+
+Importing this module pulls in every operator package, which populates
+the registry as a side effect of their @query decorators.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import operators as _operators  # noqa: F401  (registers §2.1–2.6)
+
+try:  # optional packages land in later milestones
+    from . import functions as _functions  # noqa: F401  (§2.7–2.8)
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from . import streaming as _streaming  # noqa: F401  (§2.9)
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from . import llm as _llm  # noqa: F401  (§2.10)
+except ImportError:  # pragma: no cover
+    pass
+
+from .registry import ORACLES, REGISTRY
+from .tables import DEFAULT_SF_DIR
+
+FLAGSHIP = "agg_hash_grouped"
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Run the flagship query (TPC-H Q1 shape) on sf0.001."""
+    return REGISTRY[FLAGSHIP](spark, DEFAULT_SF_DIR)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(REGISTRY)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

@@ -1,0 +1,44 @@
+"""Query registry mapping SURVEY.md §2 keys to Spark callables + oracles.
+
+Each operator module registers its queries with the @query decorator:
+
+    @query("agg_hash_grouped", oracle=\"\"\"SELECT ... \"\"\")
+    def agg_hash_grouped(spark, sf_dir): ...
+
+Conventions enforced suite-wide (SURVEY.md §2 parity rules):
+- every computed column is aliased identically in Spark and oracle SQL;
+- aggregate doubles are rounded (see ``round_for_magnitude`` policy in
+  the operator modules) so cross-engine float summation-order noise
+  cannot flip the driver's value hash;
+- timestamp/date outputs are emitted as strings (``CAST(.. AS STRING)``
+  both sides) so timezone-awareness differences between Spark
+  TimestampType (session-tz) and DuckDB naive TIMESTAMP cannot produce
+  schema or value mismatches;
+- every top-k is made deterministic with a unique-key tie-break.
+"""
+
+from __future__ import annotations
+
+import textwrap
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a SURVEY §2 operator. ``oracle=None`` → rows-only check."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in REGISTRY:
+            raise ValueError(f"duplicate query key: {key}")
+        REGISTRY[key] = fn
+        if oracle is not None:
+            ORACLES[key] = textwrap.dedent(oracle).strip()
+        return fn
+
+    return deco

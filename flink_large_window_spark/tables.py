@@ -1,0 +1,60 @@
+"""Parquet table access + per-session conf prep.
+
+Fixture tables (schemas in FIXTURES.md): region nation customer supplier
+part orders lineitem events documents embeddings, one parquet file per
+table under ``{sf_dir}/``.
+
+At 100 TB these would be partitioned datasets (events partitioned by
+``date(ts)``, lineitem bucketed by ``l_orderkey``); the loaders keep a
+single entry point so that layout change stays in one place.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def prep(spark: SparkSession) -> SparkSession:
+    """Set runtime session confs every query depends on.
+
+    The driver owns the SparkSession, so only runtime-settable confs go
+    here. UTC session timezone is load-bearing: parquet timestamps are
+    naive instants and the DuckDB oracle reads them naively, so Spark
+    must render them in UTC for string casts to agree.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Fixture scale is small; 32 shuffle partitions keeps local runs fast
+    # while AQE re-coalesces as needed. On a real cluster this is set by
+    # deployment config, not code.
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    return spark
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (schema-on-read)."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for spark.sql queries."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,28 @@
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from flink_large_window_spark.session import get_spark
+
+    s = get_spark("pytest")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    from tests.check_oracle import duck_con
+
+    return duck_con(SF_SMOKE)
