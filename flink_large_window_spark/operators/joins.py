@@ -1,1 +1,333 @@
-"""Placeholder — populated in a later milestone."""
+"""Join operators (SURVEY.md §2.3).
+
+Flink analogue: DataStream ``join()`` / Table API joins,
+``KeyedStream.intervalJoin`` and window joins (reference snapshot empty
+— SURVEY.md §0; anchors are the public Flink API classes per SURVEY
+§2.3).
+
+Scale notes (100 TB):
+- dimension joins (customer, nation, region) are explicitly
+  ``broadcast()`` — no shuffle of the fact side;
+- fact-fact joins (lineitem ⋈ orders) shuffle on the join key and AQE
+  picks sort-merge + handles skew splitting;
+- the interval/as-of joins avoid quadratic fan-out: as-of is a linear
+  union + running ``last()`` per key (shuffle once by user_id), not a
+  pairwise theta join — the theta form appears only in the DuckDB
+  oracle where it is cheap at fixture scale.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import query
+from ..tables import prep, table
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dimension — no shuffle of orders."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
+
+
+@query(
+    "join_sortmerge_large",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate_s
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+)
+def join_sortmerge_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi join: both sides shuffle on orderkey → SMJ/AQE."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    return li.join(orders, li.l_orderkey == orders.o_orderkey, "inner").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "o_totalprice",
+        F.col("o_orderdate").cast("string").alias("o_orderdate_s"),
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every customer with order count including 0 (COUNT skips nulls)."""
+    prep(spark)
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_right_outer",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror of join_left_outer via right outer join."""
+    prep(spark)
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT s.s_nationkey, c.c_nationkey,
+           COALESCE(s.n_supp, 0) AS n_supp,
+           COALESCE(c.n_cust, 0) AS n_cust
+    FROM (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+    FULL JOIN (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+      ON s.s_nationkey = c.c_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier/customer rollups, full-outer joined."""
+    prep(spark)
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    return supp.join(cust, supp.s_nationkey == cust.c_nationkey, "full").select(
+        "s_nationkey",
+        "c_nationkey",
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cartesian (5×25) — only legal because both sides tiny."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "region")
+        .crossJoin(table(spark, sf_dir, "nation"))
+        .select("r_name", "n_name")
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT o_orderkey, l_linenumber, CAST(l_shipdate AS VARCHAR) AS l_shipdate_s,
+           CAST(o_orderdate AS VARCHAR) AS o_orderdate_s
+    FROM orders JOIN lineitem
+      ON o_orderkey = l_orderkey AND l_shipdate > o_orderdate
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + non-equi range residual (ships after order date)."""
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "inner",
+    ).select(
+        "o_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("string").alias("l_shipdate_s"),
+        F.col("o_orderdate").cast("string").alias("o_orderdate_s"),
+    )
+
+
+@query(
+    "join_interval",
+    oracle="""
+    SELECT e1.event_id AS signup_id, e2.event_id AS purchase_id, e1.user_id
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_type = 'signup' AND e2.event_type = 'purchase'
+     AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    """,
+)
+def join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``intervalJoin(...).between(0, 1h)`` semantics, batch form.
+
+    Each signup pairs with purchases of the same user within the
+    following hour. Streaming twin: two watermarked streams + the same
+    range condition (Spark stream-stream interval join).
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    e1 = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id"),
+        F.col("ts").alias("ts1"),
+    )
+    e2 = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id2"),
+        F.col("ts").alias("ts2"),
+    )
+    return e1.join(
+        e2,
+        (e1.user_id == e2.user_id2)
+        & (e2.ts2 >= e1.ts1)
+        & (e2.ts2 <= e1.ts1 + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("signup_id", "purchase_id", "user_id")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT error_id, click_id FROM (
+      SELECT e.event_id AS error_id, c.event_id AS click_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = e.user_id AND c.ts <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error paired with the nearest prior click.
+
+    Spark form is linear, not pairwise: union clicks+errors, one
+    shuffle by user_id, running ``last(click_id, ignorenulls)`` over
+    event order. Ties (same ts): click sorts before error (<=
+    semantics) and higher event_id wins among clicks. Scales as
+    O(n log n) per key vs the oracle's O(clicks × errors) theta join,
+    which is only viable at fixture scale.
+
+    Flink analogue: temporal/as-of join via KeyedCoProcessFunction state.
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("click_id"),
+        # clicks (0) sort before errors (1) at equal ts → inclusive <=
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("tie"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tie", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("tie") == 1)
+        .select(F.col("event_id").alias("error_id"), F.col("last_click").alias("click_id"))
+    )
+
+
+@query(
+    "join_window_tumbling",
+    oracle="""
+    SELECT e1.event_id AS click_id, e2.event_id AS purchase_id, e1.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') e1
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') e2
+      ON e1.user_id = e2.user_id
+     AND date_trunc('hour', e1.ts) = date_trunc('hour', e2.ts)
+    """,
+)
+def join_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink window join, batch form: same user, same 1h tumbling pane.
+
+    Implemented as an equi join on (user_id, hour bucket) — exactly how
+    a window join shuffles in Flink (key = join key × window), so both
+    engines co-partition instead of fanning out.
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_trunc("hour", "ts").alias("bucket"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id2"),
+        F.date_trunc("hour", "ts").alias("bucket2"),
+    )
+    return clicks.join(
+        purchases,
+        (clicks.user_id == purchases.user_id2) & (clicks.bucket == purchases.bucket2),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id")

@@ -1,1 +1,136 @@
-"""Placeholder — populated in a later milestone."""
+"""Scan / source / sink operators (SURVEY.md §2.1).
+
+Flink analogue: ``SourceFunction`` / ``SinkFunction`` (reference
+snapshot empty — SURVEY.md §0). Capability: ingest a typed, timestamped
+table/stream and emit results to durable storage.
+
+Scale notes (100 TB): the parquet scans below rely on Catalyst's column
+pruning and predicate pushdown — at scale these turn a full-table read
+into a footer-driven row-group skip. `tests/test_plans.py` asserts the
+pushdown actually appears in the physical plan (PushedFilters /
+ReadSchema), because a scan that reads all columns for a 2-column
+projection is wrong at any scale and fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..tables import prep, table
+
+# Columns of lineitem with the timestamp rendered as string for
+# cross-engine hash stability (see registry.py conventions).
+_LINEITEM_STR_TS = """
+  l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+  CAST(l_shipdate AS VARCHAR) AS l_shipdate_s
+"""
+
+
+@query(
+    "scan_parquet",
+    oracle=f"SELECT {_LINEITEM_STR_TS} FROM lineitem",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan of the largest table, all columns projected."""
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        *[c for c in li.columns if c != "l_shipdate"],
+        F.col("l_shipdate").cast("string").alias("l_shipdate_s"),
+    )
+
+
+@query(
+    "scan_projection_pushdown",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+)
+def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-column projection — ReadSchema must shrink to these columns."""
+    prep(spark)
+    return table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@query(
+    "scan_predicate_pushdown",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CAST(l_shipdate AS VARCHAR) AS l_shipdate_s
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    """,
+)
+def scan_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter that reaches the parquet reader as PushedFilters."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.col("l_shipdate").cast("string").alias("l_shipdate_s"),
+        )
+    )
+
+
+@query("source_rate_stream")  # rows-only: streaming smoke
+def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate source → tumbling processing-time windowed count (smoke).
+
+    Flink analogue: an unbounded ``SourceFunction`` feeding a windowed
+    count. Processing-time output is nondeterministic by nature, so
+    this key is rows-only (SURVEY §2.9 gap #4): we drain a couple of
+    micro-batches into a memory sink and return the materialized table.
+    """
+    prep(spark)
+    name = "rate_smoke_sink"
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", "100")
+        .option("numPartitions", "2")
+        .load()
+        .groupBy(F.window("timestamp", "1 second"), (F.col("value") % 5).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("bucket"), F.col("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@query("sink_parquet")  # rows-only: write → re-read smoke
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write an aggregate result to parquet, re-read and return it.
+
+    At 100 TB the write side would be partitioned
+    (``partitionBy(date)``) with sized output files; the smoke keeps
+    the same code path (DataFrameWriter → parquet → schema-on-read).
+    """
+    prep(spark)
+    out = tempfile.mkdtemp(prefix="flws_sink_")
+    (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out)

@@ -44,6 +44,11 @@ def prep(spark: SparkSession) -> SparkSession:
     # while AQE re-coalesces as needed. On a real cluster this is set by
     # deployment config, not code.
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # events.ts is parquet timestamp[ns]; Spark 4 rejects NANOS columns
+    # unless they are read as raw longs. table() then converts to a
+    # µs-floored TimestampType, which is bit-identical to what DuckDB's
+    # parquet reader produces for the oracle (verified: DuckDB floors).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
 
 
@@ -51,7 +56,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (schema-on-read)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ns-long → µs-floored timestamp (`div` = integer division; a
+        # double division would lose precision on epoch-ns magnitudes).
+        from pyspark.sql import functions as F  # local: avoid cycle at import
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
