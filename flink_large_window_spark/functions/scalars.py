@@ -1,0 +1,215 @@
+"""Scalar function coverage (SURVEY.md §2.7).
+
+All JVM-side built-ins (whole-stage codegen) — no Python UDFs here.
+Cross-engine convention notes live next to each query: dayofweek
+origin, integer widths of year/datediff, regexp_replace global flag,
+libm ulp drift on ln/pow (rounded), float→double widening for array
+elements.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..tables import prep, table
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name)                      AS name_up,
+           LOWER(c_name)                      AS name_lo,
+           TRIM(c_name)                       AS name_trim,
+           SUBSTR(c_name, 1, 8)               AS name_pre,
+           CAST(LENGTH(c_name) AS INTEGER)    AS name_len,
+           CONCAT(c_name, '/', c_mktsegment)  AS name_seg,
+           REPLACE(c_name, 'Customer', 'C')   AS name_repl
+    FROM customer
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/trim/substr/length/concat/replace (1-based substr
+    both engines; DuckDB length → BIGINT, cast to INTEGER = Spark)."""
+    prep(spark)
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.upper("c_name").alias("name_up"),
+        F.lower("c_name").alias("name_lo"),
+        F.trim("c_name").alias("name_trim"),
+        F.substring("c_name", 1, 8).alias("name_pre"),
+        F.length("c_name").alias("name_len"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.regexp_replace("c_name", "Customer", "C").alias("name_repl"),
+    )
+
+
+@query(
+    "scalar_regexp",
+    oracle="""
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS INTEGER) AS brand_no,
+           regexp_replace(p_name, '\\d+', 'N', 'g')                    AS name_nonum
+    FROM part
+    """,
+)
+def scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract group + global regexp_replace (DuckDB needs the
+    explicit 'g' flag to match Spark's replace-all default)."""
+    prep(spark)
+    return table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("int").alias("brand_no"),
+        F.regexp_replace("p_name", r"\d+", "N").alias("name_nonum"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)          AS o_year,
+           CAST(month(o_orderdate) AS INTEGER)         AS o_month,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS o_dow,
+           CAST(CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS VARCHAR)
+                                                       AS o_month_start_s,
+           CAST(datediff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00')
+                AS INTEGER)                            AS days_to_y2k,
+           CAST(epoch(o_orderdate) AS BIGINT)          AS o_epoch_s
+    FROM orders
+    """,
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime field extraction. Convention traps pinned here:
+    Spark dayofweek is 1=Sunday..7, DuckDB is 0=Sunday..6 (+1 in the
+    oracle); Spark datediff(end, start) = DuckDB datediff('day', start,
+    end); DuckDB year/month return BIGINT (cast to INTEGER = Spark)."""
+    prep(spark)
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofweek("o_orderdate").alias("o_dow"),
+        F.date_trunc("month", "o_orderdate").cast("string").alias("o_month_start_s"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias("days_to_y2k"),
+        F.unix_timestamp("o_orderdate").alias("o_epoch_s"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 1)                       AS price_r1,
+           ABS(o_totalprice - 150000.0)                 AS dist_mid,
+           CAST(CEIL(o_totalprice) AS BIGINT)           AS price_ceil,
+           CAST(FLOOR(o_totalprice) AS BIGINT)          AS price_floor,
+           SQRT(o_totalprice)                           AS price_sqrt,
+           ROUND(LN(o_totalprice), 6)                   AS price_ln,
+           ROUND(POW(o_totalprice, 0.5), 6)             AS price_pow,
+           CAST(o_orderkey % 7 AS BIGINT)               AS key_mod7
+    FROM orders
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/abs/ceil/floor/sqrt/ln/pow/mod. sqrt is IEEE
+    correctly-rounded (exact both engines); ln/pow are libm-dependent →
+    rounded to 6 decimals both sides."""
+    prep(spark)
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round("o_totalprice", 1).alias("price_r1"),
+        F.abs(F.col("o_totalprice") - 150000.0).alias("dist_mid"),
+        F.ceil("o_totalprice").alias("price_ceil"),
+        F.floor("o_totalprice").alias("price_floor"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 6).alias("price_ln"),
+        F.round(F.pow("o_totalprice", F.lit(0.5)), 6).alias("price_pow"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END                          AS band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open')  AS status_lbl,
+           NULLIF(o_orderpriority, '1-URGENT')           AS prio_nonurgent
+    FROM orders
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prep(spark)
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("high")
+        .alias("band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias("status_lbl"),
+        F.nullif("o_orderpriority", F.lit("1-URGENT")).alias("prio_nonurgent"),
+    )
+
+
+@query(
+    "scalar_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER)              AS n_dims,
+           CAST(embedding[1] AS DOUBLE)                 AS e1,
+           CAST(embedding[64] AS DOUBLE)                AS e64,
+           CAST(len(embedding[1:3]) AS INTEGER)         AS slice_len,
+           (embedding[1] > 0)                           AS first_pos
+    FROM embeddings
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element_at/slice on the embedding array column. Elements
+    widened float→double (exact) so both engines emit float64."""
+    prep(spark)
+    e1 = F.element_at("embedding", 1)
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        e1.cast("double").alias("e1"),
+        F.element_at("embedding", 64).cast("double").alias("e64"),
+        F.size(F.slice("embedding", 1, 3)).alias("slice_len"),
+        (e1 > F.lit(0.0)).alias("first_pos"),
+    )
+
+
+@query(
+    "scalar_explode",
+    oracle="""
+    SELECT doc_id, UNNEST(string_split(text, ' ')) AS token
+    FROM documents
+    """,
+)
+def scalar_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-generating lateral explode — Flink FlatMapFunction shape."""
+    prep(spark)
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the semi-structured props column."""
+    prep(spark)
+    return table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )

@@ -1,0 +1,104 @@
+"""User-defined function surface (SURVEY.md §2.8).
+
+Flink analogue: ScalarFunction / user-defined AggregateFunction /
+TableFunction (reference snapshot empty — SURVEY.md §0).
+
+Scale notes: both Python UDFs here are Arrow-batched pandas UDFs —
+vectorized columnar transfer, ~10-100× over row-at-a-time Python UDFs.
+They exist to prove the extension surface; the same logic is SQL-
+expressible (that is what makes the DuckDB oracle possible). The UDTF
+row is served by built-in posexplode (JVM-side) — Spark 4's Python
+UDTF API could host arbitrary logic, but a built-in generator is the
+fast path and semantically identical here.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, StringType
+
+from ..registry import query
+from ..tables import prep, table
+
+
+# DataType objects (not DDL strings): a string return type would need an
+# active SparkSession to parse at import time.
+@pandas_udf(StringType())
+def _price_band(price: pd.Series) -> pd.Series:
+    """Vectorized scalar pandas UDF: price band label."""
+    return pd.cut(
+        price,
+        bins=[float("-inf"), 100000.0, 300000.0, float("inf")],
+        labels=["low", "mid", "high"],
+        right=False,
+    ).astype(str)
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 100000 THEN 'low'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'high' END AS band
+    FROM orders
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas UDF (oracle = the equivalent CASE)."""
+    prep(spark)
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey", _price_band("o_totalprice").alias("band")
+    )
+
+
+@pandas_udf(DoubleType())
+def _weighted_avg_disc(disc: pd.Series, qty: pd.Series) -> float:
+    """Grouped-agg pandas UDF: quantity-weighted average discount."""
+    return float(round((disc * qty).sum() / qty.sum(), 6))
+
+
+@query(
+    "udaf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_discount * l_quantity) / SUM(l_quantity), 6) AS wavg_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate via grouped-agg pandas UDF.
+
+    Flink analogue: user-defined AggregateFunction. Note: a grouped-agg
+    pandas UDF is NOT partial-aggregatable — the whole group's columns
+    ship to Python. Fine for low-cardinality groups; for 100 TB
+    hot-path aggregates prefer built-in expressions (the oracle SQL
+    shows the equivalent) which keep two-phase aggregation.
+    """
+    prep(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(_weighted_avg_disc("l_discount", "l_quantity").alias("wavg_disc"))
+    )
+
+
+@query(
+    "udtf_split",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+    SELECT doc_id,
+           CAST(u.i - 1 AS INTEGER) AS pos,
+           ts[CAST(u.i AS INTEGER)] AS token
+    FROM toks, UNNEST(generate_series(1, len(ts))) AS u(i)
+    """,
+)
+def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table function: one row per token with 0-based position."""
+    prep(spark)
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )

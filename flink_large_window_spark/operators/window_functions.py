@@ -1,1 +1,203 @@
-"""Placeholder — populated in a later milestone."""
+"""Analytic (OVER) window functions, batch (SURVEY.md §2.5).
+
+Flink analogue: Table API OVER windows / windowed Top-N (reference
+snapshot empty — SURVEY.md §0).
+
+Scale notes (100 TB): every window here partitions by a real key
+(customer, user, brand) — one shuffle on the partition key, then a
+per-partition sort; no global single-partition window except the
+explicitly-global row_number in sort_multi_key (documented there).
+Deterministic tie-breaks on unique ids everywhere (SURVEY §2 rule d).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import query
+from ..tables import prep, table
+
+
+@query(
+    "winfn_row_number_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+             ) AS INTEGER) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def winfn_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — Flink Table API Top-N shape."""
+    prep(spark)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "winfn_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           CAST(RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INTEGER) AS rnk,
+           CAST(DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INTEGER) AS drnk
+    FROM part
+    """,
+)
+def winfn_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank (ties produce gaps vs no gaps — both
+    deterministic under ties since rank depends only on the value)."""
+    prep(spark)
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "winfn_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(NTILE(4) OVER (ORDER BY c_acctbal ASC, c_custkey ASC) AS INTEGER) AS quartile
+    FROM customer
+    """,
+)
+def winfn_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing (unique-key tie-break makes ntile total-order
+    deterministic). Global ORDER BY → single-partition window; at
+    100 TB this becomes approx quantile cutoffs + a broadcast join."""
+    prep(spark)
+    w = Window.orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@query(
+    "winfn_lag_lead",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(LAG(ts)  OVER w AS VARCHAR) AS prev_ts_s,
+           CAST(LEAD(ts) OVER w AS VARCHAR) AS next_ts_s,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def winfn_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user previous/next event timestamps + gap (µs, integral so
+    no float hazard). Flink analogue: pattern/sequence state per key."""
+    prep(spark)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ev = table(spark, sf_dir, "events")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        prev_ts.cast("string").alias("prev_ts_s"),
+        F.lead("ts").over(w).cast("string").alias("next_ts_s"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)).alias("gap_us"),
+    )
+
+
+@query(
+    "winfn_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS cum_revenue
+    FROM orders
+    """,
+)
+def winfn_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per customer (frame-ordered accumulation is
+    the same sequence in both engines → stable under rounding)."""
+    prep(spark)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("cum_revenue"),
+    )
+
+
+@query(
+    "winfn_moving_avg_range",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ), 6) AS mavg_7d
+    FROM orders
+    """,
+)
+def winfn_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day RANGE moving average — the batch analogue of a sliding
+    event-time window. Spark rangeBetween needs a numeric ordering, so
+    the frame runs over epoch seconds (86400 s × 7)."""
+    prep(spark)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 6).alias("mavg_7d"),
+    )
+
+
+@query(
+    "winfn_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER w AS first_et,
+           LAST_VALUE(event_type)  OVER w AS last_et
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def winfn_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event_type per user over the full partition frame."""
+    prep(spark)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.first("event_type").over(w).alias("first_et"),
+            F.last("event_type").over(w).alias("last_et"),
+        )
+        .distinct()
+    )

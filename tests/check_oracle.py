@@ -116,8 +116,9 @@ def compare_one(spark, con, key: str, sf_dir: str) -> dict:
             diffs = [
                 (a, b) for a, b in zip(s_rows, d_rows) if a != b
             ][:3]
-            only_s = [r for r in s_rows if r not in set(d_rows)][:2]
-            only_d = [r for r in d_rows if r not in set(s_rows)][:2]
+            d_set, s_set = set(d_rows), set(s_rows)
+            only_s = [r for r in s_rows if r not in d_set][:2]
+            only_d = [r for r in d_rows if r not in s_set][:2]
             res["details"].append(f"value diff; first zips={diffs}")
             if only_s:
                 res["details"].append(f"spark-only={only_s}")
