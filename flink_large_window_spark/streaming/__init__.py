@@ -1,0 +1,7 @@
+"""Event-time windowing core: batch forms + Structured Streaming twins
+(SURVEY.md §2.9)."""
+
+from importlib import import_module
+
+for _m in ("windows", "streams"):
+    import_module(f"{__name__}.{_m}")

@@ -1,0 +1,228 @@
+"""Structured Streaming twins of the §2.9 window operators.
+
+File-source replay of the events parquet → withWatermark → stateful
+transformation → memory sink drained with trigger(availableNow=True),
+which processes all available input deterministically and stops — the
+bounded-replay contract under which Flink and Spark watermark semantics
+agree on final window contents (SURVEY §2.9 gap #1).
+
+State store: RocksDB provider (Flink's RocksDB state backend analogue)
+so large-window state spills off-heap; set per-session at runtime.
+
+These keys are rows-only in the driver (streaming output is checked for
+non-emptiness there); the strong checks are the pytest parity tests in
+tests/test_streaming_parity.py asserting stream output == the batch
+form's result on the same data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..registry import query
+from ..tables import prep, table
+
+_SINK_SEQ = 0
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream (bounded replay).
+
+    The ns→µs canonicalization matches tables.table(): the raw column
+    is a ns long under the nanosAsLong conf, converted after read.
+    """
+    prep(spark)
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # The file source needs a directory; narrow it to the events file
+    # with a glob (replaying one file per micro-batch).
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def run_to_memory(spark: SparkSession, out: DataFrame, mode: str = "append") -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink, return the table.
+
+    RocksDB state store provider is enabled for the run — the Flink
+    RocksDB state-backend analogue for large window state.
+    """
+    global _SINK_SEQ
+    _SINK_SEQ += 1
+    name = f"flws_stream_sink_{_SINK_SEQ}"
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="flws_ckpt_")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@query("window_tumbling_agg_stream")  # rows-only; parity test is the strong check
+def window_tumbling_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of window_tumbling_agg (10-min watermark)."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("string").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_to_memory(spark, agg, mode="append")
+
+
+@query("window_session_agg_stream")  # rows-only
+def window_session_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of window_session_agg (session_window + watermark)."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("s_start"),
+            F.col("w.end").cast("string").alias("s_end"),
+            "n_events",
+            (F.unix_micros("w.end") - F.unix_micros("w.start")).alias("duration_us"),
+        )
+    )
+    return run_to_memory(spark, agg, mode="append")
+
+
+@query("window_large_day_stream")  # rows-only
+def window_large_day_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of window_large_day.
+
+    Exact distinct is not incrementally maintainable in a stream —
+    approx_count_distinct (HLL, fixed-size state) is the 100 TB path;
+    therefore this twin's n_users is approximate and the key is
+    rows-only by design.
+    """
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.round(F.sum("value"), 4).alias("revenue"),
+            F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("d_start"),
+            "event_type",
+            "revenue",
+            "n_users_approx",
+            "n",
+        )
+    )
+    return run_to_memory(spark, agg, mode="append")
+
+
+@query("watermark_dedup_stream")  # rows-only
+def watermark_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on event_id — state is pruned once
+    the watermark passes, exactly Flink's keyed dedup-with-timer."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    dedup = ev.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+    return run_to_memory(spark, dedup, mode="append")
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("seg", LongType()), StructField("cnt", LongType())]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("n_since_signup", IntegerType()),
+    ]
+)
+
+
+@query("stateful_count_session_stream")  # rows-only
+def stateful_count_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of stateful_count_session via applyInPandasWithState.
+
+    The state function is a closure so cloudpickle ships it by value —
+    Spark's Python workers must not need this package on their import
+    path (the grading driver may run from any cwd).
+    """
+
+    def count_since_signup(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Keyed state machine (KeyedProcessFunction + ValueState
+        analogue): counter per user resetting at each 'signup' event.
+
+        Correct only under per-key event-time order within the replay;
+        the batch oracle (stateful_count_session) is the
+        order-insensitive ground truth.
+        """
+        (seg, cnt) = state.get if state.exists else (0, 0)
+        outs = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            res = []
+            for et, eid in zip(pdf["event_type"], pdf["event_id"]):
+                if et == "signup":
+                    seg, cnt = seg + 1, 1
+                else:
+                    cnt += 1
+                res.append((int(eid), cnt))
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "user_id": pdf["user_id"].iloc[0],
+                        "event_id": [r[0] for r in res],
+                        "n_since_signup": [r[1] for r in res],
+                    }
+                )
+            )
+        state.update((seg, cnt))
+        yield from outs
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    out = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            count_since_signup,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(spark, out, mode="append")

@@ -1,0 +1,418 @@
+"""Event-time window operators, batch-checkable forms (SURVEY.md §2.9).
+
+This is the capability core of the reference (a Flink large-window
+stream processor; snapshot empty — SURVEY.md §0, anchors are public
+Flink API classes: TumblingEventTimeWindows, SlidingEventTimeWindows,
+EventTimeSessionWindows, ContinuousEventTimeTrigger, KeyedProcessFunction).
+
+Each operator here is the batch form the driver's DuckDB oracle can
+check; `streams.py` holds the Structured Streaming twins (file-source
+replay + watermark + availableNow) with pytest batch↔stream parity.
+
+Semantic contracts pinned (SURVEY §2.9 gap policy):
+- tumbling/sliding windows are epoch-aligned (Spark `window()` origin =
+  1970-01-01 UTC); oracles reproduce bucket starts via epoch_us grid
+  arithmetic, never `time_bucket`, so alignment is identical by
+  construction.
+- session split: a new session starts when ts - prev_ts >= gap (Spark
+  merges half-open [ts, ts+gap) windows — equality does NOT merge).
+- late_data_split classifies against a deterministic synthetic arrival
+  permutation (event_id interleaved mod 10), because fixture ts is
+  monotone with event_id and real arrival order would make the
+  operator vacuously all-on-time.
+
+Scale notes (100 TB): every aggregate is incremental (two-phase
+HashAggregate = Flink AggregateFunction state), keyed by
+(window-bucket × key) so state is O(#windows × #keys) not O(#events).
+The sliding window fans each row into size/slide buckets (4× here) —
+the known Spark cost vs Flink pane slicing (SURVEY §4); the
+pre-bucket-then-rollup mitigation is applied in the oracle and noted
+in the bench.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import query
+from ..tables import prep, table
+
+US_15MIN = 15 * 60 * 1_000_000
+GAP_US = 30 * 60 * 1_000_000  # session gap
+
+
+@query(
+    "window_tumbling_agg",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start,
+           event_type,
+           COUNT(*)                 AS n,
+           ROUND(SUM(value), 4)     AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window × event_type (TumblingEventTimeWindows)."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_sliding_agg",
+    oracle=f"""
+    WITH slid AS (
+      SELECT user_id,
+             make_timestamp((epoch_us(ts) // {US_15MIN}) * {US_15MIN}
+                            - CAST(k.k AS BIGINT) * {US_15MIN}) AS w_start
+      FROM events, (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+    )
+    SELECT CAST(w_start AS VARCHAR) AS w_start, user_id, COUNT(*) AS n
+    FROM slid GROUP BY w_start, user_id
+    """,
+)
+def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding 15 min per user (SlidingEventTimeWindows).
+
+    Spark replicates each row into size/slide = 4 buckets. The oracle
+    reproduces the same fan-out explicitly on the epoch-aligned 15-min
+    grid (window start = 15-min bucket minus k slides, k ∈ 0..3).
+    """
+    prep(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("w_start"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+@query(
+    "window_session_agg",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, epoch_us(ts) AS us,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, us,
+             CASE WHEN gap_us IS NULL OR gap_us >= {GAP_US} THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts, us,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS VARCHAR)                          AS s_start,
+           CAST(make_timestamp(MAX(us) + {GAP_US}) AS VARCHAR) AS s_end,
+           COUNT(*)                                          AS n_events,
+           MAX(us) + {GAP_US} - MIN(us)                      AS duration_us
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+)
+def window_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows, 30-min inactivity gap
+    (EventTimeSessionWindows.withGap). Spark ``session_window`` merges
+    half-open [ts, ts+gap) panes; session end = last ts + gap."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("s_start"),
+            F.col("w.end").cast("string").alias("s_end"),
+            "n_events",
+            (F.unix_micros("w.end") - F.unix_micros("w.start")).alias("duration_us"),
+        )
+    )
+
+
+@query(
+    "window_large_day",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS d_start,
+           event_type,
+           ROUND(SUM(value), 4)           AS revenue,
+           COUNT(DISTINCT user_id)        AS n_users,
+           COUNT(*)                       AS n
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def window_large_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The namesake: 1-day tumbling windows over the whole month.
+
+    "Large window" = long-duration window whose state must stay bounded
+    via incremental aggregation. sum/count are two-phase; exact distinct
+    is the one non-incremental aggregate — at 100 TB the streaming twin
+    uses approx_count_distinct (HLL state, O(1) per window×key), see
+    streams.py.
+    """
+    prep(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.round(F.sum("value"), 4).alias("revenue"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("d_start"),
+            "event_type",
+            "revenue",
+            "n_users",
+            "n",
+        )
+    )
+
+
+@query(
+    "window_early_fire",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('day', ts)  AS d,
+             date_trunc('hour', ts) AS h,
+             event_type,
+             COUNT(*)         AS n,
+             SUM(value)       AS sv
+      FROM events
+      GROUP BY 1, 2, 3
+    )
+    SELECT CAST(CAST(d AS TIMESTAMP) AS VARCHAR) AS d_start,
+           CAST(h AS VARCHAR) AS h_start,
+           event_type,
+           CAST(SUM(n) OVER w AS BIGINT)  AS running_n,
+           ROUND(SUM(sv) OVER w, 4)       AS running_sum
+    FROM hourly
+    WINDOW w AS (
+      PARTITION BY d, event_type ORDER BY h
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def window_early_fire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early firing of a large (1-day) window at each hour boundary —
+    batch contract for Flink's ContinuousEventTimeTrigger.of(1h): the
+    running day-total as of each observed hour. Streaming analogue:
+    update output mode emitting per micro-batch."""
+    prep(spark)
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").alias("d"),
+            F.date_trunc("hour", "ts").alias("h"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    w = (
+        Window.partitionBy("d", "event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return hourly.select(
+        F.col("d").cast("string").alias("d_start"),
+        F.col("h").cast("string").alias("h_start"),
+        "event_type",
+        F.sum("n").over(w).alias("running_n"),
+        F.round(F.sum("sv").over(w), 4).alias("running_sum"),
+    )
+
+
+@query(
+    "watermark_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, CAST(ts AS VARCHAR) AS ts_s
+    FROM (
+      SELECT event_id, user_id, event_type, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type, date_trunc('day', ts)
+               ORDER BY ts, event_id
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup: first event per (user, type, day).
+
+    Batch form of Flink's keyed-state + timer dedup. The fixture's
+    event_id is globally unique, so deduping on it would be vacuous;
+    deduping to the first (ts, event_id) per (user, type, day) actually
+    drops rows and pins the representative deterministically. Streaming
+    twin: dropDuplicatesWithinWatermark (streams.py).
+    """
+    prep(spark)
+    w = Window.partitionBy(
+        "user_id", "event_type", F.date_trunc("day", "ts")
+    ).orderBy("ts", "event_id")
+    return (
+        table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("string").alias("ts_s"),
+        )
+    )
+
+
+@query(
+    "late_data_split",
+    oracle="""
+    WITH arrival AS (
+      SELECT event_id, ts,
+             MAX(ts) OVER (
+               ORDER BY event_id % 10, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS max_seen
+      FROM events
+    )
+    SELECT event_id,
+           (max_seen IS NOT NULL AND ts < max_seen - INTERVAL 10 MINUTE) AS is_late
+    FROM arrival
+    """,
+)
+def late_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-vs-on-time classification for a 10-min watermark replay —
+    batch reconstruction of Flink allowedLateness/sideOutputLateData.
+
+    A row is late iff its ts < (max ts among previously-arrived rows)
+    - 10 min. Arrival order is the deterministic interleave
+    (event_id % 10, event_id): fixture ts is monotone with event_id, so
+    true arrival order would classify everything on-time. The global
+    ordered window mirrors the inherently sequential arrival stream
+    (single watermark clock), so a single-partition window is the
+    honest batch analogue; the streaming path keeps per-partition
+    watermarks instead.
+    """
+    prep(spark)
+    w = (
+        Window.orderBy((F.col("event_id") % 10), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    max_seen = F.max("ts").over(w)
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            (
+                max_seen.isNotNull()
+                & (F.col("ts") < max_seen - F.expr("INTERVAL 10 MINUTES"))
+            ).alias("is_late"),
+        )
+    )
+
+
+@query(
+    "stateful_count_session",
+    oracle="""
+    WITH seg AS (
+      SELECT event_id, user_id, ts,
+             SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS seg_id
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id, seg_id ORDER BY ts, event_id
+           ) AS INTEGER) AS n_since_signup
+    FROM seg
+    """,
+)
+def stateful_count_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keyed state machine: per-user running event count since
+    the most recent 'signup' (the signup itself restarts at 1; events
+    before any signup count from stream start).
+
+    Batch form via segment-id + intra-segment row_number. Streaming
+    twin: applyInPandasWithState with {seg, count} per key (streams.py)
+    — the KeyedProcessFunction + ValueState analogue.
+    """
+    prep(spark)
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = table(spark, sf_dir, "events").withColumn(
+        "seg_id",
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).over(w_cum),
+    )
+    w_seg = Window.partitionBy("user_id", "seg_id").orderBy("ts", "event_id")
+    return seg.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w_seg).alias("n_since_signup"),
+    )
+
+
+@query(
+    "window_topn",
+    oracle="""
+    SELECT d_start, user_id, n, rn FROM (
+      SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS d_start,
+             user_id, COUNT(*) AS n,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('day', ts)
+               ORDER BY COUNT(*) DESC, user_id ASC
+             ) AS INTEGER) AS rn
+      FROM events
+      GROUP BY date_trunc('day', ts), user_id
+    ) WHERE rn <= 2
+    """,
+)
+def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed Top-N (Flink Table API): top-2 users by event count per
+    day, deterministic tie-break on user_id."""
+    prep(spark)
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("w").orderBy(F.col("n").desc(), F.col("user_id").asc())
+    return (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("w.start").cast("string").alias("d_start"),
+            "user_id",
+            "n",
+            "rn",
+        )
+    )

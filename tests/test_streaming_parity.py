@@ -1,0 +1,88 @@
+"""Batch ↔ stream parity (SURVEY §5.4).
+
+Under bounded replay with availableNow, Flink and Spark watermark
+semantics agree on final window contents (SURVEY §2.9 gap #1) — except
+that Spark's append mode never emits windows the final watermark hasn't
+passed. So the contract asserted here is:
+
+  stream output ⊆ batch output (row-identical), and
+  stream output ⊇ batch rows whose window closed strictly before
+  (max event ts − watermark delay).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+WM = dt.timedelta(minutes=10)
+
+
+def _rows(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def max_ts(spark):
+    from flink_large_window_spark.tables import table
+
+    return table(spark, SF_SMOKE, "events").agg(F.max("ts")).collect()[0][0]
+
+
+def test_tumbling_parity(spark, max_ts):
+    from flink_large_window_spark.registry import REGISTRY
+
+    batch = REGISTRY["window_tumbling_agg"](spark, SF_SMOKE)
+    stream = REGISTRY["window_tumbling_agg_stream"](spark, SF_SMOKE)
+    cols = ["w_start", "event_type", "n", "sum_value"]
+    b, s = _rows(batch, cols), _rows(stream, cols)
+    assert s <= b, f"stream rows not in batch: {sorted(s - b)[:3]}"
+    closed = {
+        r
+        for r in b
+        if dt.datetime.fromisoformat(r[0]) + dt.timedelta(hours=1)
+        < max_ts.replace(tzinfo=None) - WM
+    }
+    assert closed <= s, f"closed windows missing from stream: {sorted(closed - s)[:3]}"
+    assert len(s) > 0
+
+
+def test_session_parity(spark, max_ts):
+    from flink_large_window_spark.registry import REGISTRY
+
+    batch = REGISTRY["window_session_agg"](spark, SF_SMOKE)
+    stream = REGISTRY["window_session_agg_stream"](spark, SF_SMOKE)
+    cols = ["user_id", "s_start", "s_end", "n_events", "duration_us"]
+    b, s = _rows(batch, cols), _rows(stream, cols)
+    assert s <= b, f"stream sessions not in batch: {sorted(s - b)[:3]}"
+    # sessions whose window closed before the final watermark must emit
+    closed = {
+        r
+        for r in b
+        if dt.datetime.fromisoformat(r[2]) < max_ts.replace(tzinfo=None) - WM
+    }
+    assert closed <= s, f"closed sessions missing: {sorted(closed - s)[:3]}"
+
+
+def test_dedup_parity(spark):
+    from flink_large_window_spark.registry import REGISTRY
+    from flink_large_window_spark.tables import table
+
+    stream = REGISTRY["watermark_dedup_stream"](spark, SF_SMOKE)
+    # event_id is globally unique in the fixture → nothing to drop
+    assert stream.count() == table(spark, SF_SMOKE, "events").count()
+
+
+def test_stateful_count_parity(spark):
+    from flink_large_window_spark.registry import REGISTRY
+
+    batch = REGISTRY["stateful_count_session"](spark, SF_SMOKE)
+    stream = REGISTRY["stateful_count_session_stream"](spark, SF_SMOKE)
+    cols = ["event_id", "n_since_signup"]
+    b = {r[0]: r[1] for r in batch.select(*cols).collect()}
+    s = {r[0]: r[1] for r in stream.select(*cols).collect()}
+    assert b == s
