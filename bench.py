@@ -1,0 +1,95 @@
+"""Benchmark harness (SURVEY §6 / BASELINE.md M5 protocol).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]: one warm-up, then median of 3 timed runs of
+a noop-sink write (full execution, no sink cost). Prints exactly ONE
+JSON line to stdout:
+
+  {"metric": "...", "value": <total median sec>, "unit": "sec",
+   "queries": {key: sec, ...}, "sf": "<dir>"}
+
+and writes BENCH.json with per-run detail + env (the frozen baseline
+per BASELINE.md — later rounds must stay within 2×).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+# Headline set: the flagship, the heaviest relational shapes, the §2.9
+# windowing identity, and the LLM-data watch-list (BASELINE.md §4).
+HEADLINE = [
+    "agg_hash_grouped",
+    "scan_predicate_pushdown",
+    "join_inner_equi",
+    "join_sortmerge_large",
+    "join_asof",
+    "winfn_row_number_topk",
+    "window_tumbling_agg",
+    "window_sliding_agg",
+    "window_session_agg",
+    "window_large_day",
+    "window_topn",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "sim_cosine_topk",
+    "text_tfidf_topterms",
+]
+
+
+def bench_one(spark, fn, sf_dir: str, runs: int = 3) -> dict:
+    def run() -> float:
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run()  # warm-up (codegen + file listing)
+    times = [run() for _ in range(runs)]
+    return {"median_s": round(statistics.median(times), 4), "runs": [round(t, 4) for t in times]}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from flink_large_window_spark import api
+    from flink_large_window_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = api.queries()
+    results: dict[str, dict] = {}
+    for key in HEADLINE:
+        results[key] = bench_one(spark, qs[key], sf_dir)
+        print(f"# {key}: {results[key]['median_s']}s", file=sys.stderr)
+
+    total = round(sum(r["median_s"] for r in results.values()), 4)
+    env = {
+        "spark": spark.version,
+        "cpus": os.cpu_count(),
+        "master": spark.sparkContext.master,
+        "sf_dir": sf_dir,
+    }
+    with open(os.path.join(_REPO_ROOT, "BENCH.json"), "w") as f:
+        json.dump({"queries": results, "total_s": total, "env": env}, f, indent=2)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: v["median_s"] for k, v in results.items()},
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

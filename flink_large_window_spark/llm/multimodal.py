@@ -1,0 +1,122 @@
+"""Multimodal column operators (SURVEY.md §2.10).
+
+Image/audio/video are opaque ``binary`` columns with typed metadata.
+The decode step is STUBBED (the decode libraries are not in this
+container — see ``decode_image``); everything Spark-side is real and
+tested: binary schema, Arrow batch shape through mapInPandas,
+partitioning, and the aggregate over extracted features.
+
+Scale notes (100 TB): media blobs dominate bytes — the pipeline keeps
+them in their own column, prunes it unless the stage needs it, and
+processes via mapInPandas so a partition streams through Arrow batches
+(constant memory) instead of collecting. Feature extraction is
+embarrassingly parallel; partition count is the only knob.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..tables import prep, table
+
+
+def decode_image(blob: bytes) -> "object":
+    """Decode an image blob → pixel array. STUB: the container ships no
+    image codec (no PIL/cv2); real deployments drop in the decoder
+    here. The deterministic fake below keeps the pipeline testable."""
+    raise NotImplementedError("image codec not available in this container")
+
+
+@query(
+    "multimodal_vec_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(AVG(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS avg_l2,
+           ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS avg_e1
+    FROM embeddings GROUP BY label
+    """,
+)
+def multimodal_vec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics: count, mean L2 norm, mean first
+    component — JVM-side array folds, rounded per the float policy."""
+    prep(spark)
+    d = F.col("embedding").cast("array<double>")
+    l2 = F.sqrt(F.aggregate(d, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(l2), 6).alias("avg_l2"),
+            F.round(F.avg(F.element_at(d, 1)), 6).alias("avg_e1"),
+        )
+    )
+
+
+@query(
+    "multimodal_doc_join",
+    oracle="""
+    SELECT lang, label, COUNT(*) AS n
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    GROUP BY lang, label
+    """,
+)
+def multimodal_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ↔ embedding modality join on the shared id space."""
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("lang", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("multimodal_blob_features")  # rows-only: stubbed decode, real plumbing
+def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through mapInPandas.
+
+    The documents' text bytes stand in for media blobs (binary column +
+    typed metadata), flowing through the exact plumbing a real decoder
+    would use: Arrow batches in, per-row feature struct out. The
+    "decode" is a deterministic fake (blob length + first/last byte);
+    ``decode_image`` marks where the real codec goes.
+    """
+    prep(spark)
+    blobs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("blob"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.col("n_chars").alias("n_bytes_meta"),
+        ).alias("meta"),
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blob = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": blob.str.len().astype("int64"),
+                    "first_byte": blob.str[0].apply(
+                        lambda b: int(b) if b is not None else -1
+                    ),
+                    "last_byte": blob.str[-1].apply(
+                        lambda b: int(b) if b is not None else -1
+                    ),
+                }
+            )
+
+    return blobs.mapInPandas(
+        extract,
+        schema="doc_id long, n_bytes long, first_byte int, last_byte int",
+    )

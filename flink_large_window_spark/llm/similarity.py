@@ -1,0 +1,131 @@
+"""Embedding similarity search (SURVEY.md §2.10).
+
+Scale notes (100 TB): brute-force top-k is a broadcast of the (small)
+query side against a full scan of the corpus — O(Q·N·d) JVM-side fold,
+no Python. The 10⁶+-vector path is LSH/IVF bucketing: assign each
+vector to a coarse bucket (random-hyperplane sign hash below would be
+the bucketing key), shuffle once by bucket, search only matching
+buckets. Float-hash hazard rule (SURVEY §2.10): oracles compare only
+integer columns (ids + rank), never raw similarity.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from ..registry import query
+from ..tables import prep, table
+
+
+def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    """Add a double-cast vector and its L2 norm (sequential fold —
+    deterministic accumulation order)."""
+    d = F.col(vec).cast("array<double>")
+    sumsq = F.aggregate(d, F.lit(0.0), lambda a, x: a + x * x)
+    return df.withColumn("vec_d", d).withColumn("norm", F.sqrt(sumsq))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+@query(
+    "sim_cosine_topk",
+    oracle="""
+    SELECT query_id, neighbor_id, rnk FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                        e.vec_id ASC
+             ) AS INTEGER) AS rnk
+      FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+      JOIN embeddings e ON e.vec_id <> q.vec_id
+    ) WHERE rnk <= 5
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 cosine neighbors for the first 10 query vectors.
+
+    Broadcast the 10 queries against the corpus; dot product and norms
+    are JVM-side array folds (zip_with + aggregate) inside codegen.
+    Integer-only output (query_id, neighbor_id, rnk) with vec_id
+    tie-break per the float-hash rule.
+    """
+    prep(spark)
+    emb = _with_norm(table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec_d").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    joined = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "vec_d", "norm")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos", _dot(F.col("q_vec"), F.col("vec_d")) / (F.col("q_norm") * F.col("norm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk")
+    )
+
+
+@query(
+    "sim_knn_join_label",
+    oracle="""
+    WITH knn AS (
+      SELECT query_id, label FROM (
+        SELECT q.vec_id AS query_id, e.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                          e.vec_id ASC
+               ) AS rnk
+        FROM (SELECT * FROM embeddings WHERE vec_id < 20) q
+        JOIN embeddings e ON e.vec_id <> q.vec_id
+      ) WHERE rnk <= 5
+    )
+    SELECT query_id, label AS pred_label FROM (
+      SELECT query_id, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY COUNT(*) DESC, label ASC
+             ) AS r
+      FROM knn GROUP BY query_id, label
+    ) WHERE r = 1
+    """,
+)
+def sim_knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority label per query vector (first 20 queries),
+    deterministic mode tie-break on the smaller label."""
+    prep(spark)
+    emb = _with_norm(table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec_d").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    joined = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "label", "vec_d", "norm")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos", _dot(F.col("q_vec"), F.col("vec_d")) / (F.col("q_norm") * F.col("norm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    knn = joined.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    wm = Window.partitionBy("query_id").orderBy(F.col("n").desc(), F.col("label").asc())
+    return (
+        knn.groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("r", F.row_number().over(wm))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
