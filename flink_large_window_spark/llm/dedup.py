@@ -56,7 +56,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline (all JVM-side expressions, no Python):
       tokens → 3-shingles → base hash xxhash64 → 64 universal-hash
-      permutations h_i(x) = (a_i·x + b_i) mod 2^61−1 → per-doc min per
+      permutations h_i(x) = (a_i·x + b_i) mod 2^31−1 → per-doc min per
       permutation (the MinHash signature) → 8 bands × 8 rows → band
       hash → self-join on (band, band_hash) → candidate pairs →
       verified Jaccard over exact shingle sets.
@@ -85,6 +85,11 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("shingle"),
     ).withColumn("h", F.abs(F.xxhash64("shingle")))
+    # The shingle table feeds three consumers (signatures, both sides of
+    # the LSH self-join via `banded`, and Jaccard verification) — persist
+    # so the explode+hash pipeline runs once, not three times. At 100 TB
+    # this becomes a checkpoint to durable storage, same dataflow.
+    shingles = shingles.persist()
 
     # 64 deterministic (a, b) pairs for h_i(x) = (a·x + b) mod p.
     perms = [(2 * i + 1, 7919 * (i + 1)) for i in range(N_HASHES)]
@@ -106,7 +111,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     banded = sigs.select(
         "doc_id", F.explode(F.array(*band_exprs)).alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")).persist()
 
     left = banded.alias("l")
     right = banded.alias("r")

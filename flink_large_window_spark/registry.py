@@ -7,9 +7,15 @@ Each operator module registers its queries with the @query decorator:
 
 Conventions enforced suite-wide (SURVEY.md §2 parity rules):
 - every computed column is aliased identically in Spark and oracle SQL;
-- aggregate doubles are rounded (see ``round_for_magnitude`` policy in
-  the operator modules) so cross-engine float summation-order noise
-  cannot flip the driver's value hash;
+- aggregate doubles are rounded — 2 decimals for money-magnitude sums,
+  4–6 for small magnitudes — so cross-engine float summation-order
+  noise cannot flip the driver's value hash. Known residual hazard
+  (probed empirically, tests/test_properties.py): Spark rounds a
+  double's SHORTEST decimal repr half-up while DuckDB scales-and-
+  rounds the binary value, so inputs whose shortest repr terminates
+  with a '5' exactly at the cut position diverge (1.005 → 1.01 vs
+  1.00). Aggregates of fixture data land on such boundaries with
+  negligible probability (verified green at sf0.001/0.01/0.1);
 - timestamp/date outputs are emitted as strings (``CAST(.. AS STRING)``
   both sides) so timezone-awareness differences between Spark
   TimestampType (session-tz) and DuckDB naive TIMESTAMP cannot produce

@@ -1,0 +1,46 @@
+"""Golden-file regression tests (SURVEY §5.6): pinned sf0.001 outputs
+for the most complex queries, catching regressions without DuckDB in
+the loop. Regenerate intentionally with REGEN_GOLDEN=1."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tests.check_oracle import canon_rows
+from tests.conftest import SF_SMOKE
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+KEYS = [
+    "agg_hash_grouped",
+    "join_asof",
+    "join_interval",
+    "window_session_agg",
+    "window_sliding_agg",
+    "window_early_fire",
+    "stateful_count_session",
+    "window_topn",
+    "sim_cosine_topk",
+    "text_tfidf_topterms",
+]
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_golden(spark, key):
+    from flink_large_window_spark import api
+
+    df = api.queries()[key](spark, SF_SMOKE)
+    rows = canon_rows(df.toPandas())
+    path = os.path.join(GOLDEN_DIR, f"{key}.json")
+    if os.environ.get("REGEN_GOLDEN") == "1" or not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump({"columns": sorted(df.columns), "rows": rows}, f)
+        pytest.skip(f"golden written: {path}")
+    with open(path) as f:
+        golden = json.load(f)
+    assert sorted(df.columns) == golden["columns"]
+    assert [list(r) for r in rows] == [list(r) for r in golden["rows"]]

@@ -1,0 +1,103 @@
+"""Property tests (SURVEY §5.5) for the cross-engine invariants the
+oracle suite is built on — generated micro-frames, Spark vs DuckDB."""
+
+from __future__ import annotations
+
+import duckdb
+import pyspark.sql.functions as F
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+finite_doubles = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+prices = st.floats(min_value=0.01, max_value=1e5, allow_nan=False)
+discounts = st.floats(min_value=0.0, max_value=0.1, allow_nan=False)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(prices, discounts), min_size=1, max_size=20))
+def test_per_row_arithmetic_bit_exact(spark, rows):
+    """price*(1-disc) must be BIT-identical across engines (same IEEE
+    ops in the same order) — the reason per-row arithmetic needs no
+    rounding in the oracles."""
+    df = spark.createDataFrame(rows, "p double, d double")
+    s = [r[0] for r in df.select((F.col("p") * (1 - F.col("d"))).alias("x")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (p DOUBLE, d DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    d = [r[0] for r in con.execute("SELECT p * (1 - d) FROM t").fetchall()]
+    assert [repr(x) for x in s] == [repr(x) for x in d]
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet="ab c1é ", min_size=0, max_size=30), min_size=1, max_size=10))
+def test_string_ops_parity(spark, texts):
+    """lower/trim/length parity on arbitrary (incl. unicode) strings."""
+    rows = [(t,) for t in texts]
+    df = spark.createDataFrame(rows, "t string")
+    s = sorted(
+        (r[0], r[1], r[2])
+        for r in df.select(
+            F.lower("t"), F.trim("t"), F.length("t")
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (t VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    d = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(
+            "SELECT lower(t), trim(t), CAST(length(t) AS INTEGER) FROM t"
+        ).fetchall()
+    )
+    assert s == d
+
+
+def test_round_divergence_is_understood(spark):
+    """Documents the KNOWN cross-engine round() divergence (shortest-
+    repr half-up vs binary scaling): 1.005 diverges, plain values
+    don't. Guards against silently changing rounding machinery."""
+    df = spark.createDataFrame([(1.005,), (2.675,), (123.45,)], "x double")
+    s = [r[0] for r in df.select(F.round("x", 2)).collect()]
+    assert s == [1.01, 2.68, 123.45]  # Spark: shortest-repr HALF_UP
+    d = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT round(CAST(x AS DOUBLE), 2) FROM (SELECT UNNEST([1.005, 2.675, 123.45]) x)"
+        ).fetchall()
+    ]
+    assert d == [1.0, 2.68, 123.45]  # DuckDB: scaled rounding of binary value
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=3_000_000),  # µs offsets ≤ 50 min
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_session_split_semantics(spark, offsets_us):
+    """Session windows split exactly when gap >= 30 min — the pinned
+    contract the window_session_agg oracle reproduces."""
+    base = 1_704_067_200_000_000  # 2024-01-01 UTC in µs
+    ts = sorted(base + sum(offsets_us[: i + 1]) for i in range(len(offsets_us)))
+    rows = [(1, t) for t in ts]
+    df = spark.createDataFrame(rows, "user_id long, us long").select(
+        "user_id", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    sessions = (
+        df.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    # reference: gaps-and-islands split at >= 30 min
+    gap_us = 30 * 60 * 1_000_000
+    n_sessions, prev = 0, None
+    for t in ts:
+        if prev is None or t - prev >= gap_us:
+            n_sessions += 1
+        prev = t
+    assert len(sessions) == n_sessions
+    assert sum(r["n"] for r in sessions) == len(ts)
