@@ -24,6 +24,14 @@ try:
     from . import llm as _llm  # noqa: F401  (§2.10)
 except ImportError:  # pragma: no cover
     pass
+try:
+    from . import sources as _sources  # noqa: F401  (format round-trips)
+except ImportError:  # pragma: no cover
+    pass
+try:
+    from . import plans as _plans  # noqa: F401  (skew strategies)
+except ImportError:  # pragma: no cover
+    pass
 
 from .registry import ORACLES, REGISTRY
 from .tables import DEFAULT_SF_DIR

@@ -1,0 +1,7 @@
+"""Physical-plan strategies and inspection (SURVEY.md §4): skew
+salting, plan assertions used by tests."""
+
+from importlib import import_module
+
+for _m in ("skew",):
+    import_module(f"{__name__}.{_m}")
