@@ -226,3 +226,57 @@ def stateful_count_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return run_to_memory(spark, out, mode="append")
+
+
+@query("window_sliding_agg_stream")  # rows-only
+def window_sliding_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of window_sliding_agg (1h window / 15min slide).
+
+    Each event updates 4 window panes; state is (pane × user) — the
+    Spark fan-out analogue of Flink's SlidingEventTimeWindows.
+    """
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("w_start"), "user_id", "n")
+    )
+    return run_to_memory(spark, agg, mode="append")
+
+
+@query("join_interval_stream")  # rows-only
+def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of join_interval: stream-stream inner join with an
+    event-time range condition — Flink `intervalJoin(...).between(0, 1h)`.
+
+    Both sides carry watermarks and the range bound lets Spark expire
+    join state (exactly Flink's relative-window state cleanup).
+    """
+    signups = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id"),
+            F.col("ts").alias("ts1"),
+        )
+        .withWatermark("ts1", "10 minutes")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id2"),
+            F.col("ts").alias("ts2"),
+        )
+        .withWatermark("ts2", "10 minutes")
+    )
+    joined = signups.join(
+        purchases,
+        (signups.user_id == purchases.user_id2)
+        & (purchases.ts2 >= signups.ts1)
+        & (purchases.ts2 <= signups.ts1 + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("signup_id", "purchase_id", "user_id")
+    return run_to_memory(spark, joined, mode="append")

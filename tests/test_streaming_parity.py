@@ -86,3 +86,30 @@ def test_stateful_count_parity(spark):
     b = {r[0]: r[1] for r in batch.select(*cols).collect()}
     s = {r[0]: r[1] for r in stream.select(*cols).collect()}
     assert b == s
+
+
+def test_interval_join_parity(spark):
+    """Stream-stream inner interval join under bounded replay emits
+    eagerly — final output must equal the batch interval join exactly."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    cols = ["signup_id", "purchase_id", "user_id"]
+    b = _rows(REGISTRY["join_interval"](spark, SF_SMOKE), cols)
+    s = _rows(REGISTRY["join_interval_stream"](spark, SF_SMOKE), cols)
+    assert s == b
+
+
+def test_sliding_parity(spark, max_ts):
+    from flink_large_window_spark.registry import REGISTRY
+
+    cols = ["w_start", "user_id", "n"]
+    b = _rows(REGISTRY["window_sliding_agg"](spark, SF_SMOKE), cols)
+    s = _rows(REGISTRY["window_sliding_agg_stream"](spark, SF_SMOKE), cols)
+    assert s <= b, f"stream rows not in batch: {sorted(s - b)[:3]}"
+    closed = {
+        r
+        for r in b
+        if dt.datetime.fromisoformat(r[0]) + dt.timedelta(hours=1)
+        < max_ts.replace(tzinfo=None) - WM
+    }
+    assert closed <= s, f"closed panes missing: {sorted(closed - s)[:3]}"
