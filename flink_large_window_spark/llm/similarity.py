@@ -129,3 +129,66 @@ def sim_knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") == 1)
         .select("query_id", F.col("label").alias("pred_label"))
     )
+
+
+N_IVF_CENTROIDS = 16
+
+
+@query("sim_ann_ivf_topk")  # rows-only: approximate by construction
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-5 — the >10⁶-vector scale path.
+
+    Coarse quantizer: the first 16 corpus vectors serve as
+    deterministic centroids (a real deployment k-means-samples them).
+    Every vector is assigned to its nearest centroid (one broadcast
+    join — linear); a query searches ONLY its own centroid's inverted
+    list, turning O(Q·N) brute force into O(Q·N/C). Recall vs the
+    exact brute-force top-5 is asserted in tests/test_llm_quality.py.
+    """
+    prep(spark)
+    emb = _with_norm(table(spark, sf_dir, "embeddings"))
+    cents = emb.filter(F.col("vec_id") < N_IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("vec_d").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+
+    def assign(df: DataFrame, id_col: str) -> DataFrame:
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("c_cos").desc(), F.col("cent_id").asc()
+        )
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "c_cos",
+                _dot(F.col("vec_d"), F.col("c_vec")) / (F.col("norm") * F.col("c_norm")),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .drop("c_vec", "c_norm", "c_cos", "r")
+        )
+
+    assigned = assign(emb, "vec_id").select("vec_id", "vec_d", "norm", "cent_id")
+    queries = assign(
+        emb.filter(F.col("vec_id") < 10), "vec_id"
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec_d").alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+        F.col("cent_id").alias("q_cent"),
+    )
+    cand = (
+        assigned.join(
+            F.broadcast(queries), assigned.cent_id == F.col("q_cent"), "inner"
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos", _dot(F.col("q_vec"), F.col("vec_d")) / (F.col("q_norm") * F.col("norm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rnk")
+    )

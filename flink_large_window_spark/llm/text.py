@@ -168,3 +168,181 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS len,
+             CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+             CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+               AS n_punct,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                  t -> t IN ('the', 'a', 'of', 'and', 'to', 'in')))
+               AS DOUBLE) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(n_punct / len, 6)  AS punct_ratio,
+           ROUND(n_stop / n_tok, 6) AS stopword_ratio,
+           ROUND(LEAST(len / 500.0, 1.0)
+                 * (1.0 - n_punct / len)
+                 * (1.0 - n_stop / n_tok), 6) AS quality
+    FROM feat
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length / punctuation / stopword-ratio
+    features composed into a [0,1] score — the classic pre-training
+    corpus filter shape. Pure deterministic arithmetic (identical IEEE
+    ops both engines), rounded once at output."""
+    prep(spark)
+    stop = ("the", "a", "of", "and", "to", "in")
+    d = table(spark, sf_dir, "documents")
+    length = F.length("text").cast("double")
+    n_tok = F.size(F.split("text", " ")).cast("double")
+    n_punct = F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("double")
+    n_stop = F.size(
+        F.filter(F.split(F.lower("text"), " "), lambda t: t.isin(*stop))
+    ).cast("double")
+    feat = d.select(
+        "doc_id",
+        length.alias("len"),
+        n_tok.alias("n_tok"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop"),
+    )
+    return feat.select(
+        "doc_id",
+        F.round(F.col("n_punct") / F.col("len"), 6).alias("punct_ratio"),
+        F.round(F.col("n_stop") / F.col("n_tok"), 6).alias("stopword_ratio"),
+        F.round(
+            F.least(F.col("len") / 500.0, F.lit(1.0))
+            * (1.0 - F.col("n_punct") / F.col("len"))
+            * (1.0 - F.col("n_stop") / F.col("n_tok")),
+            6,
+        ).alias("quality"),
+    )
+
+
+@query(
+    "text_token_count_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')
+                ) AS INTEGER) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split vs a BPE-ish regex
+    (alnum runs | single non-alnum-non-space) — the cheap proxy used to
+    budget LLM token counts at corpus scale."""
+    prep(spark)
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)).alias(
+            "n_bpe_ish"
+        ),
+    )
+
+
+@query(
+    "text_fingerprint_rolling",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, text, UNNEST(generate_series(1, length(text) - 7)) AS i
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, 7),
+               j -> ascii(substr(text, CAST(i + j AS INTEGER), 1))
+                    * [CAST(1 AS BIGINT), CAST(131 AS BIGINT), CAST(17161 AS BIGINT), CAST(2248091 AS BIGINT), CAST(294499921 AS BIGINT), CAST(38579489651 AS BIGINT), CAST(5053913144281 AS BIGINT), CAST(662062621900811 AS BIGINT)][CAST(j AS INTEGER) + 1])) AS BIGINT) AS h
+      FROM grams
+    )
+    SELECT doc_id,
+           MIN(h)                 AS fingerprint,
+           COUNT(DISTINCT h)      AS n_distinct_grams
+    FROM hashed GROUP BY doc_id
+    """,
+)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint via polynomial rolling hash over character
+    8-grams (Rabin-Karp shape): h(i) = Σ_j ascii(c_{i+j})·131^j, kept
+    mod-free (max < 2^55, ANSI-safe), fingerprint = min over positions
+    — the winnowing building block for plagiarism-style near-dup at
+    scale. Identical integer arithmetic both engines → SQL oracle."""
+    prep(spark)
+    d = table(spark, sf_dir, "documents")
+    # Per-row array of gram hashes (no explode → no shuffle): for each
+    # start i, h = Σ_j ascii(substr(text, i+j, 1)) · 131^j.
+    hs = F.expr(
+        "transform(sequence(1, length(text) - 7), i -> "
+        "aggregate(sequence(0, 7), CAST(0 AS BIGINT), "
+        "(acc, j) -> acc + CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)"
+        " * CAST(pow(131, j) AS BIGINT)))"
+    )
+    return (
+        d.filter(F.length("text") >= 8)  # same domain as the oracle's generate_series
+        .select(
+            "doc_id",
+            F.array_min(hs).alias("fingerprint"),
+            F.size(F.array_distinct(hs)).cast("long").alias("n_distinct_grams"),
+        )
+    )
+
+
+@query("text_langid_ngram")  # rows-only: heuristic classifier, not SQL-canonical
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via character-trigram profiles.
+
+    Profiles: top-50 trigrams per language, learned from the corpus's
+    own lang labels (broadcast — vocabulary-sized). A doc votes for the
+    language whose profile shares the most of its distinct trigrams
+    (tie-break lang asc). On this fixture the languages share one
+    vocabulary, so accuracy is near-chance — the operator demonstrates
+    the n-gram-profile mechanism, which is what a real corpus needs.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    tris = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 2, 1)), "
+                    "i -> substr(text, CAST(i AS INT), 3))"
+                )
+            )
+        ).alias("tri"),
+    )
+    w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tri").asc())
+    profiles = (
+        tris.groupBy("lang", "tri")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("r", F.row_number().over(w_prof))
+        .filter(F.col("r") <= 50)
+        .select(F.col("lang").alias("cand_lang"), "tri")
+    )
+    votes = (
+        tris.select("doc_id", "tri")
+        .join(F.broadcast(profiles), "tri")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w_pick = Window.partitionBy("doc_id").orderBy(
+        F.col("overlap").desc(), F.col("cand_lang").asc()
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(w_pick))
+        .filter(F.col("r") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"))
+    )
+    return docs.select("doc_id", "lang").join(pred, "doc_id").select(
+        "doc_id", "lang", "pred_lang", (F.col("lang") == F.col("pred_lang")).alias("hit")
+    )
