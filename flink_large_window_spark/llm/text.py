@@ -278,16 +278,20 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale. Identical integer arithmetic both engines → SQL oracle."""
     prep(spark)
     d = table(spark, sf_dir, "documents")
-    # Per-row array of gram hashes (no explode → no shuffle): for each
-    # start i, h = Σ_j ascii(substr(text, i+j, 1)) · 131^j.
+    # Per-row, no shuffle, and O(len·8) not O(len²): materialize the
+    # char-code array ONCE per row (substr(text, i, 1) per gram would
+    # rescan the string each time — measured 15.8s vs ~1s at sf0.1),
+    # then index it: for each start i, h = Σ_j codes[i+j] · 131^j.
+    codes = F.expr("transform(split(text, ''), c -> ascii(c))")
     hs = F.expr(
         "transform(sequence(1, length(text) - 7), i -> "
         "aggregate(sequence(0, 7), CAST(0 AS BIGINT), "
-        "(acc, j) -> acc + CAST(ascii(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)"
+        "(acc, j) -> acc + CAST(element_at(codes, CAST(i + j AS INT)) AS BIGINT)"
         " * CAST(pow(131, j) AS BIGINT)))"
     )
     return (
         d.filter(F.length("text") >= 8)  # same domain as the oracle's generate_series
+        .withColumn("codes", codes)
         .select(
             "doc_id",
             F.array_min(hs).alias("fingerprint"),
@@ -320,7 +324,7 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("tri"),
-    )
+    ).persist()  # feeds both profile-building and voting
     w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tri").asc())
     profiles = (
         tris.groupBy("lang", "tri")
