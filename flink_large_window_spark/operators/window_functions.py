@@ -201,3 +201,28 @@ def winfn_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "winfn_percent_rank_cume",
+    oracle="""
+    SELECT o_orderkey,
+           PERCENT_RANK() OVER (PARTITION BY o_orderstatus
+                                ORDER BY o_totalprice ASC, o_orderkey ASC) AS pr,
+           CUME_DIST() OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_totalprice ASC, o_orderkey ASC)   AS cd
+    FROM orders
+    """,
+)
+def winfn_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist per status — rational values (k/n)
+    computed by the identical division in both engines → exact."""
+    prep(spark)
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

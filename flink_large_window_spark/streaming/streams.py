@@ -280,3 +280,22 @@ def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("signup_id", "purchase_id", "user_id")
     return run_to_memory(spark, joined, mode="append")
+
+
+@query("window_early_fire_stream")  # rows-only
+def window_early_fire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Early firing via UPDATE output mode: each micro-batch re-emits
+    the day windows it touched — Spark's analogue of Flink's
+    ContinuousEventTimeTrigger (per-batch instead of per-hour; the
+    deterministic per-hour contract is the batch window_early_fire)."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("running_n"))
+        .select(
+            F.col("w.start").cast("string").alias("d_start"),
+            "event_type",
+            "running_n",
+        )
+    )
+    return run_to_memory(spark, agg, mode="update")
