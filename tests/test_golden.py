@@ -25,6 +25,9 @@ KEYS = [
     "window_topn",
     "sim_cosine_topk",
     "text_tfidf_topterms",
+    "text_fingerprint_rolling",
+    "text_quality_score",
+    "dedup_exact",
 ]
 
 

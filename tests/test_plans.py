@@ -60,3 +60,30 @@ def test_topk_is_take_ordered(spark):
 
     plan = _plan(REGISTRY["limit_topk"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+
+
+def test_no_unbounded_cartesian_anywhere(spark):
+    """Suite-wide plan lint: no non-broadcast cartesian product may
+    appear in any batch query — at 100 TB that plan shape is fatal.
+    (BroadcastNestedLoopJoin with a tiny broadcast side is the sanctioned
+    form for the deliberate small cross joins.)"""
+    from flink_large_window_spark.registry import ORACLES, REGISTRY
+
+    offenders = []
+    for key in sorted(ORACLES):  # SQL-oracle keys = the batch surface
+        df = REGISTRY[key](spark, SF_SMOKE)
+        plan = _plan(df)
+        if "CartesianProduct" in plan:
+            offenders.append(key)
+    assert not offenders, f"cartesian product in: {offenders}"
+
+
+def test_no_row_at_a_time_python_udf(spark):
+    """Python must only appear Arrow-batched (ArrowEvalPython /
+    FlatMapGroupsInPandas / MapInPandas) — never BatchEvalPython
+    (row-at-a-time pickling)."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    for key in ("udf_scalar_pandas", "udaf_grouped_agg", "multimodal_blob_features"):
+        plan = _plan(REGISTRY[key](spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, f"{key} uses row-at-a-time Python"
