@@ -41,7 +41,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_near_minhash",
     "sim_cosine_topk",
+    "sim_ann_ivf_topk",
     "text_tfidf_topterms",
+    "text_fingerprint_rolling",
+    "text_quality_score",
+    "join_skew_salted",
 ]
 
 

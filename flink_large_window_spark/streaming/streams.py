@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 import tempfile
-from typing import Any, Iterator
+from typing import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
@@ -33,7 +33,7 @@ from pyspark.sql.types import (
 )
 
 from ..registry import query
-from ..tables import prep, table
+from ..tables import prep
 
 _SINK_SEQ = 0
 
