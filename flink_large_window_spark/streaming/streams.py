@@ -299,3 +299,78 @@ def window_early_fire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(spark, agg, mode="update")
+
+
+# transformWithStateInPandas (the successor stateful API, closest to
+# Flink's KeyedProcessFunction with typed state + timers) requires
+# google.protobuf for its driver-worker protocol, which this container
+# does not ship — gate the key on that dependency (brief: stub or gate
+# anything the environment lacks behind an import-try).
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _HAS_PROTOBUF = True
+except ImportError:  # pragma: no cover
+    _HAS_PROTOBUF = False
+
+
+def _register_tws():
+    if not _HAS_PROTOBUF:
+        return
+
+    @query("stateful_count_session_tws")  # rows-only
+    def stateful_count_session_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _stateful_count_session_tws(spark, sf_dir)
+
+
+def _stateful_count_session_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same keyed state machine via transformWithStateInPandas — the
+    successor stateful API (typed state handles, timers), closest to
+    Flink's KeyedProcessFunction. Defined inline (class shipped by
+    value) for worker-import independence, like the applyInPandas twin.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CountSinceSignup(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "segcnt", "seg BIGINT, cnt BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (seg, cnt) = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                out_cnt = []
+                for et in pdf["event_type"]:
+                    if et == "signup":
+                        seg, cnt = seg + 1, 1
+                    else:
+                        cnt += 1
+                    out_cnt.append(cnt)
+                yield pd.DataFrame(
+                    {
+                        "user_id": pdf["user_id"],
+                        "event_id": pdf["event_id"],
+                        "n_since_signup": pd.array(out_cnt, dtype="int32"),
+                    }
+                )
+            self._state.update((seg, cnt))
+
+        def close(self) -> None:
+            pass
+
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        CountSinceSignup(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+    return run_to_memory(spark, out, mode="append")
+
+
+_register_tws()
