@@ -40,6 +40,8 @@ HEADLINE = [
     "window_topn",
     "dedup_exact",
     "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_embed_cosine",
     "sim_cosine_topk",
     "sim_ann_ivf_topk",
     "text_tfidf_topterms",

@@ -120,3 +120,44 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract,
         schema="doc_id long, n_bytes long, first_byte int, last_byte int",
     )
+
+
+def decode_video_frames(blob: bytes, stride: int) -> "object":
+    """Decode + frame-sample a video blob. STUB — no codec in this
+    container; real deployments replace this. The deterministic fake in
+    multimodal_frame_sample exercises the identical Spark plumbing."""
+    raise NotImplementedError("video codec not available in this container")
+
+
+@query("multimodal_frame_sample")  # rows-only: stubbed decode, real plumbing
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling / resize plumbing for media blobs.
+
+    Treats each document's bytes as a fake media stream: fixed-size
+    "frames" (64-byte chunks), every 4th frame sampled, each "resized"
+    (truncated to its first 16 bytes) — one output row per sampled
+    frame. This is the exact mapInPandas shape a real video pipeline
+    uses (one input row → N frame rows, Arrow-batched, constant
+    memory); only decode_video_frames' body changes in production.
+    """
+    prep(spark)
+    frame, stride, thumb = 64, 4, 16
+    blobs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("blob")
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "thumb_len": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n_frames = max(len(blob) // frame, 1)
+                for i in range(0, n_frames, stride):
+                    chunk = blob[i * frame : (i + 1) * frame]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["thumb_len"].append(min(len(chunk), thumb))
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(
+        sample, schema="doc_id long, frame_idx int, thumb_len int"
+    )
