@@ -144,20 +144,22 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue by (nation), (mktsegment), and grand total in one pass."""
-    prep(spark)
-    from ..tables import register_views
+    """Revenue by (nation), (mktsegment), and grand total in one pass.
 
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT n_name, c_mktsegment, ROUND(SUM(o_totalprice), 2) AS revenue
-        FROM orders
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
-        """
-    )
+    Uses the DataFrame groupingSets API (Spark 4) rather than spark.sql
+    over temp views — registering views named like the fixture tables
+    could clobber same-named views the calling session owns.
+    """
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    return joined.groupingSets(
+        [["n_name"], ["c_mktsegment"], []], "n_name", "c_mktsegment"
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
 
 
 @query(
