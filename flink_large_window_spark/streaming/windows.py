@@ -416,3 +416,52 @@ def window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@query(
+    "window_sliding_agg_prebucket",
+    oracle=f"""
+    WITH slid AS (
+      SELECT user_id,
+             make_timestamp((epoch_us(ts) // {US_15MIN}) * {US_15MIN}
+                            - CAST(k.k AS BIGINT) * {US_15MIN}) AS w_start
+      FROM events, (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+    )
+    SELECT CAST(w_start AS VARCHAR) AS w_start, user_id, COUNT(*) AS n
+    FROM slid GROUP BY w_start, user_id
+    """,
+)
+def window_sliding_agg_prebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SURVEY §4 sliding-window mitigation, materialized: aggregate
+    once per (15-min slide bucket × user) FIRST, then fan the
+    pre-aggregated buckets (not the raw events) into their 4 windows
+    and roll up. Same oracle as window_sliding_agg — identical result,
+    but the ×(size/slide) replication applies to |buckets| rows instead
+    of |events| (at 100 TB: billions of events → millions of buckets).
+    This is Flink's pane/slice optimization (Scotty/cutty) expressed as
+    two Catalyst aggregations.
+    """
+    prep(spark)
+    pre = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "15 minutes").alias("b"), "user_id")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .select(F.col("b.start").alias("b_start"), "user_id", "pn")
+    )
+    slid = pre.select(
+        "b_start",
+        "user_id",
+        "pn",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    ).select(
+        (
+            F.timestamp_micros(
+                F.unix_micros("b_start") - F.col("k").cast("long") * US_15MIN
+            )
+        )
+        .cast("string")
+        .alias("w_start"),
+        "user_id",
+        "pn",
+    )
+    return slid.groupBy("w_start", "user_id").agg(F.sum("pn").alias("n"))
