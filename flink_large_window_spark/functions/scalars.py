@@ -213,3 +213,30 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255       AS k_and,
+           o_orderkey | 4096      AS k_or,
+           xor(o_orderkey, 1023)  AS k_xor,
+           o_orderkey << 2        AS k_shl,
+           o_orderkey >> 3        AS k_shr
+    FROM orders
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR and shifts on keys — partitioner/bucketing
+    building blocks (e.g. the LSH band packing uses these)."""
+    prep(spark)
+    k = F.col("o_orderkey")
+    return table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        k.bitwiseXOR(F.lit(1023)).alias("k_xor"),
+        F.shiftleft(k, 2).alias("k_shl"),
+        F.shiftright(k, 3).alias("k_shr"),
+    )

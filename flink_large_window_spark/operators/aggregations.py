@@ -309,3 +309,29 @@ def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     if "partial" not in plan.lower():
         raise AssertionError("expected partial+final HashAggregate in plan:\n" + plan)
     return df
+
+
+@query(
+    "agg_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate moments per group (corr, sample covariance) — both
+    engines use numerically stable one-pass co-moment updates; rounded
+    per the float policy (covar magnitude ~1e4 → 4 decimals)."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "qty_price_covar"
+            ),
+        )
+    )

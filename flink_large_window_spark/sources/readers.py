@@ -82,3 +82,68 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_k"),
         )
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → ORC → re-read → aggregate (must equal the parquet
+    oracle). ORC is the other columnar landing format Spark ships
+    natively — full pushdown/pruning support like parquet."""
+    prep(spark)
+    out = tempfile.mkdtemp(prefix="flws_orc_")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_orderkey"
+    )
+    li.write.mode("overwrite").orc(out)
+    return (
+        spark.read.orc(out)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+def _register_kafka():
+    """Kafka is the canonical Flink ingress; the connector jar is not in
+    this distribution, so the source registers only where it loads
+    (same gating pattern as transformWithStateInPandas)."""
+    # Side-effect-free probe: look for the sql-kafka connector jar on
+    # the Spark classpath (creating a SparkSession at import time just
+    # to probe would be a heavy side effect in the caller's process).
+    import glob
+    import os as _os
+
+    spark_home = _os.environ.get("SPARK_HOME", "/opt/spark")
+    if not glob.glob(_os.path.join(spark_home, "jars", "*sql-kafka*")):
+        return
+
+    @query("source_kafka_stream")  # rows-only
+    def source_kafka_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..streaming.streams import run_to_memory
+
+        prep(spark)
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", "localhost:9092")
+            .option("subscribe", "events")
+            .option("startingOffsets", "earliest")
+            .load()
+        )
+        parsed = raw.selectExpr(
+            "CAST(key AS STRING) AS k", "CAST(value AS STRING) AS v", "timestamp"
+        )
+        agg = parsed.withWatermark("timestamp", "10 minutes").groupBy(
+            F.window("timestamp", "1 hour")
+        ).count()
+        return run_to_memory(spark, agg, mode="append")
+
+
+_register_kafka()
