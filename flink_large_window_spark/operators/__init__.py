@@ -13,6 +13,9 @@ _MODULES = (
     "aggregations",
     "window_functions",
     "sort_set",
+    "sampling",
+    "reshape",
+    "timeseries",
 )
 
 for _m in _MODULES:

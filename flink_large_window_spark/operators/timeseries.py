@@ -1,0 +1,185 @@
+"""Time-series operators over the events stream table: gap-filled
+resampling (hypertable-rollup shape), funnel conversion, EWMA smoothing.
+
+These are the batch/time-series counterparts of the §2.9 window suite:
+a windowed aggregate answers "what happened in each bucket that has
+data"; a pipeline also needs "every bucket, zero-filled" (dashboards,
+feature grids), ordered funnels, and smoothed trends. All three are
+pure DataFrame compositions with exact SQL oracles. No reference-repo
+counterpart (snapshot empty per SURVEY §0); [FLINK-API] nearest
+analogues are windowed aggregation + CEP patterns.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import SparkSession, Window
+from pyspark.sql.dataframe import DataFrame
+
+from ..registry import query
+from ..tables import prep, table
+
+
+@query(
+    "ts_resample_gapfill",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ), spans AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+      FROM spans
+    )
+    SELECT g.user_id,
+           CAST(g.day AS STRING)    AS day,
+           COALESCE(d.n, 0)         AS n_events
+    FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def ts_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily event counts on a dense calendar grid (each
+    user's min..max day), zero-filling days with no events.
+
+    The grid comes from `sequence(min_day, max_day, interval 1 day)`
+    exploded per user — rows generated ∝ user-span days, not data rows.
+    At 100 TB the left join is the only shuffle and both sides are
+    already keyed by (user_id, day); the daily pre-aggregate collapses
+    the raw events before anything fans out.
+    """
+    prep(spark)
+    events = table(spark, sf_dir, "events")
+    daily = (
+        events.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+@query(
+    "ts_funnel_conversion",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id, MIN(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), first_purchase AS (
+      SELECT s.user_id, MIN(e.ts) AS purchase_ts
+      FROM signup s JOIN events e
+        ON e.user_id = s.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts >= s.signup_ts
+      GROUP BY s.user_id
+    )
+    SELECT s.user_id,
+           CAST(s.signup_ts AS STRING) AS signup_ts,
+           CAST(p.purchase_ts AS STRING) AS first_purchase_ts,
+           COALESCE(p.purchase_ts <= s.signup_ts + INTERVAL 7 DAY, FALSE)
+             AS converted_7d
+    FROM signup s LEFT JOIN first_purchase p ON s.user_id = p.user_id
+    """,
+)
+def ts_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel: per signed-up user, the first purchase
+    at/after their first signup and whether it lands within 7 days.
+
+    Ordered-sequence analytics Flink would express as CEP; here both
+    stages are min-aggregates so the whole funnel is two shuffles on
+    user_id (which AQE plans as broadcast at fixture scale — the signup
+    side is users, not events).
+    """
+    prep(spark)
+    events = table(spark, sf_dir, "events")
+    signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    first_purchase = (
+        signup.join(purchases, "user_id")
+        .filter(F.col("p_ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )
+    return signup.join(first_purchase, "user_id", "left").select(
+        "user_id",
+        F.col("signup_ts").cast("string").alias("signup_ts"),
+        F.col("purchase_ts").cast("string").alias("first_purchase_ts"),
+        F.coalesce(
+            F.col("purchase_ts") <= F.col("signup_ts") + F.expr("interval 7 day"),
+            F.lit(False),
+        ).alias("converted_7d"),
+    )
+
+
+@query(
+    "ts_ewma_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, COUNT(*) AS x
+      FROM events GROUP BY date_trunc('day', ts)
+    ), idx AS (
+      SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) - 1 AS t FROM daily
+    )
+    SELECT CAST(CAST(a.day AS TIMESTAMP) AS STRING) AS day,
+           a.x                   AS n_events,
+           ROUND(SUM(
+             CASE WHEN b.t = 0 THEN POW(0.5, a.t) * b.x
+                  ELSE 0.5 * POW(0.5, a.t - b.t) * b.x END), 4) AS ewma
+    FROM idx a JOIN idx b ON b.t <= a.t
+    GROUP BY a.day, a.x, a.t
+    """,
+)
+def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.5) of the global
+    daily event count.
+
+    The recursion s_t = α·x_t + (1−α)·s_{t−1}, s_0 = x_0 is unrolled
+    to its closed form s_t = (1−α)^t·x_0 + Σ_{i≥1} α(1−α)^{t−i}·x_i so
+    both engines compute the identical weighted sum (rounded to absorb
+    float summation order). The self-join runs on the ~30-row daily
+    rollup, never the raw events — at 100 TB the cost is the daily
+    pre-aggregate, and the smoothing stays O(days²) tiny.
+    """
+    prep(spark)
+    daily = (
+        table(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    idx = daily.select(
+        "day", "x", (F.row_number().over(Window.orderBy("day")) - 1).alias("t")
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    weight = (
+        F.when(F.col("b.t") == 0, F.pow(F.lit(0.5), F.col("a.t")))
+        .otherwise(F.lit(0.5) * F.pow(F.lit(0.5), F.col("a.t") - F.col("b.t")))
+    )
+    return (
+        a.join(b, F.col("b.t") <= F.col("a.t"))
+        .groupBy("a.day", "a.x", "a.t")
+        .agg(F.round(F.sum(weight * F.col("b.x")), 4).alias("ewma"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("x").alias("n_events"),
+            "ewma",
+        )
+    )
