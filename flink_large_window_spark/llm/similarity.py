@@ -192,3 +192,73 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rnk")
     )
+
+
+@query("emb_kmeans_assign")  # rows-only: iterative algorithm, not SQL-canonical
+def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=10, 3 iterations) over the
+    embedding corpus; returns each vector's final cluster.
+
+    Initialization is the embeddings of the 10 smallest vec_ids (no
+    RNG), assignment ties break to the lowest cluster index — the run
+    is bit-reproducible. Per iteration: broadcast the k×64 centroid
+    matrix, one `mapInPandas` scan computes per-partition-batch
+    cluster sums/counts via a numpy GEMM argmin (the classic
+    map-side-combine shape), and the k×65 partials are reduced with a
+    tiny grouped aggregate — the corpus is never shuffled and never
+    collected. That is exactly the 100 TB dataflow: O(iters) scans,
+    O(k·d) broadcast+reduce traffic, zero wide shuffles of the data.
+    """
+    prep(spark)
+    import numpy as np
+    import pandas as pd
+
+    K, ITERS = 10, 3
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    init = emb.orderBy("vec_id").limit(K).collect()  # k rows only
+    centroids = np.array([r["embedding"] for r in init], dtype=np.float64)
+
+    partial_schema = "cluster long, n long, vsum array<double>"
+    for _ in range(ITERS):
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def partials(batches):
+            c = bc.value
+            for pdf in batches:
+                a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                d2 = (a * a).sum(1, keepdims=True) - 2.0 * (a @ c.T)
+                assign = d2.argmin(axis=1)  # argmin → lowest index on ties
+                rows = []
+                for k in np.unique(assign):
+                    sel = a[assign == k]
+                    rows.append((int(k), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cluster", "n", "vsum"])
+
+        agg = (
+            emb.mapInPandas(partials, schema=partial_schema)
+            .groupBy("cluster")
+            .agg(
+                F.sum("n").alias("n"),
+                F.array(
+                    *[F.sum(F.element_at("vsum", i + 1)) for i in range(64)]
+                ).alias("vsum"),
+            )
+            .collect()  # k rows of (cluster, n, 64-dim sum) — tiny
+        )
+        new_c = centroids.copy()  # empty clusters keep their centroid
+        for r in agg:
+            new_c[r["cluster"]] = np.array(r["vsum"]) / r["n"]
+        centroids = new_c
+
+    bc_final = spark.sparkContext.broadcast(centroids)
+
+    def assign_final(batches):
+        c = bc_final.value
+        for pdf in batches:
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = (a * a).sum(1, keepdims=True) - 2.0 * (a @ c.T)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cluster": d2.argmin(axis=1).astype("int64")}
+            )
+
+    return emb.mapInPandas(assign_final, schema="vec_id long, cluster long")

@@ -20,7 +20,7 @@ flip the driver's value hash. Identical ROUND appears in each oracle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import query
 from ..tables import prep, table
@@ -334,4 +334,73 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "qty_price_covar"
             ),
         )
+    )
+
+
+@query(
+    "agg_histogram_fixed",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bin,
+           COUNT(*)                                    AS n,
+           ROUND(AVG(o_totalprice), 2)                 AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of o_totalprice (bin width 50 000).
+
+    Fixed bounds instead of data-derived min/max keep this a single
+    pass with map-side partial aggregation — the sketch-free histogram
+    shape that scales to 100 TB (a data-derived-range histogram needs a
+    min/max pre-pass or a t-digest sketch; at fixed bounds the whole
+    thing is one partial+final hash aggregate on ≤ a few dozen bins).
+    """
+    prep(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, n FROM (
+      SELECT user_id, event_type, COUNT(*) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type ASC
+             ) AS r
+      FROM events GROUP BY user_id, event_type
+    ) WHERE r = 1
+    """,
+)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event_type with an explicit deterministic
+    tie-break (count desc, then event_type asc).
+
+    Built from count + row_number rather than the engines' `mode()`
+    aggregates, whose tie-breaking is implementation-defined — the
+    explicit formulation is the only one two engines can hash-match on.
+    The inner aggregate collapses events to ≤ users×5 rows before the
+    window, so the row_number never sees raw-event volume.
+    """
+    prep(spark)
+    counts = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
     )

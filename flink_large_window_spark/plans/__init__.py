@@ -3,5 +3,5 @@ salting, plan assertions used by tests."""
 
 from importlib import import_module
 
-for _m in ("skew",):
+for _m in ("skew", "bucketing"):
     import_module(f"{__name__}.{_m}")

@@ -1,0 +1,112 @@
+"""Bucketed co-located join: shuffle elimination via storage layout
+(SURVEY.md §4 / §7 100 TB notes — "bucketing for co-located joins").
+
+At 100 TB the single biggest join cost is shuffling the fact table.
+Writing both join sides bucketed by the join key with the same bucket
+count lets Spark's FileSourceScanExec emit a hash-distributed output
+partitioning, so the sort-merge join plans with NO Exchange on either
+side — the fact table is never re-shuffled, join cost drops to a
+per-bucket merge. This module demonstrates the full path: write
+bucketed tables, re-read through the catalog, join, and fail loudly if
+an Exchange sneaks back into the physical plan.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import query
+from ..tables import prep, table
+
+N_BUCKETS = 8
+
+
+def _bucketed_table(
+    spark: SparkSession,
+    df: DataFrame,
+    key: str,
+    name: str,
+    base: str,
+) -> DataFrame:
+    """Write ``df`` bucketed+sorted by ``key`` as catalog table ``name``
+    (external path under ``base``), return the re-read DataFrame whose
+    scan reports the bucketed output partitioning."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        df.write.bucketBy(N_BUCKETS, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .option("path", os.path.join(base, name))
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+@query(
+    "join_bucketed_noshuffle",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*)                                              AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem through bucketed storage: both sides written
+    bucketed by orderkey (same bucket count), so the join itself plans
+    with zero Exchange — verified against the physical plan, not
+    assumed.
+
+    The write cost is paid once at ingest; every subsequent join on the
+    bucket key is shuffle-free. This is the batch analogue of Flink
+    keeping a keyed stream partitioned across chained operators. The
+    post-join aggregate still shuffles — but only ≤5 priority groups
+    after map-side partial aggregation.
+    """
+    prep(spark)
+    # Disabling broadcast forces the join to actually exercise the
+    # bucketed SMJ path at fixture scale (AQE would otherwise broadcast
+    # orders and trivially show no Exchange).
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base = tempfile.mkdtemp(prefix="flws_bucketed_")
+        orders = _bucketed_table(
+            spark,
+            table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            "o_orderkey",
+            "flws_orders_bucketed",
+            base,
+        )
+        lineitem = _bucketed_table(
+            spark,
+            table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            "l_orderkey",
+            "flws_lineitem_bucketed",
+            base,
+        )
+        joined = orders.join(
+            lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        if "Exchange" in plan:
+            raise AssertionError(
+                "bucketed join must not shuffle; plan:\n" + plan
+            )
+        return joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)

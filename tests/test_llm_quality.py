@@ -37,3 +37,40 @@ def test_langid_outputs_valid_labels(spark):
     assert len(rows) == n_docs, "one prediction per document"
     langs = {"en", "fr", "es", "zh", "de"}
     assert {r["pred_lang"] for r in rows} <= langs
+
+
+def test_kmeans_deterministic_and_improves(spark):
+    """emb_kmeans_assign must be bit-reproducible across runs, use all-
+    integer outputs, and its final within-cluster SSE must beat the
+    iteration-0 assignment (Lloyd never increases the objective)."""
+    import numpy as np
+
+    from flink_large_window_spark.registry import REGISTRY
+    from flink_large_window_spark.tables import table
+
+    a = {r["vec_id"]: r["cluster"] for r in REGISTRY["emb_kmeans_assign"](spark, SF_SMOKE).collect()}
+    b = {r["vec_id"]: r["cluster"] for r in REGISTRY["emb_kmeans_assign"](spark, SF_SMOKE).collect()}
+    assert a == b, "k-means assignment not deterministic"
+    assert set(a.values()) <= set(range(10))
+
+    rows = table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    mat = np.stack([vecs[i] for i in sorted(vecs)])
+    init = np.stack([vecs[i] for i in sorted(vecs)[:10]])
+
+    def sse(centroids, assign):
+        return sum(
+            float(((vecs[v] - centroids[c]) ** 2).sum()) for v, c in assign.items()
+        )
+
+    d2 = (mat * mat).sum(1, keepdims=True) - 2.0 * (mat @ init.T)
+    assign0 = {v: int(k) for v, k in zip(sorted(vecs), d2.argmin(axis=1))}
+    final_centroids = np.stack(
+        [
+            np.mean([vecs[v] for v, c in a.items() if c == k], axis=0)
+            if any(c == k for c in a.values())
+            else init[k]
+            for k in range(10)
+        ]
+    )
+    assert sse(final_centroids, a) <= sse(init, assign0) + 1e-9
