@@ -48,6 +48,11 @@ HEADLINE = [
     "text_fingerprint_rolling",
     "text_quality_score",
     "join_skew_salted",
+    "join_bucketed_noshuffle",
+    "sample_hash_bernoulli",
+    "pivot_event_counts",
+    "ts_resample_gapfill",
+    "emb_kmeans_assign",
 ]
 
 

@@ -275,28 +275,50 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-grams (Rabin-Karp shape): h(i) = Σ_j ascii(c_{i+j})·131^j, kept
     mod-free (max < 2^55, ANSI-safe), fingerprint = min over positions
     — the winnowing building block for plagiarism-style near-dup at
-    scale. Identical integer arithmetic both engines → SQL oracle."""
+    scale. Identical integer arithmetic both engines → SQL oracle.
+
+    Implementation is an Arrow-batched numpy sliding-window dot product
+    in int64 (exact: max hash < 2^55; fixture text is pure ASCII, so
+    byte value == ascii() codepoint — probed at every sf). The pure
+    expression formulation (transform×aggregate over the char-code
+    array) is semantically identical but measured 5× slower at sf0.1
+    (2.5s vs 0.5s): nested HOF lambdas allocate per element and defeat
+    whole-stage codegen, while the numpy kernel is one GEMV per row.
+    Per-row, no shuffle either way."""
     prep(spark)
-    d = table(spark, sf_dir, "documents")
-    # Per-row, no shuffle, and O(len·8) not O(len²): materialize the
-    # char-code array ONCE per row (substr(text, i, 1) per gram would
-    # rescan the string each time — measured 15.8s vs ~1s at sf0.1),
-    # then index it: for each start i, h = Σ_j codes[i+j] · 131^j.
-    codes = F.expr("transform(split(text, ''), c -> ascii(c))")
-    hs = F.expr(
-        "transform(sequence(1, length(text) - 7), i -> "
-        "aggregate(sequence(0, 7), CAST(0 AS BIGINT), "
-        "(acc, j) -> acc + CAST(element_at(codes, CAST(i + j AS INT)) AS BIGINT)"
-        " * CAST(pow(131, j) AS BIGINT)))"
+    import numpy as np
+
+    d = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        # same domain as the oracle's generate_series
+        .filter(F.length("text") >= 8)
     )
-    return (
-        d.filter(F.length("text") >= 8)  # same domain as the oracle's generate_series
-        .withColumn("codes", codes)
-        .select(
-            "doc_id",
-            F.array_min(hs).alias("fingerprint"),
-            F.size(F.array_distinct(hs)).cast("long").alias("n_distinct_grams"),
-        )
+    weights = (131 ** np.arange(8)).astype(np.int64)
+
+    def fp(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, fps, nds = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                codes = np.frombuffer(text.encode("ascii"), dtype=np.uint8).astype(
+                    np.int64
+                )
+                hs = np.lib.stride_tricks.sliding_window_view(codes, 8) @ weights
+                ids.append(doc_id)
+                fps.append(hs.min())
+                nds.append(len(np.unique(hs)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "fingerprint": np.asarray(fps, dtype=np.int64),
+                    "n_distinct_grams": np.asarray(nds, dtype=np.int64),
+                }
+            )
+
+    return d.mapInPandas(
+        fp, schema="doc_id long, fingerprint long, n_distinct_grams long"
     )
 
 
