@@ -10,7 +10,7 @@ instead of the O(n²) pairwise Jaccard that only works on fixtures.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import query
 from ..tables import prep, table
@@ -370,3 +370,84 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInPandas(score, schema="doc_id long, n_neardup_09 long")
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle="""
+    SELECT doc_id,
+           MIN(doc_id)  OVER (PARTITION BY lang, source) AS cluster_rep,
+           COUNT(*)     OVER (PARTITION BY lang, source) AS cluster_size
+    FROM documents
+    """,
+)
+def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a duplicate-candidate graph by
+    iterative min-label propagation — the step that turns pairwise
+    near-dup hits into dedup groups (keep one doc per component).
+
+    The candidate graph here is chain edges linking consecutive doc_ids
+    within each (lang, source) bucket. Because those edges come from an
+    equivalence relation, the true components are exactly the buckets —
+    which is what makes an exact SQL oracle possible for an iterative
+    algorithm: the propagation must converge to MIN(doc_id) per bucket,
+    along paths up to ~bucket-size long, or the hash check fails.
+
+    Each iteration: (1) every node takes the min label over itself and
+    its neighbors, (2) labels are path-compressed (label := label of
+    label) so convergence is O(log path) not O(path), (3) lineage is
+    truncated with localCheckpoint — without it the self-joined plan
+    doubles every round, which is the classic iterative-Spark trap (on
+    a cluster use checkpoint() to durable storage instead). Driver
+    polls a changed-count each round: that is a scalar aggregate, not a
+    collect of data.
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    w = Window.partitionBy("lang", "source").orderBy("doc_id")
+    chain = (
+        docs.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("doc_id").alias("src"), F.col("prev").alias("dst"))
+    )
+    edges = chain.unionByName(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    for _ in range(32):  # bound >> log2(max component size)
+        nbr_min = (
+            edges.join(labels, edges["src"] == labels["doc_id"])
+            .select(F.col("dst").alias("doc_id"), "label")
+        )
+        gathered = (
+            labels.unionByName(nbr_min)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+        )
+        lookup = gathered.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("label2")
+        )
+        compressed = (
+            gathered.join(lookup, "label")
+            .select("doc_id", F.col("label2").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            compressed.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = compressed
+        if changed == 0:
+            break
+    else:
+        raise AssertionError("label propagation did not converge in 32 rounds")
+
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id",
+        F.col("label").alias("cluster_rep"),
+        "cluster_size",
+    )

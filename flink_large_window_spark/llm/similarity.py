@@ -214,7 +214,10 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     K, ITERS = 10, 3
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Persist: the corpus is scanned ITERS+2 times (init, per-iteration
+    # partials, final assignment) — cache it once. At 100 TB this is a
+    # DISK_ONLY persist or a one-time columnar materialization.
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").persist()
     init = emb.orderBy("vec_id").limit(K).collect()  # k rows only
     centroids = np.array([r["embedding"] for r in init], dtype=np.float64)
 

@@ -134,3 +134,59 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out)
+
+
+@query(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS STRING) AS day,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    WHERE date_trunc('day', ts) BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-12'
+    GROUP BY 1, 2
+    """,
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned parquet layout + partition pruning, end to end.
+
+    This is the 100 TB layout SURVEY §7 prescribes for events: write
+    partitioned by day, then let a day-range query prune to 3 of ~30
+    directories instead of scanning the table. The pruning is asserted
+    against the physical plan (PartitionFilters), not assumed, and the
+    re-read aggregate is oracle-checked against the unpartitioned
+    originals — proving the layout is lossless.
+
+    Hive-style partition values encode as strings; the partition column
+    is written as a DATE-truncated string (`day_part`) and the output
+    day is re-derived from it, so parquet-vs-directory type quirks
+    can't leak into the result.
+    """
+    prep(spark)
+    out = tempfile.mkdtemp(prefix="flws_part_")
+    events = table(spark, sf_dir, "events")
+    (
+        events.withColumn(
+            "day_part", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+        .write.mode("overwrite")
+        .partitionBy("day_part")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("day_part").between("2024-01-10", "2024-01-12")
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters: []" in plan or "day_part" not in plan.split(
+        "PartitionFilters:"
+    )[-1].splitlines()[0]:
+        raise AssertionError("day filter not pruned to partitions:\n" + plan)
+    return (
+        back.groupBy("day_part", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(F.col("day_part"), F.lit(" 00:00:00")).alias("day"),
+            "event_type",
+            "n",
+        )
+    )
