@@ -240,3 +240,36 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftleft(k, 2).alias("k_shl"),
         F.shiftright(k, 3).alias("k_shr"),
     )
+
+
+@query(
+    "scalar_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                          AS text_md5,
+           sha256(text)                       AS text_sha256,
+           length(md5(lower(trim(text))))     AS norm_md5_len
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digests as portable row fingerprints (md5 +
+    sha256 hex) — the narrow shuffle keys the 100 TB dedup path groups
+    on instead of raw text (see dedup_exact). Both engines emit
+    identical lowercase hex for identical bytes, so this is one of the
+    few hash families with an exact cross-engine oracle (xxhash64 /
+    CityHash are engine-specific).
+    """
+    prep(spark)
+    return (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            F.sha2("text", 256).alias("text_sha256"),
+            F.length(F.md5(F.lower(F.trim(F.col("text"))))).cast("long").alias(
+                "norm_md5_len"
+            ),
+        )
+    )

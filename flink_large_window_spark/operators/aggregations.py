@@ -404,3 +404,26 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") == 1)
         .select("user_id", F.col("event_type").alias("mode_type"), "n")
     )
+
+
+@query("agg_approx_percentile")  # rows-only: sketch output ≠ hash-match
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style mergeable sketch) of o_totalprice
+    per orderstatus — the unbounded-scale twin of agg_percentile.
+
+    Exact percentile needs a full sort or collect per group; the sketch
+    is one pass, mergeable map-side, O(1/accuracy) memory — at 100 TB
+    this is the only viable formulation (SURVEY §7's
+    approx-not-exact-in-unbounded-paths rule). Accuracy 1/10000 keeps
+    the sketch within ~0.01% of exact on the fixtures; correctness of
+    the exact path is already gated by agg_percentile's SQL oracle.
+    """
+    prep(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+            F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
+        )
+    )

@@ -331,3 +331,38 @@ def join_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         (clicks.user_id == purchases.user_id2) & (clicks.bucket == purchases.bucket2),
         "inner",
     ).select("click_id", "purchase_id", "user_id")
+
+
+@query(
+    "join_strategy_hints",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*)                      AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same orders⋈customer under an explicit SHUFFLE_HASH hint,
+    with the plan asserted to contain ShuffledHashJoin.
+
+    Strategy hints are the manual override lane when AQE's choice is
+    wrong at scale (e.g. a build side that fits memory but exceeds the
+    broadcast threshold: shuffle-hash avoids both the broadcast OOM
+    and the sort-merge sort). The result is strategy-invariant — the
+    oracle proves the hint changed only the plan, not the answer.
+    """
+    prep(spark)
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer").hint("shuffle_hash")
+    joined = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "ShuffledHashJoin" not in plan:
+        raise AssertionError("SHUFFLE_HASH hint not honored; plan:\n" + plan)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
