@@ -273,3 +273,44 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "scalar_interval_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY  AS STRING)      AS due_date,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS STRING)      AS quarter_out,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01',
+                          o_orderdate) AS BIGINT)              AS days_since_epoch_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS STRING) AS month_end
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/date arithmetic: +30 days, +3 calendar months (month
+    arithmetic clamps to month end — both engines agree), day diffs
+    against a fixed origin, and last_day. Timestamps emitted as strings
+    per the suite-wide tz-parity rule."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            (F.col("o_orderdate") + F.expr("interval 30 day"))
+            .cast("string")
+            .alias("due_date"),
+            (F.col("o_orderdate") + F.expr("interval 3 month"))
+            .cast("string")
+            .alias("quarter_out"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+            )
+            .cast("long")
+            .alias("days_since_epoch_start"),
+            F.last_day(F.col("o_orderdate").cast("date"))
+            .cast("string")
+            .alias("month_end"),
+        )
+    )

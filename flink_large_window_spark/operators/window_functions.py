@@ -226,3 +226,33 @@ def winfn_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@query(
+    "winfn_nth_value",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey,
+           NTH_VALUE(o_orderkey, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_order_key
+    FROM orders
+    """,
+)
+def winfn_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each customer's 2nd-ever order key attached to every one of
+    their order rows (NULL for single-order customers) — the
+    full-partition frame makes nth_value deterministic; tie-break on
+    orderkey gives a total order."""
+    prep(spark)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order_key"),
+    )

@@ -374,3 +374,67 @@ def _stateful_count_session_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register_tws()
+
+
+@query(
+    "stream_foreachbatch_upsert",
+    oracle="""
+    SELECT user_id, event_type,
+           COUNT(*)              AS n,
+           ROUND(SUM(value), 4)  AS sum_value
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch upsert sink: each micro-batch's per-key delta is
+    merged into a parquet target by generational rewrite (write gen N+1,
+    then switch), the pattern for maintaining a serving table from a
+    stream without a transactional format. Unlike the memory-sink twins
+    this exercises the read-modify-write path: batch N+1 must see batch
+    N's merged state.
+
+    Generational dirs (never overwrite-in-place while readers exist)
+    are the plain-parquet stand-in for Delta/Iceberg MERGE at 100 TB —
+    same dataflow, the table format only adds atomicity. Because the
+    bounded replay drains completely, the final target equals the batch
+    global aggregate — giving this streaming key a full SQL oracle, not
+    just a rows-only smoke.
+    """
+    base = tempfile.mkdtemp(prefix="flws_upsert_")
+    state = {"gen": -1}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy("user_id", "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+        )
+        if state["gen"] >= 0:
+            old = batch_df.sparkSession.read.parquet(
+                os.path.join(base, f"g{state['gen']}")
+            )
+            merged = (
+                old.unionByName(delta)
+                .groupBy("user_id", "event_type")
+                .agg(F.sum("n").alias("n"), F.sum("sum_value").alias("sum_value"))
+            )
+        else:
+            merged = delta
+        merged.write.mode("overwrite").parquet(
+            os.path.join(base, f"g{state['gen'] + 1}")
+        )
+        state["gen"] += 1
+
+    ev = _events_stream(spark, sf_dir)
+    q = (
+        ev.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="flws_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(os.path.join(base, f"g{state['gen']}"))
+    return final.select(
+        "user_id",
+        "event_type",
+        "n",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
