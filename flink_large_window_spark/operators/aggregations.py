@@ -427,3 +427,29 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile_approx("o_totalprice", 0.9, 10000).alias("p90_approx"),
         )
     )
+
+
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000)   AS all_over_1k,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           COUNT(*)                        AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (universal / existential per group) — the
+    predicate-rollup shape used for per-partition data-quality gates
+    ("did every row in this day pass validation?")."""
+    prep(spark)
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -143,3 +143,37 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"))
     return c.subtract(s)
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics intersect (multiplicity = min of the two sides) —
+    Spark's intersectAll ≡ SQL INTERSECT ALL."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.intersectAll(s)
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT c_nationkey AS k FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics difference (multiplicity = left − right, floor 0)
+    — Spark's exceptAll ≡ SQL EXCEPT ALL."""
+    prep(spark)
+    c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.exceptAll(s)

@@ -28,6 +28,13 @@ KEYS = [
     "text_fingerprint_rolling",
     "text_quality_score",
     "dedup_exact",
+    "dedup_cluster_cc",
+    "dedup_simhash",
+    "ts_ewma_daily",
+    "ts_funnel_conversion",
+    "pivot_event_counts",
+    "sample_reservoir_hash",
+    "emb_kmeans_assign",
 ]
 
 
