@@ -179,9 +179,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _POW131 = [131**j for j in range(8)]
 
 
-@query(
-    "dedup_simhash",
-    oracle=f"""
+# Shared by the dedup_simhash oracle and, as a CTE, by the
+# dedup_simhash_hamming oracle.
+_SIMHASH_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id, token, COUNT(*) AS tf FROM (
         SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
@@ -206,8 +206,10 @@ _POW131 = [131**j for j in range(8)]
            CAST(SUM(CASE WHEN w > 0
                     THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
-    """,
-)
+    """
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash per document with a full SQL oracle.
 
@@ -450,4 +452,80 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("label").alias("cluster_rep"),
         "cluster_size",
+    )
+
+
+@query(
+    "dedup_simhash_hamming",
+    oracle=f"""
+    WITH sig AS ({_SIMHASH_ORACLE})
+    SELECT d.doc_id, COUNT(b.doc_id) AS n_hamming3
+    FROM sig d LEFT JOIN sig b
+      ON d.doc_id <> b.doc_id
+     AND bit_count(xor(d.simhash, b.simhash)) <= 3
+    GROUP BY d.doc_id
+    """,
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup neighbor counts by SimHash hamming distance ≤ 3,
+    found with band bucketing instead of the oracle's O(n²) pairwise
+    scan.
+
+    Pigeonhole: a 32-bit signature split into 4 byte-bands can differ
+    in ≤3 bits only if at least one band is bit-identical — so joining
+    on (band, band_value) buckets generates a candidate superset, and
+    the exact `bit_count(xor) ≤ 3` filter on candidates returns
+    EXACTLY the pairwise answer (which is why an exact SQL oracle is
+    possible for the linear-time algorithm). At 100 TB candidates per
+    band bucket stay small because equal whole bytes of a 32-bit
+    fingerprint are selective; the pairwise formulation the oracle
+    uses would be quadratic and is only viable at fixture scale.
+    """
+    prep(spark)
+    sigs = dedup_simhash(spark, sf_dir).persist()
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    l, r = bands.alias("l"), bands.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .distinct()
+        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
+    )
+    hits = cand.select(F.col("a").alias("doc_id")).unionByName(
+        cand.select(F.col("b").alias("doc_id"))
+    )
+    counts = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hamming3"))
+    return (
+        sigs.select("doc_id")
+        .join(counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hamming3", F.lit(0)).cast("long").alias("n_hamming3"),
+        )
     )

@@ -372,3 +372,64 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "lang").join(pred, "doc_id").select(
         "doc_id", "lang", "pred_lang", (F.col("lang") == F.col("pred_lang")).alias("hit")
     )
+
+
+@query(
+    "llm_corpus_pipeline",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, text, lang,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+      WHERE n_chars BETWEEN 100 AND 2000
+        AND len(string_split(text, ' ')) >= 10
+    ), kept AS (
+      SELECT MIN(doc_id) AS doc_id,
+             MIN(lang)   AS lang,
+             MIN(n_tokens) AS n_tokens
+      FROM quality GROUP BY lower(trim(text))
+    ), sampled AS (
+      SELECT * FROM kept WHERE (doc_id * 2654435761) % 100 < 50
+    )
+    SELECT lang,
+           COUNT(*)                  AS n_docs,
+           ROUND(AVG(n_tokens), 4)   AS avg_tokens
+    FROM sampled GROUP BY lang
+    """,
+)
+def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in one declarative plan: quality
+    gate (length + token floor) → exact dedup keeping the smallest
+    doc_id → deterministic 50% hash-mod sample → per-language stats.
+
+    The composition is the point: each stage is an operator proven
+    elsewhere in the suite (text_quality_score, dedup_exact,
+    sample_hash_bernoulli), and chaining them stays ONE Catalyst plan —
+    the quality predicate pushes into the parquet scan, dedup is the
+    only wide shuffle (keyed on normalized text; on the sha2 digest at
+    100 TB), and the sample predicate is shuffle-free. Note the dedup
+    keeps MIN(doc_id) BEFORE sampling, so membership is decided on the
+    surviving representative — order matters and both engines pin it.
+
+    For dedup-group metadata, MIN(lang)/MIN(n_tokens) stand in for
+    "the kept doc's values": fixture dup groups are exact-text copies,
+    and single-valued aggregates keep the oracle engine-agnostic.
+    """
+    prep(spark)
+    n_tokens = F.size(F.split("text", " "))
+    quality = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars").between(100, 2000))
+        .withColumn("n_tokens", n_tokens)
+        .filter(F.col("n_tokens") >= 10)
+    )
+    kept = quality.groupBy(F.lower(F.trim(F.col("text"))).alias("norm")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    sampled = kept.filter((F.col("doc_id") * 2654435761) % 100 < 50)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )
