@@ -438,3 +438,42 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round("sum_value", 4).alias("sum_value"),
     )
+
+
+@query("join_window_tumbling_stream")  # rows-only; parity test is the strong check
+def join_window_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of join_window_tumbling: stream-stream inner join
+    on (user, same 1h tumbling pane) — Flink's
+    ``.join(...).window(TumblingEventTimeWindows.of(Time.hours(1)))``.
+
+    Joining on `window(ts, '1 hour')` equality gives both sides an
+    event-time column Spark can bound state with: once the watermark
+    passes a pane's end, that pane's join state is dropped — the same
+    window-scoped state cleanup as Flink's window join.
+    """
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.window("ts", "1 hour").alias("w"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id2"),
+            F.window("ts", "1 hour").alias("w2"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (clicks.user_id == purchases.user_id2) & (clicks.w == purchases.w2),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id")
+    return run_to_memory(spark, joined, mode="append")

@@ -113,3 +113,14 @@ def test_sliding_parity(spark, max_ts):
         < max_ts.replace(tzinfo=None) - WM
     }
     assert closed <= s, f"closed panes missing: {sorted(closed - s)[:3]}"
+
+
+def test_window_join_parity(spark):
+    """Stream-stream window join (pane-equality) under bounded replay —
+    final output must equal the batch (user, hour-bucket) equi join."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    cols = ["click_id", "purchase_id", "user_id"]
+    b = _rows(REGISTRY["join_window_tumbling"](spark, SF_SMOKE), cols)
+    s = _rows(REGISTRY["join_window_tumbling_stream"](spark, SF_SMOKE), cols)
+    assert s == b
