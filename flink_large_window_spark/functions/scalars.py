@@ -314,3 +314,37 @@ def scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("month_end"),
         )
     )
+
+
+@query(
+    "scalar_json_struct",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_mod,
+           COUNT(*)                                         AS n,
+           ROUND(AVG(value), 4)                             AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def scalar_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-typed JSON parsing with `from_json` (vs scalar_json's
+    path extraction): the props column becomes a typed struct ONCE,
+    then downstream grouping works on real columns.
+
+    At 100 TB this is the difference between per-query string parsing
+    (get_json_object per path per row) and a single parse materialized
+    into columnar storage at ingest — the struct form also lets
+    Catalyst prune unparsed fields.
+    """
+    prep(spark)
+    parsed = table(spark, sf_dir, "events").select(
+        "value",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return (
+        parsed.groupBy((F.col("p.k") % 10).alias("k_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )

@@ -256,3 +256,59 @@ def winfn_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.nth_value("o_orderkey", 2).over(w).alias("second_order_key"),
     )
+
+
+@query(
+    "pattern_detect_cep",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             LAG(event_type, 1) OVER w AS prev1,
+             LAG(event_type, 2) OVER w AS prev2,
+             LAG(ts, 2)         OVER w AS ts0
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(ts0 AS STRING) AS pattern_start,
+           CAST(ts  AS STRING) AS pattern_end
+    FROM seq
+    WHERE event_type = 'purchase'
+      AND prev1 = 'click' AND prev2 = 'click'
+      AND ts <= ts0 + INTERVAL 6 HOUR
+    """,
+)
+def pattern_detect_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-style sequence detection, batch form: strictly consecutive
+    click → click → purchase per user within 6 hours — the Flink
+    CEP ``Pattern.begin("c1").next("c2").next("buy").within(6h)``
+    shape expressed as lag windows (strict contiguity = Flink `next`;
+    a relaxed `followedBy` would use last-non-null instead of lag).
+
+    One shuffle on user_id; the pattern match itself is a row-local
+    predicate over the lag frame. Total event-time order is pinned by
+    the (ts, event_id) tie-break.
+    """
+    prep(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+        F.lag("ts", 2).over(w).alias("ts0"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("prev1") == "click")
+            & (F.col("prev2") == "click")
+            & (F.col("ts") <= F.col("ts0") + F.expr("interval 6 hour"))
+        )
+        .select(
+            "user_id",
+            F.col("ts0").cast("string").alias("pattern_start"),
+            F.col("ts").cast("string").alias("pattern_end"),
+        )
+    )
