@@ -14,6 +14,7 @@ projection is wrong at any scale and fatal at 100 TB.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import time
 
@@ -189,4 +190,31 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n",
         )
+    )
+
+
+@query(
+    "scan_file_metadata",
+    oracle="""
+    SELECT 'lineitem.parquet' AS file_name,
+           COUNT(*)           AS n_rows
+    FROM lineitem
+    """,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row→file lineage via the hidden `_metadata` struct: rows per
+    source file. The oracle pins the expected basename + count (the
+    oracle views hide file paths), so the Spark side must really read
+    `_metadata.file_name` and attribute every row to the right file.
+
+    At 100 TB this column is how a pipeline audits which of thousands
+    of input files produced a bad row and reprocesses exactly those —
+    free metadata, no scan-side cost.
+    """
+    prep(spark)
+    return (
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        .select(F.col("_metadata.file_name").alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
     )

@@ -312,3 +312,33 @@ def pattern_detect_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").cast("string").alias("pattern_end"),
         )
     )
+
+
+@query(
+    "winfn_moving_stddev",
+    oracle="""
+    SELECT user_id,
+           event_id,
+           ROUND(STDDEV_SAMP(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+           ), 4) AS vol_10
+    FROM events
+    """,
+)
+def winfn_moving_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 10-row sample stddev of event value per user — the
+    volatility-band shape of monitoring pipelines. Both engines use
+    numerically stable streaming moments over the frame; rounded per
+    the float policy. NULL for single-row frames both sides."""
+    prep(spark)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.stddev_samp("value").over(w), 4).alias("vol_10"),
+    )
