@@ -124,3 +124,33 @@ def test_window_join_parity(spark):
     b = _rows(REGISTRY["join_window_tumbling"](spark, SF_SMOKE), cols)
     s = _rows(REGISTRY["join_window_tumbling_stream"](spark, SF_SMOKE), cols)
     assert s == b
+
+
+def test_session_timeout_parity(spark, max_ts):
+    """Timer-driven sessions: every emitted session must match a batch
+    session_window session exactly, and every session closed by the
+    final watermark must have been emitted (i.e. the event-time timers
+    actually fired)."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    def us(iso: str) -> int:
+        return int(
+            dt.datetime.fromisoformat(iso)
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+            * 1e6
+        )
+
+    b = {
+        (r["user_id"], us(r["s_start"]), r["n_events"])
+        for r in REGISTRY["window_session_agg"](spark, SF_SMOKE).collect()
+    }
+    s = {
+        (r["user_id"], r["session_start_us"], r["n_events"])
+        for r in REGISTRY["stateful_session_timeout_stream"](spark, SF_SMOKE).collect()
+    }
+    assert s, "no sessions emitted — timers never fired"
+    assert s <= b, f"stream sessions not in batch: {sorted(s - b)[:3]}"
+    wm_us = us((max_ts.replace(tzinfo=None) - WM).isoformat(sep=" "))
+    closed = {r for r in b if r[1] + 90 * 60 * 1_000_000 < wm_us}
+    assert closed <= s, f"closed sessions missing: {sorted(closed - s)[:3]}"
