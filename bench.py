@@ -53,6 +53,10 @@ HEADLINE = [
     "pivot_event_counts",
     "ts_resample_gapfill",
     "emb_kmeans_assign",
+    "dedup_simhash_hamming",
+    "dedup_cluster_cc",
+    "llm_corpus_pipeline",
+    "pattern_detect_cep",
 ]
 
 
