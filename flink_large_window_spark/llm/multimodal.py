@@ -161,3 +161,41 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.mapInPandas(
         sample, schema="doc_id long, frame_idx int, thumb_len int"
     )
+
+
+@query("multimodal_embed_quantize")  # rows-only: float scale in output
+def multimodal_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column:
+    per-vector scale = max|x|/127, q_i = round(x_i/scale) ∈ [−127,127].
+
+    This is the storage/serving form of a 100 TB vector corpus — 4×
+    smaller than float32 (16× vs the float64 Spark would otherwise
+    carry), and the form IVF cells are scanned in at serving time.
+    One Arrow-batched scan, no shuffle; reconstruction quality
+    (dequantized cosine ≥ 0.999 vs the original) is pinned by
+    tests/test_llm_quality.py.
+    """
+    prep(spark)
+    import numpy as np
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def quant(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            scale = np.abs(a).max(axis=1) / 127.0
+            scale[scale == 0] = 1.0
+            q = np.rint(a / scale[:, None]).astype(np.int8)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "scale": scale,
+                    "q": [row.tolist() for row in q],
+                }
+            )
+
+    return emb.mapInPandas(
+        quant, schema="vec_id long, scale double, q array<int>"
+    )

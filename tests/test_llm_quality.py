@@ -74,3 +74,25 @@ def test_kmeans_deterministic_and_improves(spark):
         ]
     )
     assert sse(final_centroids, a) <= sse(init, assign0) + 1e-9
+
+
+def test_quantization_reconstruction(spark):
+    """int8 quantization must reconstruct vectors with cosine ≥ 0.999
+    against the originals (symmetric scalar quant loses < 0.4% of a
+    unit vector's direction at 8 bits)."""
+    import numpy as np
+
+    from flink_large_window_spark.registry import REGISTRY
+    from flink_large_window_spark.tables import table
+
+    orig = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    worst = 1.0
+    for r in REGISTRY["multimodal_embed_quantize"](spark, SF_SMOKE).collect():
+        deq = np.array(r["q"], dtype=np.float64) * r["scale"]
+        o = orig[r["vec_id"]]
+        cos = float(deq @ o / (np.linalg.norm(deq) * np.linalg.norm(o)))
+        worst = min(worst, cos)
+    assert worst >= 0.999, f"worst reconstruction cosine {worst}"

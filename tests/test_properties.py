@@ -8,6 +8,8 @@ import pyspark.sql.functions as F
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
+from tests.conftest import SF_SMOKE
+
 finite_doubles = st.floats(
     min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
 )
@@ -101,3 +103,28 @@ def test_session_split_semantics(spark, offsets_us):
         prev = t
     assert len(sessions) == n_sessions
     assert sum(r["n"] for r in sessions) == len(ts)
+
+
+def test_hash_sampling_partition_invariant(spark):
+    """The hash-mod sample must pick the SAME rows regardless of how
+    the input is partitioned — the property seeded sample() lacks and
+    the reason the suite uses key-hash membership for reproducible
+    splits at scale."""
+    import pyspark.sql.functions as F
+
+    from flink_large_window_spark.tables import prep, table
+
+    prep(spark)
+    li = table(spark, SF_SMOKE, "lineitem")
+    keep = (F.col("l_orderkey") * 2654435761 + F.col("l_linenumber") * 7919) % 97 < 10
+
+    def picked(df):
+        return {
+            (r["l_orderkey"], r["l_linenumber"])
+            for r in df.filter(keep).select("l_orderkey", "l_linenumber").collect()
+        }
+
+    base = picked(li)
+    assert base == picked(li.repartition(3))
+    assert base == picked(li.repartition(17, "l_suppkey"))
+    assert 0.05 < len(base) / li.count() < 0.16  # ~10/97 ± slack
