@@ -183,3 +183,53 @@ def ts_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ewma",
         )
     )
+
+
+@query(
+    "ts_retention_cohort",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+      FROM events
+    )
+    SELECT CAST(c.cohort_week AS STRING) AS cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.active_week) // 7 AS BIGINT)
+             AS weeks_since,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM cohort c JOIN activity a ON c.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, and
+    for each (cohort, weeks-since-cohort) cell the count of users
+    still active — the canonical product-analytics rollup.
+
+    Two aggregates and one join, all keyed on user_id (one shuffle key
+    end to end until the final small matrix aggregate). DISTINCT
+    per (user, week) collapses raw events before the join, so the join
+    input is users×weeks, not events.
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("active_week")
+    ).distinct()
+    return (
+        cohort.join(activity, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
