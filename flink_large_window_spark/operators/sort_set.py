@@ -177,3 +177,36 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
     return c.exceptAll(s)
+
+
+@query(
+    "sort_within_partitions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(l_shipdate AS VARCHAR) AS l_shipdate_s
+    FROM lineitem
+    """,
+)
+def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-local sort (`sortWithinPartitions`) — the
+    write-optimization sort that produces clustered output files (for
+    parquet min/max row-group skipping) WITHOUT a global range
+    shuffle. The plan is asserted Exchange-free: a global orderBy
+    would add a rangepartitioning Exchange; this must not. Row content
+    is unchanged (order-insensitive oracle), which is the point — the
+    sort buys layout, not semantics.
+    """
+    prep(spark)
+    df = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("string").alias("l_shipdate_s"),
+        )
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise AssertionError("partition-local sort must not shuffle:\n" + plan)
+    return df

@@ -566,3 +566,43 @@ def stateful_session_timeout_stream(spark: SparkSession, sf_dir: str) -> DataFra
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return run_to_memory(spark, result, mode="append")
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, COUNT(*) AS user_total
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, d.user_total
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the purchase stream enriched against a
+    STATIC dimension (per-user lifetime counts computed in batch) —
+    Spark's analogue of Flink's broadcast-state / lookup-join pattern.
+
+    The static side is planned per micro-batch as an ordinary batch
+    join (broadcast here — the dim is user-sized), needs no watermark
+    and holds no streaming state. Under bounded replay the result
+    equals the batch join, giving this streaming key a full SQL oracle.
+    At 100 TB the static side is a maintained table (see
+    stream_foreachbatch_upsert) rather than a per-run aggregate.
+    """
+    dim = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total"))
+    )
+    ev = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id")
+    )
+    joined = ev.join(F.broadcast(dim), "user_id").select(
+        "event_id", "user_id", "user_total"
+    )
+    return run_to_memory(spark, joined, mode="append")
