@@ -430,3 +430,36 @@ def join_interval_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("signup_id", "purchase_id", "user_id")
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH c AS (SELECT nullif(c_nationkey, 3) AS k, c_custkey FROM customer),
+         s AS (SELECT nullif(s_nationkey, 3) AS k, s_suppkey FROM supplier)
+    SELECT c.k, COUNT(*) AS n_pairs
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    GROUP BY c.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — required when a join key
+    legitimately encodes "unknown" (here nationkey 3 is nulled to
+    simulate it). Still hash-partitionable (NULL hashes to one
+    bucket), unlike a general non-equi condition; beware that bucket
+    becoming a hot key when NULLs dominate — salt it like any other
+    skewed key.
+    """
+    prep(spark)
+    c = table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey"), F.lit(3)).alias("k"), "c_custkey"
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_nationkey"), F.lit(3)).alias("k2"), "s_suppkey"
+    )
+    return (
+        c.join(s, c["k"].eqNullSafe(s["k2"]))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -342,3 +342,47 @@ def winfn_moving_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.stddev_samp("value").over(w), 4).alias("vol_10"),
     )
+
+
+@query(
+    "winfn_first_ignore_nulls",
+    oracle="""
+    SELECT user_id, event_id,
+           first_value(purchase_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS first_purchase_value
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'purchase' THEN ROUND(value, 4) END
+               AS purchase_value
+      FROM events
+    )
+    """,
+)
+def winfn_first_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running "first purchase value so far" per user: IGNORE NULLS
+    first_value over a sparse derived column — the fill-forward-from-
+    sentinel shape (NULL until the user's first purchase, constant
+    after). Spark expresses IGNORE NULLS via `F.first(col, True)`."""
+    prep(spark)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase", F.round("value", 4)
+        ).alias("purchase_value"),
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("purchase_value", ignorenulls=True)
+        .over(w)
+        .alias("first_purchase_value"),
+    )

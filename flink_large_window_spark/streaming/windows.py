@@ -465,3 +465,49 @@ def window_sliding_agg_prebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pn",
     )
     return slid.groupBy("w_start", "user_id").agg(F.sum("pn").alias("n"))
+
+
+@query(
+    "window_count_tumbling",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, event_id, value,
+             (ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) - 1) // 5
+               AS window_idx
+      FROM events
+    )
+    SELECT user_id,
+           CAST(window_idx AS BIGINT)  AS window_idx,
+           COUNT(*)                    AS n,
+           MIN(event_id)               AS first_event,
+           MAX(event_id)               AS last_event,
+           ROUND(SUM(value), 4)        AS sum_value
+    FROM numbered GROUP BY user_id, window_idx
+    """,
+)
+def window_count_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-based tumbling windows — Flink ``countWindow(5)``: per
+    user, every 5 consecutive events (event-time order, total-order
+    tie-break) form one window; the tail window may be partial.
+
+    Spark has no count-window primitive; row_number over the keyed
+    event-time order integer-divided by the size IS the window id —
+    one shuffle on user_id, then an ordinary grouped aggregate. In
+    streaming this maps to transformWithState holding a per-key
+    counter (the stateful_* family shows the machinery).
+    """
+    prep(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        ((F.row_number().over(w) - 1) / 5).cast("long").alias("window_idx"),
+    )
+    return numbered.groupBy("user_id", "window_idx").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
