@@ -386,3 +386,51 @@ def winfn_first_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("first_purchase_value"),
     )
+
+
+@query(
+    "pattern_detect_followedby",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW
+             ) AS clicks_6h
+      FROM events
+    )
+    SELECT user_id, event_id AS purchase_event, CAST(clicks_6h AS BIGINT) AS clicks_6h
+    FROM flagged
+    WHERE event_type = 'purchase' AND clicks_6h >= 2
+    """,
+)
+def pattern_detect_followedby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relaxed-contiguity CEP (`followedBy`): purchases preceded by ≥2
+    clicks of the same user within 6 hours, other events allowed in
+    between — the counting-over-a-time-range formulation, vs
+    pattern_detect_cep's strict `next` adjacency.
+
+    The RANGE frame needs a numeric order key in Spark: epoch
+    microseconds (ties collapse into one frame position, matching
+    DuckDB's RANGE-over-timestamp peers exactly).
+    """
+    prep(spark)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-6 * 3600 * 1_000_000, Window.currentRow)
+    )
+    flagged = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .over(w)
+        .alias("clicks_6h"),
+    )
+    return (
+        flagged.filter(
+            (F.col("event_type") == "purchase") & (F.col("clicks_6h") >= 2)
+        )
+        .select("user_id", F.col("event_id").alias("purchase_event"), "clicks_6h")
+    )
