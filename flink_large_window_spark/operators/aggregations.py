@@ -453,3 +453,33 @@ def agg_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "agg_grouping_id",
+    oracle="""
+    SELECT r_name, n_name,
+           CAST(GROUPING(r_name) AS BIGINT)  AS g_region,
+           CAST(GROUPING(n_name) AS BIGINT)  AS g_nation,
+           COUNT(*)                          AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() markers: distinguishes "NULL because this
+    row is a subtotal" from "NULL in the data" — without it a rollup
+    over nullable keys is ambiguous. Spark's grouping()/grouping_id()
+    map 1:1 to the SQL standard bits DuckDB emits.
+    """
+    prep(spark)
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.grouping("r_name").cast("long").alias("g_region"),
+        F.grouping("n_name").cast("long").alias("g_nation"),
+        F.count(F.lit(1)).alias("n"),
+    )

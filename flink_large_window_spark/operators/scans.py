@@ -218,3 +218,61 @@ def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("file_name")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS STRING) AS day,
+           COUNT(*) AS n
+    FROM events
+    WHERE date_trunc('day', ts) IN
+          (TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-15', TIMESTAMP '2024-01-25')
+    GROUP BY 1
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is day-partitioned
+    parquet, the filter arrives via a JOIN against a 3-day dim table —
+    not as a literal predicate — and Spark still prunes the fact scan
+    to 3 of ~30 directories by injecting the dim's values as a runtime
+    subquery filter (asserted via `dynamicpruning` in the optimized
+    plan). At 100 TB this is THE mechanism that keeps star-schema
+    fact scans proportional to the dim filter, not the table.
+    """
+    prep(spark)
+    out = tempfile.mkdtemp(prefix="flws_dpp_")
+    events = table(spark, sf_dir, "events")
+    (
+        events.withColumn(
+            "day_part", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+        )
+        .write.mode("overwrite")
+        .partitionBy("day_part")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    # DPP requires a SELECTIVE predicate on the dim side (the pruning
+    # rule inserts the subquery only when filtering the fact is likely
+    # to pay); a 3-day dim table written to parquet + filtered provides
+    # it. A bare LocalRelation does not trigger the rule.
+    dim_path = os.path.join(out, "_dim")
+    spark.createDataFrame(
+        [("2024-01-05", 1), ("2024-01-15", 1), ("2024-01-25", 1), ("none", 0)],
+        ["dim_day", "wanted"],
+    ).write.mode("overwrite").parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("wanted") == 1)
+    joined = fact.join(dim, fact["day_part"] == dim["dim_day"])
+    plan_txt = (
+        joined._jdf.queryExecution().optimizedPlan().toString()
+        + joined._jdf.queryExecution().executedPlan().toString()
+    )
+    if "dynamicpruning" not in plan_txt.lower():
+        raise AssertionError("expected DPP filter in plan:\n" + plan_txt)
+    return (
+        joined.groupBy("day_part")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.concat(F.col("day_part"), F.lit(" 00:00:00")).alias("day"), "n"
+        )
+    )
