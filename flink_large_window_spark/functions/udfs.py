@@ -102,3 +102,43 @@ def udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "documents").select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+
+
+@query(
+    "udf_group_map_zscore",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND((l_quantity - AVG(l_quantity) OVER (PARTITION BY l_returnflag))
+                 / STDDEV_SAMP(l_quantity) OVER (PARTITION BY l_returnflag),
+                 4) AS qty_z
+    FROM lineitem
+    """,
+)
+def udf_group_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-map pandas UDF (`applyInPandas`): z-score l_quantity
+    within each returnflag group — the whole-group-in-memory UDF shape
+    (Flink's `ProcessWindowFunction` with iterable state), distinct
+    from the grouped-AGG UDF (udaf_grouped_agg) and the scalar UDF.
+
+    The oracle is the identical window-function formulation — proving
+    the imperative per-group pandas code agrees with the declarative
+    form. Scale note: applyInPandas materializes EACH group in one
+    worker's memory — fine for bounded per-group size (3 groups here
+    is actually the worst case: ~N/3 rows each; a real deployment
+    keys by something finer or uses the window form, which streams).
+    """
+    prep(spark)
+
+    def zscore(pdf):
+        mu = pdf["l_quantity"].mean()
+        sd = pdf["l_quantity"].std(ddof=1)
+        return pdf.assign(qty_z=((pdf["l_quantity"] - mu) / sd).round(4))[
+            ["l_orderkey", "l_linenumber", "qty_z"]
+        ]
+
+    return (
+        table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+        .groupBy("l_returnflag")
+        .applyInPandas(zscore, schema="l_orderkey long, l_linenumber int, qty_z double")
+    )
