@@ -57,6 +57,8 @@ HEADLINE = [
     "dedup_cluster_cc",
     "llm_corpus_pipeline",
     "pattern_detect_cep",
+    "q3_shipping_priority",
+    "q5_local_supplier",
 ]
 
 
