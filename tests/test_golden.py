@@ -35,6 +35,11 @@ KEYS = [
     "pivot_event_counts",
     "sample_reservoir_hash",
     "emb_kmeans_assign",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "dedup_simhash_hamming",
+    "llm_corpus_pipeline",
+    "window_count_tumbling",
 ]
 
 
