@@ -511,3 +511,73 @@ def window_count_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("last_event"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@query(
+    "window_count_sliding",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+      FROM events
+    ), fanned AS (
+      SELECT user_id, event_id, value, rn,
+             UNNEST(generate_series(
+               CAST(GREATEST(CEIL((rn - 5) / 2.0), 0) AS BIGINT),
+               rn // 2)) AS window_idx
+      FROM numbered
+    )
+    SELECT user_id,
+           CAST(window_idx AS BIGINT) AS window_idx,
+           COUNT(*)                   AS n,
+           ROUND(SUM(value), 4)       AS sum_value
+    FROM fanned
+    GROUP BY user_id, window_idx
+    HAVING COUNT(*) = 6 OR MIN(rn) = 0
+    """,
+)
+def window_count_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding COUNT windows — Flink ``countWindow(6, 2)``: per user,
+    window w covers event positions [2w, 2w+6); row rn belongs to
+    windows ceil((rn−5)/2) … floor(rn/2) (clamped at 0). Emitted
+    windows are the complete ones plus the warm-up windows at the head
+    of the stream (MIN(rn)=0), matching Flink's trigger-on-count with
+    partial first fires suppressed except the initial ramp.
+
+    Same plan family as the time-sliding form: the fan-out is
+    size/slide = 3 window ids per ROW — but over the keyed row_number,
+    so the pre-bucket mitigation (window_sliding_agg_prebucket) applies
+    identically if the fan-out ever dominates.
+    """
+    prep(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        (F.row_number().over(w) - 1).cast("long").alias("rn"),
+    )
+    fanned = numbered.select(
+        "user_id",
+        "value",
+        "rn",
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.ceil((F.col("rn") - 5) / 2.0).cast("long"), F.lit(0).cast("long")
+                ),
+                (F.col("rn") / 2).cast("long"),
+            )
+        ).alias("window_idx"),
+    )
+    return (
+        fanned.groupBy("user_id", "window_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.min("rn").alias("_min_rn"),
+        )
+        .filter((F.col("n") == 6) | (F.col("_min_rn") == 0))
+        .drop("_min_rn")
+    )
