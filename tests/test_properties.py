@@ -128,3 +128,25 @@ def test_hash_sampling_partition_invariant(spark):
     assert base == picked(li.repartition(3))
     assert base == picked(li.repartition(17, "l_suppkey"))
     assert 0.05 < len(base) / li.count() < 0.16  # ~10/97 ± slack
+
+
+def test_mapinpandas_kernels_survive_empty_partitions(spark):
+    """At cluster scale, partitions CAN be empty (skew, pruning). Every
+    Arrow-batched kernel must tolerate a partitioning far wider than
+    the row count (Spark skips empty partitions; this pins that no
+    kernel assumes ≥1 batch or ≥1 row)."""
+    import flink_large_window_spark.tables as T
+    from flink_large_window_spark.registry import REGISTRY
+
+    orig = T.table
+    T.table = lambda spark, sf_dir, name: orig(spark, sf_dir, name).repartition(700)
+    try:
+        for key in (
+            "dedup_embed_cosine",
+            "multimodal_embed_quantize",
+            "dedup_simhash",
+            "text_fingerprint_rolling",
+        ):
+            assert REGISTRY[key](spark, SF_SMOKE).count() == 500, key
+    finally:
+        T.table = orig
