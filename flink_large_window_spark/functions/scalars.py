@@ -348,3 +348,46 @@ def scalar_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 4).alias("avg_value"),
         )
     )
+
+
+@query(
+    "scalar_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(FLOOR(l_extendedprice / NULLIF(l_quantity, 0) * 10000) AS BIGINT)
+             AS unit_price_e4,
+           CAST(FLOOR(l_discount / NULLIF(l_tax, 0) * 10000) AS BIGINT)
+             AS disc_per_tax_e4
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-on-error arithmetic under ANSI mode: Spark 4 raises on
+    division by zero, so pipelines use `try_divide` (NULL instead of a
+    job-killing exception — one bad row must not fail a 100 TB job).
+    DuckDB's equivalent spelling is `x / NULLIF(y, 0)`; the fixture's
+    l_tax CAN be 0, so the second column exercises the NULL path for
+    real.
+
+    Output is scaled-integer (×10⁴, floored): these quotients land
+    EXACTLY on .5 decimal boundaries systematically (2-decimal prices
+    ÷ small integers), where Spark's shortest-repr half-up ROUND and
+    DuckDB's binary-scaling ROUND disagree — but both floor the
+    identical IEEE quotient identically. (Bare CAST differs too:
+    DuckDB rounds half-even, Spark ANSI truncates.)
+    """
+    prep(spark)
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(F.try_divide("l_extendedprice", "l_quantity") * 10000).alias(
+                "unit_price_e4"
+            ),
+            F.floor(F.try_divide("l_discount", "l_tax") * 10000).alias(
+                "disc_per_tax_e4"
+            ),
+        )
+    )
