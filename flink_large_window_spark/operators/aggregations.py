@@ -483,3 +483,33 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("n_name").cast("long").alias("g_nation"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): nations per region as a
+    sorted CSV. Spark has no ordered string_agg — the deterministic
+    spelling is collect_list → array_sort → concat_ws, which the
+    oracle's ORDER BY inside string_agg mirrors exactly. The sort is
+    per-group and group sizes are bounded (≤5 here); unbounded groups
+    would cap or sketch instead."""
+    prep(spark)
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nations_csv"
+            )
+        )
+    )

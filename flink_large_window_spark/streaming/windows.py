@@ -581,3 +581,35 @@ def window_count_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") == 6) | (F.col("_min_rn") == 0))
         .drop("_min_rn")
     )
+
+
+@query(
+    "window_tumbling_offset",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('hour', ts - INTERVAL 15 MINUTE) AS TIMESTAMP)
+                + INTERVAL 15 MINUTE AS STRING) AS w_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling windows with a start-time OFFSET — Flink
+    ``TumblingEventTimeWindows.of(Time.hours(1), Time.minutes(15))``:
+    panes run :15→:15 instead of :00→:00 (the alignment knob for
+    billing-day or timezone-shifted windows). Spark's `window()` takes
+    the same offset as its 4th argument (startTime).
+    """
+    prep(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "1 hour", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("w_start"), "event_type", "n"
+        )
+    )
