@@ -276,3 +276,36 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             F.concat(F.col("day_part"), F.lit(" 00:00:00")).alias("day"), "n"
         )
     )
+
+
+@query(
+    "sql_entry_exists",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+)
+def sql_entry_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL entry point with a correlated EXISTS subquery — the
+    rest of the suite uses the DataFrame API; this key proves the SQL
+    front door (including subquery decorrelation: Catalyst rewrites
+    the EXISTS into the same left-semi hash join the DataFrame form
+    plans). Tables are addressed as ``parquet.`path``` so no temp
+    views are registered (they could clobber same-named views owned
+    by the calling session).
+    """
+    prep(spark)
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_name
+        FROM parquet.`{sf_dir}/customer.parquet` c
+        WHERE EXISTS (
+          SELECT 1 FROM parquet.`{sf_dir}/orders.parquet` o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )
