@@ -542,3 +542,55 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
         )
     )
+
+
+@query(
+    "agg_skew_kurtosis_pinned",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*)          AS n,
+             AVG(l_discount)   AS mu,
+             AVG(l_discount * l_discount) AS ex2,
+             AVG(l_discount * l_discount * l_discount) AS ex3,
+             AVG(l_discount * l_discount * l_discount * l_discount) AS ex4
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           ROUND((ex3 - 3*mu*ex2 + 2*mu*mu*mu)
+                 / POW(ex2 - mu*mu, 1.5), 6) AS skew_pop,
+           ROUND((ex4 - 4*mu*ex3 + 6*mu*mu*ex2 - 3*mu*mu*mu*mu)
+                 / POW(ex2 - mu*mu, 2) - 3, 6) AS kurt_excess_pop
+    FROM m
+    """,
+)
+def agg_skew_kurtosis_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness g1 = m3/m2^1.5 and excess kurtosis
+    g2 = m4/m2²−3 per group, computed from raw-moment expansions
+    pinned IDENTICALLY in both engines — necessary because the
+    built-ins disagree (Spark's skewness/kurtosis are population
+    moments, DuckDB's carry sample bias corrections; probed: 0.456 vs
+    0.680 on the same 5 values). One pass, mergeable sums, exactly the
+    shape a 100 TB moment computation uses. Computed on l_discount
+    (0..0.1) so the x⁴ terms stay far from double cancellation."""
+    prep(spark)
+    d = F.col("l_discount")
+    m = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.avg(d).alias("mu"),
+            F.avg(d * d).alias("ex2"),
+            F.avg(d * d * d).alias("ex3"),
+            F.avg(d * d * d * d).alias("ex4"),
+        )
+    )
+    mu, ex2, ex3, ex4 = F.col("mu"), F.col("ex2"), F.col("ex3"), F.col("ex4")
+    m2 = ex2 - mu * mu
+    m3 = ex3 - 3 * mu * ex2 + 2 * mu * mu * mu
+    m4 = ex4 - 4 * mu * ex3 + 6 * mu * mu * ex2 - 3 * mu * mu * mu * mu
+    return m.select(
+        "l_returnflag",
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skew_pop"),
+        F.round(m4 / F.pow(m2, 2) - 3, 6).alias("kurt_excess_pop"),
+    )

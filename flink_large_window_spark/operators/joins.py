@@ -570,3 +570,64 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    SELECT error_id, next_view_id FROM (
+      SELECT e.event_id AS error_id, v.event_id AS next_view_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY v.ts ASC NULLS LAST, v.event_id ASC NULLS LAST
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON v.user_id = e.user_id AND v.ts >= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each error paired with the nearest
+    FOLLOWING view (did the user recover?) — the mirror of join_asof's
+    backward direction, same linear formulation: one user_id shuffle,
+    event-time order DESCENDING, running `first`-style pick via
+    last(view_id) over the reversed frame. Ties (same ts): view sorts
+    before error under >= semantics and the LOWEST view_id wins.
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.lit(0).alias("kind"),  # view sorts before error at equal ts (>=)
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("error_id"),
+        F.lit(1).alias("kind"),
+    )
+    unioned = views.select(
+        "user_id", "ts", "kind", "view_id", F.lit(None).cast("long").alias("error_id")
+    ).unionByName(
+        errors.select(
+            "user_id", "ts", "kind", F.lit(None).cast("long").alias("view_id"), "error_id"
+        )
+    )
+    # Reverse event-time order: "next view at/after me" = last view seen
+    # so far when scanning from the future backwards. Among same-ts
+    # views the LOWEST id must win → sort id DESC in the reversed scan.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("kind").desc(), F.col("view_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn(
+            "next_view_id", F.last("view_id", ignorenulls=True).over(w)
+        )
+        .filter(F.col("error_id").isNotNull())
+        .select("error_id", "next_view_id")
+    )
