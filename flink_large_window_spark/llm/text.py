@@ -119,20 +119,30 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf-idf top-3 terms per document (first 20 docs), smooth idf
     ln((N+1)/(df+1))+1 pinned identically in both engines; integer-only
-    output per the float-hash rule (ranks, not scores)."""
+    output per the float-hash rule (ranks, not scores).
+
+    N (corpus size) is computed IN-PLAN — a count aggregate broadcast
+    into the scoring join — not via a separate `.count()` action (round
+    1 ran one; at 100 TB that is a second full scan of the corpus;
+    flagged by the round-1 review). One action, one Catalyst plan.
+    """
     prep(spark)
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = table(spark, sf_dir, "documents").count()
+    n_ = table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
     scored = (
         tf.filter(F.col("doc_id") < 20)
         .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_))
         .withColumn(
             "score",
-            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
@@ -302,7 +312,12 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, fps, nds = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                codes = np.frombuffer(text.encode("ascii"), dtype=np.uint8).astype(
+                # utf-8, not ascii: one non-ASCII row must not kill the
+                # whole scan (ADVICE r1). For ASCII text (the fixture
+                # contract, probed at every sf) bytes == ascii()
+                # codepoints so oracle parity is unchanged; non-ASCII
+                # rows hash over utf-8 bytes — deterministic, no crash.
+                codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(
                     np.int64
                 )
                 hs = np.lib.stride_tricks.sliding_window_view(codes, 8) @ weights

@@ -10,8 +10,9 @@ membership), and expressible identically in Spark and DuckDB — so each
 query gets a full SQL oracle, unlike anything built on `rand()`.
 
 The mixer is a Knuth multiplicative hash (odd constant 2654435761,
-i.e. floor(2^32/phi)); products stay < 2^62 for fixture keys so Spark 4
-ANSI mode and DuckDB agree exactly. No reference-repo counterpart
+i.e. floor(2^32/phi)) applied to the key reduced mod a 31-bit prime, so
+products stay < 2^63 for ANY int64 key and Spark 4 ANSI mode and DuckDB
+agree exactly at every scale. No reference-repo counterpart
 (reference snapshot is empty per SURVEY §0); mandated by the
 training-pipeline clause of BASELINE.json:6.
 """
@@ -26,6 +27,13 @@ from ..registry import query
 from ..tables import prep, table
 
 _MIX = 2654435761  # Knuth multiplicative; odd → bijective mod 2^k
+# Reduce keys mod a 31-bit prime BEFORE multiplying: (2^31-2)·_MIX < 2^63,
+# so the product can never trip Spark 4's ANSI overflow even for the
+# ~6e9-magnitude orderkeys a 100 TB TPC-H run carries (round 1 multiplied
+# the raw key; safe for fixtures, a job-killer at scale — ADVICE r1).
+# For fixture keys (< 2^31-1) the reduction is the identity, so sampled
+# membership — and every oracle — is unchanged.
+_P31 = 2147483647
 
 
 @query(
@@ -35,7 +43,7 @@ _MIX = 2654435761  # Knuth multiplicative; odd → bijective mod 2^k
            ROUND(SUM(l_quantity), 2)                  AS sum_qty,
            COUNT(DISTINCT l_orderkey)                 AS n_orders
     FROM lineitem
-    WHERE (l_orderkey * {_MIX} + l_linenumber * 7919) % 97 < 10
+    WHERE ((l_orderkey % 2147483647) * {_MIX} + l_linenumber * 7919) % 97 < 10
     """,
 )
 def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -49,7 +57,7 @@ def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluates inside the parquet scan with zero shuffle.
     """
     prep(spark)
-    keep = (F.col("l_orderkey") * _MIX + F.col("l_linenumber") * 7919) % 97 < 10
+    keep = ((F.col("l_orderkey") % _P31) * _MIX + F.col("l_linenumber") * 7919) % 97 < 10
     return (
         table(spark, sf_dir, "lineitem")
         .filter(keep)
@@ -66,7 +74,7 @@ def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang,
            COUNT(*)                                              AS n_total,
-           COUNT(CASE WHEN (doc_id * {_MIX}) % 100 < 20 THEN 1 END) AS n_sampled
+           COUNT(CASE WHEN ((doc_id % 2147483647) * {_MIX}) % 100 < 20 THEN 1 END) AS n_sampled
     FROM documents
     GROUP BY lang
     """,
@@ -80,7 +88,7 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     this formulation needs neither and pushes membership into the scan.
     """
     prep(spark)
-    sampled = (F.col("doc_id") * _MIX) % 100 < 20
+    sampled = ((F.col("doc_id") % _P31) * _MIX) % 100 < 20
     return (
         table(spark, sf_dir, "documents")
         .groupBy("lang")
@@ -98,7 +106,7 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, event_id,
              ROW_NUMBER() OVER (
                PARTITION BY event_type
-               ORDER BY (event_id * {_MIX}) % 1000000007, event_id
+               ORDER BY ((event_id % 2147483647) * {_MIX}) % 1000000007, event_id
              ) AS rnk
       FROM events
     ) WHERE rnk <= 5
@@ -116,7 +124,7 @@ def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     w = Window.partitionBy("event_type").orderBy(
-        ((F.col("event_id") * _MIX) % 1000000007).asc(), F.col("event_id").asc()
+        (((F.col("event_id") % _P31) * _MIX) % 1000000007).asc(), F.col("event_id").asc()
     )
     return (
         table(spark, sf_dir, "events")

@@ -15,13 +15,13 @@ projection is wrong at any scale and fatal at 100 TB.
 from __future__ import annotations
 
 import os
-import tempfile
 import time
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import query
+from ..scratch import scratch_dir
 from ..tables import prep, table
 
 # Columns of lineitem with the timestamp rendered as string for
@@ -126,7 +126,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same code path (DataFrameWriter → parquet → schema-on-read).
     """
     prep(spark)
-    out = tempfile.mkdtemp(prefix="flws_sink_")
+    out = scratch_dir("flws_sink_")
     (
         table(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
@@ -164,7 +164,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't leak into the result.
     """
     prep(spark)
-    out = tempfile.mkdtemp(prefix="flws_part_")
+    out = scratch_dir("flws_part_")
     events = table(spark, sf_dir, "events")
     (
         events.withColumn(
@@ -241,7 +241,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     fact scans proportional to the dim filter, not the table.
     """
     prep(spark)
-    out = tempfile.mkdtemp(prefix="flws_dpp_")
+    out = scratch_dir("flws_dpp_")
     events = table(spark, sf_dir, "events")
     (
         events.withColumn(

@@ -14,12 +14,12 @@ an Exchange sneaks back into the physical plan.
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import query
+from ..scratch import scratch_dir
 from ..tables import prep, table
 
 N_BUCKETS = 8
@@ -75,7 +75,7 @@ def join_bucketed_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        base = tempfile.mkdtemp(prefix="flws_bucketed_")
+        base = scratch_dir("flws_bucketed_")
         orders = _bucketed_table(
             spark,
             table(spark, sf_dir, "orders").select(

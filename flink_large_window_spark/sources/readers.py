@@ -13,12 +13,12 @@ scans parquet. These round-trips exist to cover the landing step.
 
 from __future__ import annotations
 
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import query
+from ..scratch import scratch_dir
 from ..tables import prep, table
 
 
@@ -37,7 +37,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the oracle computed straight from parquet.
     """
     prep(spark)
-    out = tempfile.mkdtemp(prefix="flws_csv_")
+    out = scratch_dir("flws_csv_")
     orders = table(spark, sf_dir, "orders")
     orders.write.mode("overwrite").option("header", "true").csv(out)
     back = (
@@ -67,7 +67,7 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     including a nested-JSON extraction (props stays a JSON string
     through the round-trip)."""
     prep(spark)
-    out = tempfile.mkdtemp(prefix="flws_jsonl_")
+    out = scratch_dir("flws_jsonl_")
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "props"
     )
@@ -96,7 +96,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle). ORC is the other columnar landing format Spark ships
     natively — full pushdown/pruning support like parquet."""
     prep(spark)
-    out = tempfile.mkdtemp(prefix="flws_orc_")
+    out = scratch_dir("flws_orc_")
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_quantity", "l_orderkey"
     )

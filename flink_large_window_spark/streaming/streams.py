@@ -18,7 +18,6 @@ form's result on the same data.
 from __future__ import annotations
 
 import os
-import tempfile
 from typing import Iterator
 
 import pandas as pd
@@ -33,6 +32,7 @@ from pyspark.sql.types import (
 )
 
 from ..registry import query
+from ..scratch import scratch_dir
 from ..tables import prep
 
 _SINK_SEQ = 0
@@ -77,7 +77,7 @@ def run_to_memory(spark: SparkSession, out: DataFrame, mode: str = "append") -> 
         .queryName(name)
         .outputMode(mode)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="flws_ckpt_")
+            "checkpointLocation", scratch_dir("flws_ckpt_")
         )
         .trigger(availableNow=True)
         .start()
@@ -400,7 +400,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     global aggregate — giving this streaming key a full SQL oracle, not
     just a rows-only smoke.
     """
-    base = tempfile.mkdtemp(prefix="flws_upsert_")
+    base = scratch_dir("flws_upsert_")
     state = {"gen": -1}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -426,11 +426,18 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events_stream(spark, sf_dir)
     q = (
         ev.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="flws_ckpt_"))
+        .option("checkpointLocation", scratch_dir("flws_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    if state["gen"] < 0:
+        # Zero micro-batches fired (empty replay): return the target's
+        # schema with no rows instead of reading a generation that was
+        # never written (ADVICE r1: 'g-1' path error).
+        return spark.createDataFrame(
+            [], "user_id long, event_type string, n long, sum_value double"
+        )
     final = spark.read.parquet(os.path.join(base, f"g{state['gen']}"))
     return final.select(
         "user_id",

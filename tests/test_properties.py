@@ -135,18 +135,34 @@ def test_mapinpandas_kernels_survive_empty_partitions(spark):
     Arrow-batched kernel must tolerate a partitioning far wider than
     the row count (Spark skips empty partitions; this pins that no
     kernel assumes ≥1 batch or ≥1 row)."""
-    import flink_large_window_spark.tables as T
+    import flink_large_window_spark.llm.dedup as dedup_mod
+    import flink_large_window_spark.llm.multimodal as mm_mod
+    import flink_large_window_spark.llm.text as text_mod
     from flink_large_window_spark.registry import REGISTRY
+    from flink_large_window_spark.tables import table as orig
 
-    orig = T.table
-    T.table = lambda spark, sf_dir, name: orig(spark, sf_dir, name).repartition(700)
-    try:
-        for key in (
-            "dedup_embed_cosine",
-            "multimodal_embed_quantize",
-            "dedup_simhash",
-            "text_fingerprint_rolling",
-        ):
+    calls = []
+
+    def wide(spark_, sf_dir, name):
+        calls.append(name)
+        return orig(spark_, sf_dir, name).repartition(700)
+
+    # Operator modules bind `table` at import time (`from ..tables import
+    # table`), so the wrapper must be patched into EACH consuming module —
+    # round 1 patched flink_large_window_spark.tables.table, which none of
+    # the kernels resolve at call time, making the test vacuous (ADVICE r1).
+    cases = {
+        "dedup_embed_cosine": dedup_mod,
+        "dedup_simhash": dedup_mod,
+        "multimodal_embed_quantize": mm_mod,
+        "text_fingerprint_rolling": text_mod,
+    }
+    for key, mod in cases.items():
+        saved = mod.table
+        mod.table = wide
+        try:
+            n0 = len(calls)
             assert REGISTRY[key](spark, SF_SMOKE).count() == 500, key
-    finally:
-        T.table = orig
+            assert len(calls) > n0, f"wrapper never invoked for {key}"
+        finally:
+            mod.table = saved
