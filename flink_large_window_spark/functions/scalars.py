@@ -391,3 +391,4 @@ def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+

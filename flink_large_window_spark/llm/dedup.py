@@ -615,3 +615,59 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hamming3", F.lit(0)).cast("long").alias("n_hamming3"),
         )
     )
+
+
+@query("dedup_embed_cosine_ivf")  # rows-only: approximate by construction
+def dedup_embed_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell embedding near-dup counts (threshold 0.9) — the
+    candidate-generation scale path that pairs with dedup_embed_cosine's
+    exact blocked GEMM (round-1 review asked for exactly this shape).
+
+    Dataflow: assign every vector to its nearest coarse centroid (the
+    deterministic first-16 quantizer shared with sim_ann_ivf_topk; one
+    broadcast join, linear), then GEMM ONLY within each inverted list
+    via applyInPandas — O(N²/C) work instead of O(N²), and each cell's
+    matrix fits one task. Approximate by construction: a pair whose
+    members quantize to different cells is missed (multi-probe assign
+    lowers that risk at deployment; exact duplicates always share a
+    cell because identical vectors share a nearest centroid).
+    tests/test_llm_quality.py pins (a) per-vector counts never exceed
+    the exact operator's, and (b) planted duplicate clusters are fully
+    recovered.
+    """
+    prep(spark)
+    import numpy as np
+
+    from .similarity import N_IVF_CENTROIDS, _dot, _with_norm
+
+    emb = _with_norm(table(spark, sf_dir, "embeddings"))
+    cents = emb.filter(F.col("vec_id") < N_IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("vec_d").alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cent_id").asc())
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "c_cos",
+            _dot(F.col("vec_d"), F.col("c_vec")) / (F.col("norm") * F.col("c_norm")),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "vec_d", "cent_id")
+    )
+
+    def cell(pdf):
+        import pandas as pd
+
+        mat = np.stack(pdf["vec_d"].to_numpy()).astype(np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        hits = (mat @ mat.T >= 0.9).sum(axis=1) - 1  # minus self
+        return pd.DataFrame(
+            {"doc_id": pdf["vec_id"], "n_neardup_09": hits.astype("int64")}
+        )
+
+    return assigned.groupBy("cent_id").applyInPandas(
+        cell, schema="doc_id long, n_neardup_09 long"
+    )

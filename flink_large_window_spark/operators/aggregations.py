@@ -594,3 +594,34 @@ def agg_skew_kurtosis_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 6).alias("skew_pop"),
         F.round(m4 / F.pow(m2, 2) - 3, 6).alias("kurt_excess_pop"),
     )
+
+
+@query(
+    "agg_distinct_multi",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS d,
+           COUNT(DISTINCT user_id)    AS n_users,
+           COUNT(DISTINCT event_type) AS n_types,
+           COUNT(*)                   AS n_events
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+)
+def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT ...) over different columns in ONE
+    aggregate — compiles to Catalyst's Expand operator (one input row
+    fans to one row per distinct-group), the standard multi-distinct
+    plan. At scale this is one shuffle keyed (day, gid, value) with
+    partial aggregation, not one job per distinct column; for
+    approximate needs swap in approx_count_distinct and drop the
+    Expand entirely (agg_approx_count_distinct shows that path).
+    """
+    prep(spark)
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").cast("string").alias("d"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -634,3 +634,87 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("error_id").isNotNull())
         .select("error_id", "next_view_id")
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    SELECT error_id, nearest_view_id FROM (
+      SELECT e.event_id AS error_id, v.event_id AS nearest_view_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_us(v.ts) - epoch_us(e.ts)) ASC NULLS LAST,
+                        v.ts ASC NULLS LAST, v.event_id ASC NULLS LAST
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON v.user_id = e.user_id
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional as-of: each error paired with the temporally
+    NEAREST view of the same user, either direction — the timeseries
+    alignment primitive (sensor fusion, quote-trade matching) that
+    completes the backward (join_asof) / forward (join_asof_forward)
+    pair. Ties: equal distance prefers the PRIOR view (smaller ts),
+    then the lowest view_id — pinned identically in the oracle's
+    (abs-diff, ts, event_id) ordering.
+
+    Linear formulation, no range join: two window passes over the
+    union of views and errors per user (one ascending scan carrying
+    the latest prior view, one descending scan carrying the earliest
+    following view — same kind/id tie handling as the two one-sided
+    operators), then a row-local CASE picks the closer side. Cost is
+    two sorts of the same user_id partition — at 100 TB both passes
+    shuffle once on user_id and AQE reuses the exchange.
+    """
+    prep(spark)
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),  # views sort before errors at equal ts
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        F.lit(None).cast("long").alias("error_id"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+        F.col("event_id").alias("error_id"),
+    )
+    unioned = views.unionByName(errors)
+
+    # Ascending scan: latest prior-or-equal view. Equal ts: views first
+    # (kind asc); among them id DESC so last() = lowest id.
+    w_prior = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc(), F.col("view_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Descending scan: earliest following-or-equal view (mirror).
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("kind").asc(), F.col("view_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = (
+        unioned.withColumn("prior_id", F.last("view_id", ignorenulls=True).over(w_prior))
+        .withColumn("prior_ts", F.last("view_ts", ignorenulls=True).over(w_prior))
+        .withColumn("next_id", F.last("view_id", ignorenulls=True).over(w_next))
+        .withColumn("next_ts", F.last("view_ts", ignorenulls=True).over(w_next))
+        .filter(F.col("error_id").isNotNull())
+    )
+    dp = F.unix_micros("ts") - F.unix_micros("prior_ts")
+    dn = F.unix_micros("next_ts") - F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("prior_id").isNull(), F.col("next_id"))
+        .when(F.col("next_id").isNull(), F.col("prior_id"))
+        .when(dp <= dn, F.col("prior_id"))  # tie → prior (smaller ts)
+        .otherwise(F.col("next_id"))
+    )
+    return enriched.select("error_id", nearest.alias("nearest_view_id"))

@@ -233,3 +233,53 @@ def ts_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle="""
+    SELECT DISTINCT
+           CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS bar_day,
+           event_type,
+           ROUND(FIRST_VALUE(value) OVER w, 4) AS open,
+           ROUND(MAX(value) OVER w, 4)         AS high,
+           ROUND(MIN(value) OVER w, 4)         AS low,
+           ROUND(LAST_VALUE(value) OVER w, 4)  AS close
+    FROM events
+    WINDOW w AS (
+      PARTITION BY date_trunc('day', ts), event_type
+      ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars of `value` per event_type — the market-data /
+    metrics downsampling primitive (open = first by event time, close =
+    last, high/low = extrema). Open/close need an ORDER within the bar,
+    which plain groupBy aggregates cannot express deterministically
+    (min_by ties are unspecified), so both engines use the same
+    full-frame window formulation with the (ts, event_id) total order.
+    One shuffle on the bar key; the DISTINCT collapses the per-row
+    window output to one row per bar — at scale this compiles to a
+    window + hash-agg over already-partitioned data.
+    """
+    prep(spark)
+    bar = F.date_trunc("day", "ts")
+    w = (
+        Window.partitionBy(bar, "event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            bar.cast("string").alias("bar_day"),
+            "event_type",
+            F.round(F.first("value").over(w), 4).alias("open"),
+            F.round(F.max("value").over(w), 4).alias("high"),
+            F.round(F.min("value").over(w), 4).alias("low"),
+            F.round(F.last("value").over(w), 4).alias("close"),
+        )
+        .distinct()
+    )

@@ -613,3 +613,70 @@ def window_tumbling_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").cast("string").alias("w_start"), "event_type", "n"
         )
     )
+
+
+@query(
+    "window_cascading_rollup",
+    oracle="""
+    SELECT 'hour' AS grain, CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start,
+           event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts), event_type
+    UNION ALL
+    SELECT 'day', CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR),
+           event_type, COUNT(*), ROUND(SUM(value), 4)
+    FROM events GROUP BY date_trunc('day', ts), event_type
+    UNION ALL
+    SELECT 'month', CAST(CAST(date_trunc('month', ts) AS TIMESTAMP) AS VARCHAR),
+           event_type, COUNT(*), ROUND(SUM(value), 4)
+    FROM events GROUP BY date_trunc('month', ts), event_type
+    """,
+)
+def window_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascading hour→day→month rollup (the hypertable
+    continuous-aggregate pattern): the DAY grain re-aggregates the HOUR
+    partials and MONTH re-aggregates DAY — the base table is scanned
+    exactly ONCE for all three grains. The oracle recomputes each grain
+    directly from events (sums are associative; ROUND(…,4) absorbs
+    float summation-order noise per suite convention).
+
+    At 100 TB this is the difference between one scan plus two tiny
+    re-aggregations (each input is already |hours|·|types| rows) and
+    three full scans — and it is exactly how a streaming deployment
+    maintains multi-grain rollups: the hourly aggregate is the stored
+    stream sink, coarser grains are cheap batch re-aggs over it.
+    """
+    prep(spark)
+    hourly = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .select(
+            F.col("w.start").alias("h_start"), "event_type", "n", "sv"
+        )
+        .persist()  # one base scan feeds all grains
+    )
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", "h_start").alias("d_start"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        .persist()
+    )
+    monthly = daily.groupBy(
+        F.date_trunc("month", "d_start").alias("m_start"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+
+    def out(df: DataFrame, grain: str, start_col: str) -> DataFrame:
+        return df.select(
+            F.lit(grain).alias("grain"),
+            F.col(start_col).cast("string").alias("w_start"),
+            "event_type",
+            "n",
+            F.round("sv", 4).alias("sum_value"),
+        )
+
+    return (
+        out(hourly.withColumnRenamed("h_start", "s"), "hour", "s")
+        .unionByName(out(daily.withColumnRenamed("d_start", "s"), "day", "s"))
+        .unionByName(out(monthly.withColumnRenamed("m_start", "s"), "month", "s"))
+    )

@@ -96,3 +96,58 @@ def test_quantization_reconstruction(spark):
         cos = float(deq @ o / (np.linalg.norm(deq) * np.linalg.norm(o)))
         worst = min(worst, cos)
     assert worst >= 0.999, f"worst reconstruction cosine {worst}"
+
+
+def test_ivf_dedup_subset_and_planted_recall(spark, tmp_path_factory):
+    """dedup_embed_cosine_ivf must (a) never report MORE neighbors than
+    the exact blocked-GEMM operator (within-cell pairs are a subset of
+    all pairs), and (b) fully recover planted duplicate clusters — the
+    fixture corpus has zero pairs over the 0.9 threshold, so recall is
+    only measurable on a synthetic corpus with planted near-identical
+    vectors (noise 1e-4 → cos ≈ 0.9999, same nearest centroid)."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark.registry import REGISTRY
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 64)).astype(np.float32)
+    vecs = [base]
+    # five clusters of 3: copies of base rows 100, 110, ... with tiny noise
+    for i, src in enumerate(range(100, 150, 10)):
+        noise = rng.normal(scale=1e-4, size=(2, 64)).astype(np.float32)
+        vecs.append(base[src] + noise)
+    mat = np.vstack(vecs)
+    d = str(tmp_path_factory.mktemp("ivf_planted"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(mat)), pa.int64()),
+                "embedding": pa.array([list(r) for r in mat], pa.list_(pa.float32())),
+                "label": pa.array([int(i) % 10 for i in range(len(mat))], pa.int64()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+
+    exact = {
+        r["doc_id"]: r["n_neardup_09"]
+        for r in REGISTRY["dedup_embed_cosine"](spark, d).collect()
+    }
+    ivf = {
+        r["doc_id"]: r["n_neardup_09"]
+        for r in REGISTRY["dedup_embed_cosine_ivf"](spark, d).collect()
+    }
+    assert set(ivf) == set(exact)
+    assert all(ivf[k] <= exact[k] for k in exact)
+    # each planted cluster = {base row src, two noisy copies} → every
+    # member has exactly 2 near-dups, and IVF must find all of them
+    planted = {100, 110, 120, 130, 140, 200, 201, 202, 203, 204, 205, 206, 207, 208, 209}
+    for vid in planted:
+        assert exact[vid] == 2, (vid, exact[vid])
+        assert ivf[vid] == 2, (vid, ivf[vid])
+    # and nothing else clears 0.9 among 64-d gaussians
+    assert all(v == 0 for k, v in exact.items() if k not in planted)
