@@ -709,8 +709,14 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("next_ts", F.last("view_ts", ignorenulls=True).over(w_next))
         .filter(F.col("error_id").isNotNull())
     )
-    dp = F.unix_micros("ts") - F.unix_micros("prior_ts")
-    dn = F.unix_micros("next_ts") - F.unix_micros("ts")
+    # cast: events.ts arrives as TIMESTAMP from the ns-long fixture
+    # conversion but TIMESTAMP_NTZ from plain timestamp[us] parquet
+    # (e.g. the tie-pinning test fixture); unix_micros only accepts the
+    # former. Differences cancel any session-tz shift, so the cast is
+    # semantics-neutral either way.
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    dp = us("ts") - us("prior_ts")
+    dn = us("next_ts") - us("ts")
     nearest = (
         F.when(F.col("prior_id").isNull(), F.col("next_id"))
         .when(F.col("next_id").isNull(), F.col("prior_id"))
@@ -718,3 +724,117 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("next_id"))
     )
     return enriched.select("error_id", nearest.alias("nearest_view_id"))
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, rnk FROM (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY SUM(l.l_extendedprice * (1 - l.l_discount)) DESC,
+                        c.c_custkey ASC
+             ) AS BIGINT) AS rnk
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    ) WHERE rnk <= 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+    revenue lost to returns in one quarter. Composite exercising
+    selective date pushdown on the fact-adjacent orders table, an 'R'
+    flag filter pushed into the lineitem scan, two broadcast dims
+    (customer at fixture scale would shuffle at 100 TB — it joins on
+    the post-aggregation custkey grain; nation is always broadcast),
+    and a global top-k (TakeOrdered, no full sort). Output is rank-only
+    per the suite float-hash rule: the first attempt emitted
+    ROUND(revenue, 2) and hit the documented cross-engine half-way
+    divergence (Spark 307843.6 vs DuckDB 307843.59 from a .595 sum) —
+    ranking on the UNROUNDED sum is stable because distinct customers'
+    revenues differ by far more than summation-order ulp noise, while
+    any fixed rounding can land on a boundary. Tie-break custkey.
+    """
+    prep(spark)
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return (
+        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .select("c_custkey", "c_name", "n_name", "rnk")
+    )
+
+
+@query(
+    "q18_large_volume",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR)  AS o_orderdate_s,
+           ROUND(o.o_totalprice, 2)        AS o_totalprice_r,
+           ROUND(SUM(l.l_quantity), 2)     AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds a threshold, with their customer and quantity
+    rollup. The HAVING subquery becomes an aggregate + left-semi join
+    on the fact key — Catalyst plans the semi join BEFORE the wide
+    join so only qualifying orders reach it. Both lineitem aggregates
+    share one shuffle key (l_orderkey), so AQE reuses the exchange.
+    """
+    prep(spark)
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 250)
+        .select("l_orderkey")
+    )
+    orders = table(spark, sf_dir, "orders").join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    cust = table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate_s"),
+            F.round("o_totalprice", 2).alias("o_totalprice_r"),
+            "sum_qty",
+        )
+    )

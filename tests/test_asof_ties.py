@@ -38,6 +38,11 @@ def _write_events(tmpdir: str) -> str:
         # user 3: error with no following view → NULL.
         (102, T0, 3, "error", 1.0, "{}"),
         (80, T0 - dt.timedelta(minutes=1), 3, "view", 1.0, "{}"),
+        # user 4: views equidistant (±30s) from the error → nearest
+        # prefers the PRIOR one (90), matching the oracle's ts ASC tie.
+        (90, T0 - dt.timedelta(seconds=30), 4, "view", 1.0, "{}"),
+        (103, T0, 4, "error", 1.0, "{}"),
+        (91, T0 + dt.timedelta(seconds=30), 4, "view", 1.0, "{}"),
     ]
     tbl = pa.table(
         {
@@ -63,7 +68,7 @@ def test_forward_asof_equal_ts_view_wins(spark, tie_dir):
         r["error_id"]: r["next_view_id"]
         for r in api.queries()["join_asof_forward"](spark, tie_dir).collect()
     }
-    assert got == {100: 50, 101: 70, 102: None}
+    assert got == {100: 50, 101: 70, 102: None, 103: 91}
 
 
 def test_forward_asof_matches_oracle_on_ties(spark, tie_dir):
@@ -99,3 +104,27 @@ def test_backward_asof_equal_ts_on_ties(spark, tie_dir):
         tuple(r) for r in api.queries()["join_asof"](spark, tie_dir).collect()
     )
     assert [tuple(r) for r in oracle] == got
+
+
+def test_nearest_asof_equal_ts_and_equidistant(spark, tie_dir):
+    got = {
+        r["error_id"]: r["nearest_view_id"]
+        for r in api.queries()["join_asof_nearest"](spark, tie_dir).collect()
+    }
+    # 100: equal-ts view 50 (distance 0, lowest id of the tie pair)
+    # 101: only a following view → 70
+    # 102: only a prior view → 80
+    # 103: ±30s equidistant → prior view 90 wins
+    assert got == {100: 50, 101: 70, 102: 80, 103: 90}
+
+
+def test_nearest_asof_matches_oracle_on_ties(spark, tie_dir):
+    con = duckdb.connect()
+    path = os.path.join(tie_dir, "events.parquet")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    oracle = dict(con.execute(api.oracle_sql()["join_asof_nearest"]).fetchall())
+    got = {
+        r["error_id"]: r["nearest_view_id"]
+        for r in api.queries()["join_asof_nearest"](spark, tie_dir).collect()
+    }
+    assert got == oracle
