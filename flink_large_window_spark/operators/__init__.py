@@ -16,6 +16,7 @@ _MODULES = (
     "sampling",
     "reshape",
     "timeseries",
+    "tpch",
 )
 
 for _m in _MODULES:
