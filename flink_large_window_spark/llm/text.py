@@ -404,7 +404,7 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
              MIN(n_tokens) AS n_tokens
       FROM quality GROUP BY lower(trim(text))
     ), sampled AS (
-      SELECT * FROM kept WHERE (doc_id * 2654435761) % 100 < 50
+      SELECT * FROM kept WHERE ((doc_id % 2147483647) * 2654435761) % 100 < 50
     )
     SELECT lang,
            COUNT(*)                  AS n_docs,
@@ -443,7 +443,10 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lang").alias("lang"),
         F.min("n_tokens").alias("n_tokens"),
     )
-    sampled = kept.filter((F.col("doc_id") * 2654435761) % 100 < 50)
+    # Reduce mod 2^31-1 before multiplying so the product stays < 2^63
+    # under ANSI mode even for 100 TB-scale doc_ids (same guard as
+    # sample_hash_bernoulli; identity for fixture ids).
+    sampled = kept.filter(((F.col("doc_id") % 2147483647) * 2654435761) % 100 < 50)
     return sampled.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
