@@ -4,5 +4,5 @@ reference's own surface (BASELINE.json north star)."""
 
 from importlib import import_module
 
-for _m in ("dedup", "similarity", "text", "multimodal"):
+for _m in ("dedup", "similarity", "text", "multimodal", "corpus"):
     import_module(f"{__name__}.{_m}")

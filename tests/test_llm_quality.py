@@ -151,3 +151,50 @@ def test_ivf_dedup_subset_and_planted_recall(spark, tmp_path_factory):
         assert ivf[vid] == 2, (vid, ivf[vid])
     # and nothing else clears 0.9 among 64-d gaussians
     assert all(v == 0 for k, v in exact.items() if k not in planted)
+
+
+def test_hll_sketch_estimate_close_to_exact(spark):
+    """agg_hll_sketch_merge is rows-only to the driver; the real check:
+    merged-sketch estimates must sit within 5 % of exact per-type
+    distinct-user counts (lgConfigK=12 ⇒ ~1.6 % RSE)."""
+    import pyspark.sql.functions as F
+
+    from flink_large_window_spark.registry import REGISTRY
+    from flink_large_window_spark.tables import table
+
+    est = {
+        r["event_type"]: r["est_users"]
+        for r in REGISTRY["agg_hll_sketch_merge"](spark, SF_SMOKE).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert abs(est[t] - n) / n <= 0.05, (t, est[t], n)
+
+
+def test_pack_chunks_invariants(spark):
+    """Every pack except the last must close at/over the 2048-token
+    boundary (concat-and-chunk semantics) and pack doc ranges must
+    tile the corpus contiguously in doc_id order."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    rows = sorted(
+        REGISTRY["corpus_pack_chunks"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["pack_id"],
+    )
+    assert rows[0]["pack_id"] == 0
+    # contiguous tiling: pack N's last_doc + 1 == pack N+1's first_doc
+    for a, b in zip(rows, rows[1:]):
+        assert a["last_doc"] + 1 == b["first_doc"], (a, b)
+        assert b["pack_id"] == a["pack_id"] + 1
+    # each non-final pack's cumulative end crosses its boundary
+    cum = 0
+    for r in rows[:-1]:
+        cum += r["total_tokens"]
+        assert cum >= (r["pack_id"] + 1) * 2048, r
