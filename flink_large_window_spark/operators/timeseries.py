@@ -283,3 +283,69 @@ def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day,
+             ROUND(SUM(value), 4) AS total
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT event_type, day, total,
+             ROW_NUMBER() OVER w AS rn,
+             AVG(total)    OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mu,
+             STDDEV_SAMP(total) OVER (w ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sd
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day, total,
+           ROUND((total - mu) / sd, 4) AS z,
+           CAST(ABS((total - mu) / sd) > 2.0 AS INTEGER) AS is_anomaly
+    FROM scored
+    WHERE rn > 7 AND sd > 0
+    """,
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each (event_type, day) total is
+    scored against the trailing 7-day mean/stddev EXCLUDING the current
+    day (ROWS 7 PRECEDING .. 1 PRECEDING), |z| > 2 flags an anomaly —
+    the standard ops-dashboard outlier detector.
+
+    Two-level dataflow: the raw scan aggregates to one row per
+    (type, day) — after which the window runs over the TINY daily
+    table, partitioned by type. At 100 TB the expensive part is the
+    first aggregation (partial-combined, one shuffle); the window
+    never sees raw events. The daily total is rounded BEFORE scoring
+    so both engines window over identical inputs (float summation
+    order differs; z on raw doubles could diverge).
+    """
+    prep(spark)
+    daily = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").cast("string").alias("day"),
+        )
+        .agg(F.round(F.sum("value"), 4).alias("total"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    trail = w.rowsBetween(-7, -1)
+    scored = daily.select(
+        "event_type",
+        "day",
+        "total",
+        F.row_number().over(w).alias("rn"),
+        F.avg("total").over(trail).alias("mu"),
+        F.stddev_samp("total").over(trail).alias("sd"),
+    )
+    z = (F.col("total") - F.col("mu")) / F.col("sd")
+    return scored.filter((F.col("rn") > 7) & (F.col("sd") > 0)).select(
+        "event_type",
+        "day",
+        "total",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 2.0).cast("int").alias("is_anomaly"),
+    )

@@ -434,3 +434,56 @@ def pattern_detect_followedby(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", F.col("event_id").alias("purchase_event"), "clicks_6h")
     )
+
+
+@query(
+    "winfn_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) = 1 THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(first_seen) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_types_so_far
+    FROM flagged
+    """,
+)
+def winfn_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT event_type) per user in event-time order.
+
+    Window frames cannot host DISTINCT aggregates (Spark and most
+    engines reject ``count(distinct ..) OVER``), so this uses the
+    standard decomposition: flag each (user, type)'s FIRST occurrence
+    with row_number()=1, then running-sum the flags. Two exchanges —
+    (user, type) for the flag, user for the running sum — but both run
+    over the narrow 4-column projection, never the full row, and the
+    second reshuffles flag bits only. Ordering ties broken by event_id
+    so both engines see identical frames.
+    """
+    prep(spark)
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("first_seen"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("first_seen").over(w_run).alias("n_types_so_far"),
+        )
+    )

@@ -680,3 +680,74 @@ def window_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(out(daily.withColumnRenamed("d_start", "s"), "day", "s"))
         .unionByName(out(monthly.withColumnRenamed("m_start", "s"), "month", "s"))
     )
+
+
+@query(
+    "window_session_dynamic_gap",
+    oracle="""
+    WITH gapped AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             CASE event_type WHEN 'click' THEN 1800000000
+                             WHEN 'view'  THEN 3600000000
+                             ELSE 900000000 END AS gap_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, us, gap_us,
+             CASE WHEN us >= MAX(us + gap_us) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) OR MAX(us + gap_us) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM gapped
+    ), sessions AS (
+      SELECT user_id, us, gap_us,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(make_timestamp(MIN(us)) AS VARCHAR)          AS s_start,
+           CAST(make_timestamp(MAX(us + gap_us)) AS VARCHAR) AS s_end,
+           COUNT(*)                                          AS n_events
+    FROM sessions
+    GROUP BY user_id, sess_id
+    """,
+)
+def window_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows whose inactivity gap depends on the EVENT
+    (click → 30 min, view → 60 min, else 15 min) — Flink's
+    ``SessionWindowTimeGapExtractor`` / Spark's dynamic-gap
+    ``session_window(ts, CASE ...)``.
+
+    Each event opens [ts, ts + gap(event)); overlapping panes merge,
+    so a session's end is the running max of per-event ends and a new
+    session starts exactly when an event's ts reaches that max
+    (half-open: touching panes do NOT merge). The oracle reproduces
+    that merge rule with a running-max island formulation — a stronger
+    check than re-using Spark's own operator, since the two
+    formulations only agree if the merge semantics are exactly right.
+    State per key is one interval (Spark merges incrementally); at
+    100 TB this is the same single-shuffle keyed aggregation as the
+    fixed-gap session.
+    """
+    prep(spark)
+    gap = (
+        F.when(F.col("event_type") == "click", "30 minutes")
+        .when(F.col("event_type") == "view", "60 minutes")
+        .otherwise("15 minutes")
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("s_start"),
+            F.col("w.end").cast("string").alias("s_end"),
+            "n_events",
+        )
+    )
