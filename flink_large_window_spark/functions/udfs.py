@@ -142,3 +142,56 @@ def udf_group_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .applyInPandas(zscore, schema="l_orderkey long, l_linenumber int, qty_z double")
     )
+
+
+@query(
+    "udtf_python_chunks",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER)                              AS chunk_idx,
+           CAST(LEAST(10, n - 10 * i) AS INTEGER)          AS chunk_tokens
+    FROM docs, UNNEST(generate_series(0, CAST(CEIL(n / 10.0) AS BIGINT) - 1)) AS u(i)
+    """,
+)
+def udtf_python_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Python UDTF (Spark 4 ``@udtf``, Arrow-optimized): expand
+    each document into fixed-size 10-token chunk descriptors — the
+    tokenize-and-chunk shape a training pipeline runs before packing.
+
+    ``udtf_split`` covers the declarative table-function form
+    (posexplode); this covers the imperative one — a Python class whose
+    ``eval`` yields 0..n rows per input row, for logic genuinely beyond
+    built-ins (stateful parsers, tokenizers). Registered and invoked
+    through SQL ``LATERAL``, so Catalyst still prunes/pushes the outer
+    scan. useArrow batches rows over Arrow instead of pickling one at a
+    time. At 100 TB the UDTF is a per-row map — no shuffle, scales with
+    the scan; the chunk fan-out (~n_tokens/10 per doc) is the same
+    explosion the equivalent explode() would produce.
+    """
+    prep(spark)
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_tokens int", useArrow=True)
+    class ChunkDescriptors:
+        def eval(self, text: str):  # noqa: D102
+            if text is None:
+                return
+            n = len(text.split(" "))
+            full, rem = divmod(n, 10)
+            for i in range(full):
+                yield i, 10
+            if rem:
+                yield full, rem
+
+    spark.udtf.register("chunk_descriptors", ChunkDescriptors)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_tokens
+        FROM docs_for_udtf d, LATERAL chunk_descriptors(d.text) c
+        """
+    )

@@ -625,3 +625,52 @@ def agg_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "agg_bitwise_flags",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id,
+             CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                             WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                             ELSE 16 END AS flag
+      FROM events
+    )
+    SELECT user_id,
+           CAST(bit_or(flag) AS BIGINT)            AS type_bitmap,
+           CAST(bit_count(bit_or(flag)) AS INTEGER) AS n_types
+    FROM coded GROUP BY user_id
+    """,
+)
+def agg_bitwise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type bitmap via BIT_OR aggregation — the
+    distributed bitmap-index pattern: set membership over an enum
+    domain folds to one integer per key, OR is associative/commutative
+    so partial aggregation (map-side combine) applies, and downstream
+    predicates like "did click AND purchase" become row-local
+    ``bitmap & 5 = 5`` tests with no join or distinct. bit_count
+    recovers the distinct-type cardinality for free — COUNT(DISTINCT)
+    over any enum-coded domain at a fraction of the shuffle width.
+    """
+    prep(spark)
+    flag = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 4)
+        .when(F.col("event_type") == "signup", 8)
+        .otherwise(16)
+    )
+    return (
+        table(spark, sf_dir, "events")
+        .select("user_id", flag.alias("flag"))
+        .groupBy("user_id")
+        .agg(
+            F.bit_or("flag").cast("long").alias("type_bitmap"),
+        )
+        .select(
+            "user_id",
+            "type_bitmap",
+            F.bit_count("type_bitmap").cast("int").alias("n_types"),
+        )
+    )

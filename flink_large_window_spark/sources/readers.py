@@ -147,3 +147,47 @@ def _register_kafka():
 
 
 _register_kafka()
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS pop, 1 AS gen
+    FROM region
+    UNION ALL
+    SELECT r_regionkey, r_name, r_regionkey * 10 AS pop, 2 AS gen
+    FROM region
+    """,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the same
+    table — generation 2 adds a ``pop`` column — unified by one scan
+    with ``mergeSchema=true``; generation-1 rows surface NULL for the
+    added column.
+
+    This is the landing-zone reality at 100 TB: years of files whose
+    schemas widened over time, read as ONE table without rewriting
+    history (Flink's "schema evolution" in its parquet format / state;
+    Spark's spark.sql.parquet.mergeSchema). Merge cost is footer-only —
+    Spark reconciles the union schema from file footers at planning
+    time; data pages are never touched and column pruning/pushdown
+    still apply per file. Default is mergeSchema=false (first-footer
+    wins) precisely because footer reconciliation over millions of
+    files costs planning time — enable per-read, as here.
+    """
+    prep(spark)
+    base = scratch_dir("flws_evo_")
+    region = table(spark, sf_dir, "region")
+    g1 = region.select("r_regionkey", "r_name", F.lit(1).alias("gen"))
+    g2 = region.select(
+        "r_regionkey",
+        "r_name",
+        (F.col("r_regionkey") * 10).cast("long").alias("pop"),
+        F.lit(2).alias("gen"),
+    )
+    g1.write.mode("overwrite").parquet(f"{base}/gen=1__files")
+    g2.write.mode("overwrite").parquet(f"{base}/gen=2__files")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen=1__files", f"{base}/gen=2__files"
+    )
+    return merged.select("r_regionkey", "r_name", "pop", "gen")

@@ -613,3 +613,57 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "user_total"
     )
     return run_to_memory(spark, joined, mode="append")
+
+
+@query("stream_stream_left_outer")  # rows-only; parity test is the strong check
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every click joined to
+    same-user purchases in the same 1h tumbling pane; clicks with no
+    matching purchase emit null-padded ONCE the watermark passes the
+    pane — Flink's interval/window outer join null-emission semantics.
+
+    The mechanics under bounded replay: inner matches emit in the data
+    micro-batch; unmatched left rows sit in the join state until a
+    LATER batch's watermark passes their pane end, so they surface in
+    the no-data micro-batch Spark schedules after the watermark
+    advances (spark.sql.streaming.noDataMicroBatches.enabled, default
+    on). Rows in the final watermark window remain unemitted — exactly
+    the suffix the parity test excludes (tests/test_streaming_parity.py
+    pins stream ⊆ batch and stream ⊇ closed-pane batch rows).
+
+    Window-equality joins bound state at 100 TB: each side keeps only
+    open panes' rows keyed by (user, pane); watermark eviction drops a
+    pane's state the moment it can no longer match — without the window
+    equi-term the join state would grow unboundedly.
+    """
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.window("ts", "1 hour").alias("cw"),
+        )
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.window("ts", "1 hour").alias("pw"),
+        )
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user")) & (F.col("cw") == F.col("pw")),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        F.col("cw.start").cast("string").alias("w_start"),
+        "click_id",
+        "purchase_id",
+    )
+    return run_to_memory(spark, joined, mode="append")

@@ -154,3 +154,49 @@ def test_session_timeout_parity(spark, max_ts):
     wm_us = us((max_ts.replace(tzinfo=None) - WM).isoformat(sep=" "))
     closed = {r for r in b if r[1] + 90 * 60 * 1_000_000 < wm_us}
     assert closed <= s, f"closed sessions missing: {sorted(closed - s)[:3]}"
+
+
+def test_stream_stream_left_outer_parity(spark, max_ts):
+    """Inner matches must all emit; null-padded left rows must emit for
+    every pane closed before the final watermark and never for a pane
+    the watermark hasn't passed."""
+    from flink_large_window_spark.registry import REGISTRY
+    from flink_large_window_spark.tables import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.window("ts", "1 hour").alias("w"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.window("ts", "1 hour").alias("pw"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user")) & (F.col("w") == F.col("pw")),
+        "left_outer",
+    ).select(
+        "user_id",
+        F.col("w.start").cast("string").alias("w_start"),
+        "click_id",
+        "purchase_id",
+    )
+    cols = ["user_id", "w_start", "click_id", "purchase_id"]
+    b = _rows(batch, cols)
+    s = _rows(REGISTRY["stream_stream_left_outer"](spark, SF_SMOKE), cols)
+
+    assert s <= b, f"stream rows not in batch: {sorted(s - b)[:3]}"
+    inner = {r for r in b if r[3] is not None}
+    assert inner <= s, f"inner matches missing: {sorted(inner - s)[:3]}"
+    wm = max_ts.replace(tzinfo=None) - WM
+    closed_outer = {
+        r
+        for r in b
+        if r[3] is None
+        and dt.datetime.fromisoformat(r[1]) + dt.timedelta(hours=1) < wm
+    }
+    assert closed_outer <= s, f"closed null-padded rows missing: {sorted(closed_outer - s)[:3]}"
+    assert len(s) > 0
