@@ -73,10 +73,16 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = toks.select(
         "doc_id",
+        # Guard short docs explicitly: sequence(1, n) DESCENDS when n < 1
+        # (yielding [1, 0] and a slice(ts, 0, 5) runtime error), so docs
+        # under 5 tokens must short-circuit to an empty gram list — which
+        # is also what the oracle's generate_series(1, len-4) emits.
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(ts) - 4, 0)),"
+                "CASE WHEN size(ts) >= 5 THEN"
+                " transform(sequence(1, size(ts) - 4),"
                 " i -> concat_ws(' ', slice(ts, i, 5)))"
+                " ELSE array() END"
             )
         ).alias("gram"),
     )

@@ -692,7 +692,7 @@ def window_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                              ELSE 900000000 END AS gap_us
       FROM events
     ), marked AS (
-      SELECT user_id, us, gap_us,
+      SELECT user_id, event_id, us, gap_us,
              CASE WHEN us >= MAX(us + gap_us) OVER (
                PARTITION BY user_id ORDER BY us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -702,9 +702,13 @@ def window_cascading_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) IS NULL THEN 1 ELSE 0 END AS is_new
       FROM gapped
     ), sessions AS (
+      -- event_id tiebreak must match the marked CTE's frame order: under
+      -- a (user_id, us) tie the running sum would otherwise be free to
+      -- frame the is_new=0 row before its is_new=1 twin and assign it to
+      -- the previous session (latent; no fixture ties today).
       SELECT user_id, us, gap_us,
              SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY us
+               PARTITION BY user_id ORDER BY us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS sess_id
       FROM marked
