@@ -8,8 +8,9 @@ JSON line to stdout:
   {"metric": "...", "value": <total median sec>, "unit": "sec",
    "queries": {key: sec, ...}, "sf": "<dir>"}
 
-and writes BENCH.json with per-run detail + env (the frozen baseline
-per BASELINE.md — later rounds must stay within 2×).
+and writes BENCH_LAST.json with per-run detail + env. BENCH.json is
+the FROZEN round-1 baseline (BASELINE.md) and is never rewritten here
+— later rounds must stay within 2× of it.
 """
 
 from __future__ import annotations
@@ -92,7 +93,7 @@ def main() -> None:
         "master": spark.sparkContext.master,
         "sf_dir": sf_dir,
     }
-    with open(os.path.join(_REPO_ROOT, "BENCH.json"), "w") as f:
+    with open(os.path.join(_REPO_ROOT, "BENCH_LAST.json"), "w") as f:
         json.dump({"queries": results, "total_s": total, "env": env}, f, indent=2)
 
     print(

@@ -617,7 +617,33 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_embed_cosine_ivf")  # rows-only: approximate by construction
+@query(
+    "dedup_embed_cosine_ivf",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS c_vec
+      FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.c_vec) DESC,
+                          c.cent_id ASC
+               ) AS r
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE r = 1
+    )
+    SELECT a.vec_id AS doc_id,
+           COUNT(CASE WHEN list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+                 THEN 1 END) AS n_neardup_09
+    FROM assigned a
+    LEFT JOIN assigned b
+      ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id
+    GROUP BY a.vec_id
+    """,
+)
 def dedup_embed_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell embedding near-dup counts (threshold 0.9) — the
     candidate-generation scale path that pairs with dedup_embed_cosine's

@@ -134,7 +134,40 @@ def sim_knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_IVF_CENTROIDS = 16
 
 
-@query("sim_ann_ivf_topk")  # rows-only: approximate by construction
+@query(
+    "sim_ann_ivf_topk",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS c_vec
+      FROM embeddings WHERE vec_id < 16
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, c.c_vec) DESC,
+                          c.cent_id ASC
+               ) AS r
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE r = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, cent_id AS q_cent
+      FROM assigned WHERE vec_id < 10
+    )
+    SELECT query_id, neighbor_id, rnk FROM (
+      SELECT q.query_id, a.vec_id AS neighbor_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(q.q_vec, a.embedding) DESC,
+                        a.vec_id ASC
+             ) AS INTEGER) AS rnk
+      FROM assigned a
+      JOIN q ON a.cent_id = q.q_cent AND a.vec_id <> q.query_id
+    ) WHERE rnk <= 5
+    """,
+)
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-5 — the >10⁶-vector scale path.
 
@@ -144,6 +177,9 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join — linear); a query searches ONLY its own centroid's inverted
     list, turning O(Q·N) brute force into O(Q·N/C). Recall vs the
     exact brute-force top-5 is asserted in tests/test_llm_quality.py.
+    The quantizer is deterministic, so the whole operator is DuckDB-
+    expressible (round-4 oracle upgrade: same assign-then-rank SQL with
+    the integer-only output rule of SURVEY §2.10).
     """
     prep(spark)
     emb = _with_norm(table(spark, sf_dir, "embeddings"))
@@ -194,7 +230,45 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_kmeans_assign")  # rows-only: iterative algorithm, not SQL-canonical
+def _kmeans_oracle(iters: int = 3, k: int = 10, dim: int = 64) -> str:
+    """Unroll the deterministic Lloyd iterations as DuckDB CTEs.
+
+    Mirrors emb_kmeans_assign op-for-op: same init (first-k vectors),
+    same assignment metric (c² − 2a·c in double — the a² term is
+    row-constant and dropped on BOTH sides), same lowest-cluster
+    tie-break, same empty-cluster carry-forward (COALESCE)."""
+    d2 = "list_inner_product(c.v, c.v) - 2 * list_inner_product(e.v, c.v)"
+
+    def assign(cents: str) -> str:
+        return f"""
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {d2} ASC, c.cluster ASC) AS r
+    FROM e CROSS JOIN {cents} c) WHERE r = 1"""
+
+    sql = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),\n"
+        f"c0 AS (SELECT vec_id AS cluster, v FROM e WHERE vec_id < {k})"
+    )
+    for i in range(iters):
+        sql += f""",
+a{i} AS ({assign(f'c{i}')}),
+m{i} AS (
+  SELECT cluster, list(mv ORDER BY idx) AS v FROM (
+    SELECT a.cluster, r.idx, SUM(e.v[r.idx]) / COUNT(*) AS mv
+    FROM e JOIN a{i} a USING (vec_id)
+    CROSS JOIN range(1, {dim + 1}) r(idx)
+    GROUP BY a.cluster, r.idx) GROUP BY cluster),
+c{i + 1} AS (
+  SELECT p.cluster, COALESCE(m.v, p.v) AS v
+  FROM c{i} p LEFT JOIN m{i} m USING (cluster))"""
+    sql += f"\nSELECT vec_id, cluster FROM ({assign(f'c{iters}')})"
+    return sql
+
+
+@query("emb_kmeans_assign", oracle=_kmeans_oracle())
 def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd k-means (k=10, 3 iterations) over the
     embedding corpus; returns each vector's final cluster.
@@ -229,7 +303,12 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             c = bc.value
             for pdf in batches:
                 a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                d2 = (a * a).sum(1, keepdims=True) - 2.0 * (a @ c.T)
+                # ||a-c||² minus the row-constant a² term: c² − 2a·c.
+                # (Round-4 fix: the c² term was missing, which silently
+                # turned the assignment into argmax-dot, not nearest-L2.
+                # The a² term is dropped on BOTH engine and oracle so the
+                # float expressions match op-for-op.)
+                d2 = (c * c).sum(axis=1) - 2.0 * (a @ c.T)
                 assign = d2.argmin(axis=1)  # argmin → lowest index on ties
                 rows = []
                 for k in np.unique(assign):
@@ -259,7 +338,7 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         c = bc_final.value
         for pdf in batches:
             a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            d2 = (a * a).sum(1, keepdims=True) - 2.0 * (a @ c.T)
+            d2 = (c * c).sum(axis=1) - 2.0 * (a @ c.T)
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "cluster": d2.argmin(axis=1).astype("int64")}
             )

@@ -59,6 +59,8 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+
+
 def run_to_memory(spark: SparkSession, out: DataFrame, mode: str = "append") -> DataFrame:
     """Drain a streaming DataFrame into a memory sink, return the table.
 
@@ -624,10 +626,18 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The mechanics under bounded replay: inner matches emit in the data
     micro-batch; unmatched left rows sit in the join state until a
-    LATER batch's watermark passes their pane end, so they surface in
-    the no-data micro-batch Spark schedules after the watermark
-    advances (spark.sql.streaming.noDataMicroBatches.enabled, default
-    on). Rows in the final watermark window remain unemitted — exactly
+    LATER batch runs with a watermark past their pane end — here the
+    trailing no-data micro-batch Spark schedules once the watermark
+    advances (spark.sql.streaming.noDataMicroBatches.enabled, on by
+    default). CRITICAL plan shape: both sides derive from ONE shared
+    watermarked source, with the event_type filters applied above it.
+    The watermark node must observe the FULL event stream's max ts;
+    with per-side sources Catalyst pushes each filter below its
+    watermark node, making the join watermark min(max click ts, max
+    purchase ts) − delay — hours behind the stream end, leaving the
+    last closed panes unflushed (the r3 deterministic parity failure).
+    Sharing the source also means one scan instead of two. Rows in
+    panes the final watermark has not passed remain unemitted — exactly
     the suffix the parity test excludes (tests/test_streaming_parity.py
     pins stream ⊆ batch and stream ⊇ closed-pane batch rows).
 
@@ -636,25 +646,16 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     pane's state the moment it can no longer match — without the window
     equi-term the join state would grow unboundedly.
     """
-    ev = _events_stream(spark, sf_dir)
-    clicks = (
-        ev.filter(F.col("event_type") == "click")
-        .withWatermark("ts", "10 minutes")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.window("ts", "1 hour").alias("cw"),
-        )
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.window("ts", "1 hour").alias("cw"),
     )
-    purchases = (
-        _events_stream(spark, sf_dir)
-        .filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "10 minutes")
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.window("ts", "1 hour").alias("pw"),
-        )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.window("ts", "1 hour").alias("pw"),
     )
     joined = clicks.join(
         purchases,

@@ -49,6 +49,12 @@ def prep(spark: SparkSession) -> SparkSession:
     # µs-floored TimestampType, which is bit-identical to what DuckDB's
     # parquet reader produces for the oracle (verified: DuckDB floors).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Fixture timestamps are naive instants (isAdjustedToUTC=false).
+    # Spark 4 would infer TIMESTAMP_NTZ, which watermarks reject
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) — read them as session-tz
+    # TimestampType instead; with the UTC session tz above the rendered
+    # instants match DuckDB's naive reads exactly.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return spark
 
 
@@ -56,6 +62,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (schema-on-read)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    prep(spark)  # idempotent; the driver's session never calls prep itself
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ns-long → µs-floored timestamp (`div` = integer division; a
