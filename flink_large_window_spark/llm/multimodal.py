@@ -25,11 +25,29 @@ from ..registry import query
 from ..tables import prep, table
 
 
-def decode_image(blob: bytes) -> "object":
-    """Decode an image blob → pixel array. STUB: the container ships no
-    image codec (no PIL/cv2); real deployments drop in the decoder
-    here. The deterministic fake below keeps the pipeline testable."""
-    raise NotImplementedError("image codec not available in this container")
+try:  # optional codec: used automatically when the deployment ships it
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:  # pragma: no cover - this container has no codec
+    _PIL_Image = None
+
+
+def decode_image(blob: bytes) -> dict:
+    """Decode an image blob → {width, height, mode}.
+
+    Uses PIL when importable (round-4: real decode auto-enables —
+    tests/test_llm_quality.py covers it under ``importorskip``);
+    otherwise raises NotImplementedError, and the operators below run
+    their deterministic fake instead. This container ships no codec,
+    so the stub path is what CI exercises here.
+    """
+    if _PIL_Image is None:
+        raise NotImplementedError(
+            "image codec not available in this container"
+        )
+    import io
+
+    with _PIL_Image.open(io.BytesIO(blob)) as im:
+        return {"width": im.width, "height": im.height, "mode": im.mode}
 
 
 @query(

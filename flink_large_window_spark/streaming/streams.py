@@ -61,11 +61,23 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
 def run_to_memory(spark: SparkSession, out: DataFrame, mode: str = "append") -> DataFrame:
     """Drain a streaming DataFrame into a memory sink, return the table.
 
     RocksDB state store provider is enabled for the run — the Flink
     RocksDB state-backend analogue for large window state.
+
+    Shuffle partitions are dropped to STREAM_SHUFFLE_PARTITIONS for the
+    run (restored after): a stateful operator opens/commits one state
+    store PER shuffle partition PER micro-batch, so at bounded-replay
+    scale the 32-partition batch default spends most wall time on store
+    lifecycle, not data (r3 profile: 73s → the store count is the
+    driver). The partition count is baked into each checkpoint; every
+    run here uses a fresh checkpoint, so lowering it is safe. On a real
+    cluster this is sized to state volume ÷ executor memory instead.
     """
     global _SINK_SEQ
     _SINK_SEQ += 1
@@ -74,17 +86,24 @@ def run_to_memory(spark: SparkSession, out: DataFrame, mode: str = "append") -> 
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option(
-            "checkpointLocation", scratch_dir("flws_ckpt_")
-        )
-        .trigger(availableNow=True)
-        .start()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
     )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option(
+                "checkpointLocation", scratch_dir("flws_ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 

@@ -39,7 +39,71 @@ from ..registry import query
 from ..tables import prep, table
 
 US_15MIN = 15 * 60 * 1_000_000
+US_HOUR = 60 * 60 * 1_000_000
 GAP_US = 30 * 60 * 1_000_000  # session gap
+
+# Sliding-window plan dispatch (SURVEY §4 mitigation, VERDICT r3 #5):
+# native window(ts, size, slide) replicates each ROW into size/slide
+# buckets before the shuffle; at or above this ratio the pane/slice
+# form wins (pre-aggregate per slide bucket, fan out BUCKETS, roll up —
+# at 100 TB that replicates millions of buckets instead of billions of
+# rows). Below it, the native single-aggregation plan is cheaper than
+# paying a second aggregation.
+SLIDING_PREBUCKET_MIN_RATIO = 4
+
+
+def sliding_user_counts(
+    events: DataFrame, size_us: int, slide_us: int
+) -> DataFrame:
+    """Per-user event counts over sliding windows, auto-selecting the
+    physical plan by fan-out ratio.
+
+    ``slide`` must divide ``size`` (pane slicing is only exact then) and
+    the aggregate must be decomposable (count/sum/min/max) — both hold
+    for every §2.9 use. Output: (w_start string, user_id, n) — identical
+    columns, values, and hashes from either plan (pinned by
+    tests/test_plans.py and the shared DuckDB oracle).
+    """
+    ratio, rem = divmod(size_us, slide_us)
+    if rem:
+        raise ValueError(f"slide must divide size ({size_us}/{slide_us})")
+    if ratio < SLIDING_PREBUCKET_MIN_RATIO:
+        return (
+            events.groupBy(
+                F.window(
+                    "ts", f"{size_us} microseconds", f"{slide_us} microseconds"
+                ).alias("w"),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").cast("string").alias("w_start"),
+                "user_id",
+                "n",
+            )
+        )
+    pre = (
+        events.groupBy(
+            F.window("ts", f"{slide_us} microseconds").alias("b"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .select(F.col("b.start").alias("b_start"), "user_id", "pn")
+    )
+    slid = pre.select(
+        "b_start",
+        "user_id",
+        "pn",
+        F.explode(F.sequence(F.lit(0), F.lit(ratio - 1))).alias("k"),
+    ).select(
+        F.timestamp_micros(
+            F.unix_micros("b_start") - F.col("k").cast("long") * slide_us
+        )
+        .cast("string")
+        .alias("w_start"),
+        "user_id",
+        "pn",
+    )
+    return slid.groupBy("w_start", "user_id").agg(F.sum("pn").alias("n"))
 
 
 @query(
@@ -88,20 +152,17 @@ def window_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour window sliding 15 min per user (SlidingEventTimeWindows).
 
-    Spark replicates each row into size/slide = 4 buckets. The oracle
-    reproduces the same fan-out explicitly on the epoch-aligned 15-min
-    grid (window start = 15-min bucket minus k slides, k ∈ 0..3).
+    The oracle reproduces the fan-out explicitly on the epoch-aligned
+    15-min grid (window start = 15-min bucket minus k slides, k∈0..3).
+    Physical plan is auto-selected by sliding_user_counts: at ratio
+    size/slide = 4 (≥ SLIDING_PREBUCKET_MIN_RATIO) it runs the
+    pane/slice rollup, replicating pre-aggregated buckets instead of
+    raw rows — same result, hash-identical (driver-checked r3 with the
+    native plan, r4 with the dispatched one).
     """
     prep(spark)
-    return (
-        table(spark, sf_dir, "events")
-        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.col("w.start").cast("string").alias("w_start"),
-            "user_id",
-            "n",
-        )
+    return sliding_user_counts(
+        table(spark, sf_dir, "events"), US_HOUR, US_15MIN
     )
 
 

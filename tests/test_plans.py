@@ -4,6 +4,8 @@ pruning, broadcast, two-phase aggregation, whole-stage codegen."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 from tests.conftest import SF_SMOKE
 
 
@@ -87,3 +89,36 @@ def test_no_row_at_a_time_python_udf(spark):
     for key in ("udf_scalar_pandas", "udaf_grouped_agg", "multimodal_blob_features"):
         plan = _plan(REGISTRY[key](spark, SF_SMOKE))
         assert "BatchEvalPython" not in plan, f"{key} uses row-at-a-time Python"
+
+
+def test_sliding_plan_dispatch(spark):
+    """sliding_user_counts picks the pane/slice rollup at high fan-out
+    (Generate/explode over pre-aggregated buckets, no Expand of raw
+    rows) and the native single-aggregation window below the threshold
+    (Expand, no Generate) — and both produce identical results."""
+    from flink_large_window_spark.streaming.windows import (
+        US_15MIN,
+        US_HOUR,
+        sliding_user_counts,
+    )
+    from flink_large_window_spark.tables import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    prebucket = sliding_user_counts(ev, US_HOUR, US_15MIN)  # ratio 4
+    native = sliding_user_counts(ev, US_HOUR, 2 * US_15MIN)  # ratio 2
+    p_pre, p_nat = _plan(prebucket), _plan(native)
+    assert "Generate" in p_pre and "Expand" not in p_pre
+    assert "Expand" in p_nat and "Generate" not in p_nat
+
+    # dispatched ratio-4 result == forced-native ratio-4 result
+    forced = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("w_start"), "user_id", "n"
+        )
+    )
+    assert prebucket.exceptAll(forced).count() == 0
+    assert forced.exceptAll(prebucket).count() == 0
