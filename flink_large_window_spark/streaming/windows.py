@@ -44,19 +44,30 @@ GAP_US = 30 * 60 * 1_000_000  # session gap
 
 # Sliding-window plan dispatch (SURVEY §4 mitigation, VERDICT r3 #5):
 # native window(ts, size, slide) replicates each ROW into size/slide
-# buckets before the shuffle; at or above this ratio the pane/slice
-# form wins (pre-aggregate per slide bucket, fan out BUCKETS, roll up —
-# at 100 TB that replicates millions of buckets instead of billions of
-# rows). Below it, the native single-aggregation plan is cheaper than
-# paying a second aggregation.
+# buckets before the shuffle; the pane/slice form (pre-aggregate per
+# slide bucket, fan out BUCKETS, roll up) replicates pre-aggregated
+# buckets instead — but pays a second aggregation, so it only wins
+# when BOTH hold: fan-out ratio is high enough AND the stream is dense
+# enough that a slide bucket folds multiple events. Measured at sf0.1
+# (r4): 100k events → 98.9k distinct (user × 15-min) buckets, i.e.
+# ~1 event/bucket — prebucket is 0.86s vs native 0.60s, pure overhead.
+# At production density (billions of events/day over a bounded
+# key × slot grid) events-per-bucket is 10³–10⁶ and pane slicing is
+# decisive. Density is a data property the planner can't see at plan
+# time, so callers pass it as a hint (from table stats / ingest
+# metrics in a real deployment).
 SLIDING_PREBUCKET_MIN_RATIO = 4
+SLIDING_PREBUCKET_MIN_DENSITY = 2.0  # events per (key × slide bucket)
 
 
 def sliding_user_counts(
-    events: DataFrame, size_us: int, slide_us: int
+    events: DataFrame,
+    size_us: int,
+    slide_us: int,
+    events_per_bucket_hint: float | None = None,
 ) -> DataFrame:
     """Per-user event counts over sliding windows, auto-selecting the
-    physical plan by fan-out ratio.
+    physical plan from fan-out ratio × stream density.
 
     ``slide`` must divide ``size`` (pane slicing is only exact then) and
     the aggregate must be decomposable (count/sum/min/max) — both hold
@@ -67,7 +78,11 @@ def sliding_user_counts(
     ratio, rem = divmod(size_us, slide_us)
     if rem:
         raise ValueError(f"slide must divide size ({size_us}/{slide_us})")
-    if ratio < SLIDING_PREBUCKET_MIN_RATIO:
+    dense = (
+        events_per_bucket_hint is not None
+        and events_per_bucket_hint >= SLIDING_PREBUCKET_MIN_DENSITY
+    )
+    if ratio < SLIDING_PREBUCKET_MIN_RATIO or not dense:
         return (
             events.groupBy(
                 F.window(
@@ -154,11 +169,12 @@ def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle reproduces the fan-out explicitly on the epoch-aligned
     15-min grid (window start = 15-min bucket minus k slides, k∈0..3).
-    Physical plan is auto-selected by sliding_user_counts: at ratio
-    size/slide = 4 (≥ SLIDING_PREBUCKET_MIN_RATIO) it runs the
-    pane/slice rollup, replicating pre-aggregated buckets instead of
-    raw rows — same result, hash-identical (driver-checked r3 with the
-    native plan, r4 with the dispatched one).
+    Physical plan comes from sliding_user_counts' ratio × density
+    dispatch: the fixture stream is sparse (~1 event per user×15-min
+    bucket, measured r4), so no hint is passed and the native
+    single-aggregation plan runs; a dense production stream passes its
+    events-per-bucket stat and gets the pane/slice rollup
+    (window_sliding_agg_prebucket shows that exact plan, hash-equal).
     """
     prep(spark)
     return sliding_user_counts(

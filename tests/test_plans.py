@@ -92,10 +92,11 @@ def test_no_row_at_a_time_python_udf(spark):
 
 
 def test_sliding_plan_dispatch(spark):
-    """sliding_user_counts picks the pane/slice rollup at high fan-out
+    """sliding_user_counts picks the pane/slice rollup only when BOTH
+    fan-out ratio and declared stream density clear their thresholds
     (Generate/explode over pre-aggregated buckets, no Expand of raw
-    rows) and the native single-aggregation window below the threshold
-    (Expand, no Generate) — and both produce identical results."""
+    rows); sparse or low-ratio streams get the native single-aggregation
+    window (Expand, no Generate) — and both produce identical results."""
     from flink_large_window_spark.streaming.windows import (
         US_15MIN,
         US_HOUR,
@@ -104,11 +105,20 @@ def test_sliding_plan_dispatch(spark):
     from flink_large_window_spark.tables import table
 
     ev = table(spark, SF_SMOKE, "events")
-    prebucket = sliding_user_counts(ev, US_HOUR, US_15MIN)  # ratio 4
-    native = sliding_user_counts(ev, US_HOUR, 2 * US_15MIN)  # ratio 2
-    p_pre, p_nat = _plan(prebucket), _plan(native)
+    # ratio 4 + dense hint → pane/slice rollup
+    prebucket = sliding_user_counts(
+        ev, US_HOUR, US_15MIN, events_per_bucket_hint=8.0
+    )
+    # ratio 4, no density hint (fixture streams are sparse) → native
+    native = sliding_user_counts(ev, US_HOUR, US_15MIN)
+    # dense but ratio 2 → still native (ratio gate)
+    low_ratio = sliding_user_counts(
+        ev, US_HOUR, 2 * US_15MIN, events_per_bucket_hint=8.0
+    )
+    p_pre, p_nat, p_low = _plan(prebucket), _plan(native), _plan(low_ratio)
     assert "Generate" in p_pre and "Expand" not in p_pre
     assert "Expand" in p_nat and "Generate" not in p_nat
+    assert "Expand" in p_low and "Generate" not in p_low
 
     # dispatched ratio-4 result == forced-native ratio-4 result
     forced = (
