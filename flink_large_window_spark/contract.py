@@ -211,6 +211,8 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
     "window_count_tumbling",
     "window_count_sliding",
     "window_tumbling_offset",
+    # round-4 addition (SQL oracle, hash-verified at sf0.01)
+    "sim_ann_ivf_multiprobe",
     # sources / physical-plan keys
     "source_csv_roundtrip",
     "source_jsonl_roundtrip",
@@ -233,6 +235,7 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
     "window_early_fire_stream",
     "join_window_tumbling_stream",
     "stream_stream_left_outer",
+    "stream_stream_full_outer",
     "stream_foreachbatch_upsert",
     "stateful_count_session_stream",
     "stateful_session_timeout_stream",

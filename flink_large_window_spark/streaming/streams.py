@@ -687,3 +687,43 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
     )
     return run_to_memory(spark, joined, mode="append")
+
+
+@query("stream_stream_full_outer")  # rows-only; parity test is the strong check
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join on (user × 1h pane):
+    clicks with no same-pane purchase AND purchases with no same-pane
+    click both emit null-padded once the watermark closes their pane —
+    the bidirectional completion of stream_stream_left_outer (Flink
+    window coGroup with outer emission on both sides).
+
+    Same load-bearing plan shape as the left-outer key (see its
+    docstring, r4): ONE shared watermarked source so the watermark
+    tracks the full stream; state per side is pane-scoped and
+    watermark-evicted, so at 100 TB the join state is O(open panes ×
+    active keys), independent of stream length.
+    """
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.window("ts", "1 hour").alias("cw"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.window("ts", "1 hour").alias("pw"),
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user")) & (F.col("cw") == F.col("pw")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        F.coalesce(F.col("cw.start"), F.col("pw.start"))
+        .cast("string")
+        .alias("w_start"),
+        "click_id",
+        "purchase_id",
+    )
+    return run_to_memory(spark, joined, mode="append")

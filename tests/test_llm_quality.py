@@ -26,6 +26,15 @@ def test_ivf_recall_vs_bruteforce(spark):
     # above chance without demanding brute-force parity.
     assert recall >= 0.2, f"IVF recall@5 too low: {recall:.2f}"
 
+    # nprobe=2 must dominate single-probe: searching a superset of
+    # cells can only add candidates, so recall is monotone in nprobe.
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in REGISTRY["sim_ann_ivf_multiprobe"](spark, SF_SMOKE).collect()
+    }
+    recall2 = len(exact & multi) / len(exact)
+    assert recall2 >= recall, f"multiprobe recall {recall2:.2f} < single {recall:.2f}"
+
 
 def test_langid_outputs_valid_labels(spark):
     from flink_large_window_spark.registry import REGISTRY

@@ -200,3 +200,53 @@ def test_stream_stream_left_outer_parity(spark, max_ts):
     }
     assert closed_outer <= s, f"closed null-padded rows missing: {sorted(closed_outer - s)[:3]}"
     assert len(s) > 0
+
+
+def test_stream_stream_full_outer_parity(spark, max_ts):
+    """Inner matches must all emit; null-padded rows on BOTH sides must
+    emit for every pane closed before the final watermark and never for
+    a pane the watermark hasn't passed."""
+    from flink_large_window_spark.registry import REGISTRY
+    from flink_large_window_spark.tables import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.window("ts", "1 hour").alias("cw"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.window("ts", "1 hour").alias("pw"),
+    )
+    batch = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user")) & (F.col("cw") == F.col("pw")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        F.coalesce(F.col("cw.start"), F.col("pw.start"))
+        .cast("string")
+        .alias("w_start"),
+        "click_id",
+        "purchase_id",
+    )
+    cols = ["user_id", "w_start", "click_id", "purchase_id"]
+    b = _rows(batch, cols)
+    s = _rows(REGISTRY["stream_stream_full_outer"](spark, SF_SMOKE), cols)
+
+    assert s <= b, f"stream rows not in batch: {sorted(s - b)[:3]}"
+    inner = {r for r in b if r[2] is not None and r[3] is not None}
+    assert inner <= s, f"inner matches missing: {sorted(inner - s)[:3]}"
+    wm = max_ts.replace(tzinfo=None) - WM
+    closed_outer = {
+        r
+        for r in b
+        if (r[2] is None or r[3] is None)
+        and dt.datetime.fromisoformat(r[1]) + dt.timedelta(hours=1) < wm
+    }
+    missing = closed_outer - s
+    assert not missing, f"closed null-padded rows missing: {sorted(missing)[:3]}"
+    assert any(r[2] is None for r in s), "no purchase-side null-padded rows"
+    assert any(r[3] is None for r in s), "no click-side null-padded rows"
