@@ -394,10 +394,20 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the packed-GEMM form runs the same math in well under a second.
     """
     prep(spark)
+    import math
+
     import numpy as np
 
-    n_blocks = 8
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Adaptive block count (r4): target ~1024 vectors per block so the
+    # per-task GEMM is substantial and the B² pair-task count tracks
+    # corpus size — a fixed B=8 spent more wall time scheduling 64
+    # near-empty tasks than multiplying at fixture scale, and would
+    # under-split a 10⁸-vector corpus. The count() is a cheap
+    # metadata-ish scan of one long column; a deployment would read it
+    # from table stats.
+    n_vec = emb.count()
+    n_blocks = max(1, min(64, math.ceil(n_vec / 1024)))
     blocked = emb.withColumn("block", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
 
     def pack(pdf):
