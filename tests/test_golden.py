@@ -37,6 +37,7 @@ KEYS = [
     "emb_kmeans_assign",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "sim_ann_ivf_multiprobe",
     "dedup_simhash_hamming",
     "llm_corpus_pipeline",
     "window_count_tumbling",
