@@ -254,7 +254,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q9_product_profit",
     oracle="""
-    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    SELECT nation, o_year,
+           CAST(SUM(CAST(ROUND(amount * 10000) AS BIGINT)) AS DOUBLE)
+             / 10000.0 AS sum_profit
     FROM (
       SELECT n.n_name AS nation,
              CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
@@ -276,6 +278,14 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fixtures, so cost is modeled as 10% of p_retailprice per unit —
     same plan shape (pattern-filtered broadcast part dim, two fact
     joins, nation rollup), different constant.
+
+    Float policy (r4): per-row amount is exactly 4-decimal-valued
+    (2dp price × 2dp discount; 3dp cost term — probed against the
+    fixtures), so both engines round it to a scaled BIGINT (×10⁴,
+    never near a .5 boundary) and SUM integers — order-independent and
+    bit-identical — then divide once. ROUND(SUM(double), 2) was a
+    summation-order lottery: at sf0.1 one group's sum landed within
+    1e-3 of a half-cent and the engines split (…936.61 vs .62).
     """
     prep(spark)
     p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
@@ -296,7 +306,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            (F.sum(F.round(amount * 10000, 0).cast("long")) / F.lit(10000.0))
+            .alias("sum_profit")
+        )
     )
 
 
