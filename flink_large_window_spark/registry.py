@@ -15,7 +15,12 @@ Conventions enforced suite-wide (SURVEY.md §2 parity rules):
   rounds the binary value, so inputs whose shortest repr terminates
   with a '5' exactly at the cut position diverge (1.005 → 1.01 vs
   1.00). Aggregates of fixture data land on such boundaries with
-  negligible probability (verified green at sf0.001/0.01/0.1);
+  negligible probability (verified green at sf0.001/0.01/0.1). When a
+  sum DOES land on one (it happened once: q9 at sf0.1), the remedy is
+  exact scaled-integer summation — per-row ROUND(x·10^k) AS BIGINT on
+  both sides (fixture money is k-decimal-valued, so the per-row round
+  is never near .5), SUM integers, divide once; see
+  operators/tpch.py::q9_product_profit;
 - timestamp/date outputs are emitted as strings (``CAST(.. AS STRING)``
   both sides) so timezone-awareness differences between Spark
   TimestampType (session-tz) and DuckDB naive TIMESTAMP cannot produce
