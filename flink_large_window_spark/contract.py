@@ -211,8 +211,9 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
     "window_count_tumbling",
     "window_count_sliding",
     "window_tumbling_offset",
-    # round-4 addition (SQL oracle, hash-verified at sf0.01)
+    # round-4 additions (SQL oracle, hash-verified at sf0.001/0.01/0.1)
     "sim_ann_ivf_multiprobe",
+    "join_asof_tolerance",
     # sources / physical-plan keys
     "source_csv_roundtrip",
     "source_jsonl_roundtrip",

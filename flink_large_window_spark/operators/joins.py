@@ -727,6 +727,74 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT error_id, click_id FROM (
+      SELECT e.event_id AS error_id, c.event_id AS click_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = e.user_id AND c.ts <= e.ts
+       AND c.ts >= e.ts - INTERVAL 30 MINUTE
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (feature-store semantics):
+    each error takes the nearest prior click only if it is at most
+    30 minutes old, else NULL — ``merge_asof(tolerance=...)`` /
+    point-in-time-correct feature lookup with a max-age guard.
+
+    Same linear single-shuffle shape as join_asof (union, one window
+    pass carrying the matched click as a struct so id and ts travel
+    together), plus a row-local staleness test. The bound is ALSO what
+    makes the streaming form viable at 100 TB: state per key is one
+    struct, and the tolerance gives the watermark an eviction horizon
+    (a match older than the bound can never be emitted), exactly
+    Flink's interval-join state TTL. Oracle is the pairwise theta-join
+    form with the tolerance in the ON clause — LEFT JOIN keeps
+    out-of-tolerance errors as NULL rows on both sides.
+    """
+    prep(spark)
+    tol_us = 30 * 60 * 1_000_000
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "click",
+            F.struct(
+                F.unix_micros("ts").alias("cts"), F.col("event_id").alias("cid")
+            ),
+        ).alias("click"),
+        # clicks (0) sort before errors (1) at equal ts → inclusive <=
+        F.when(F.col("event_type") == "click", F.lit(0)).otherwise(F.lit(1)).alias("tie"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tie", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("last_click", F.last("click", ignorenulls=True).over(w))
+        .filter(F.col("tie") == 1)
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.when(
+                F.unix_micros("ts") - F.col("last_click.cts") <= tol_us,
+                F.col("last_click.cid"),
+            ).alias("click_id"),
+        )
+    )
+
+
+@query(
     "q10_returned_items",
     oracle="""
     SELECT c_custkey, c_name, n_name, rnk FROM (
