@@ -128,3 +128,59 @@ def test_nearest_asof_matches_oracle_on_ties(spark, tie_dir):
         for r in api.queries()["join_asof_nearest"](spark, tie_dir).collect()
     }
     assert got == oracle
+
+
+@pytest.fixture(scope="module")
+def tol_dir(tmp_path_factory):
+    """Clicks placed exactly at, inside, and outside the 30-min
+    tolerance of join_asof_tolerance."""
+    d = str(tmp_path_factory.mktemp("asof_tol"))
+    rows = [
+        # user 1: click exactly 30 min before the error → inclusive hit
+        (10, T0 - dt.timedelta(minutes=30), 1, "click", 1.0, "{}"),
+        (100, T0, 1, "error", 1.0, "{}"),
+        # user 2: click 30 min + 1 µs before → stale, NULL
+        (11, T0 - dt.timedelta(minutes=30, microseconds=1), 2, "click", 1.0, "{}"),
+        (101, T0, 2, "error", 1.0, "{}"),
+        # user 3: fresh click 1 s before, stale one 2 h before → fresh id
+        (12, T0 - dt.timedelta(hours=2), 3, "click", 1.0, "{}"),
+        (13, T0 - dt.timedelta(seconds=1), 3, "click", 1.0, "{}"),
+        (102, T0, 3, "error", 1.0, "{}"),
+        # user 4: no click at all → NULL
+        (103, T0, 4, "error", 1.0, "{}"),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_tolerance_asof_boundary_inclusive(spark, tol_dir):
+    got = {
+        r["error_id"]: r["click_id"]
+        for r in api.queries()["join_asof_tolerance"](spark, tol_dir).collect()
+    }
+    assert got == {100: 10, 101: None, 102: 13, 103: None}
+
+
+def test_tolerance_asof_matches_oracle_on_boundary(spark, tol_dir):
+    con = duckdb.connect()
+    path = os.path.join(tol_dir, "events.parquet")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    oracle = {
+        r[0]: r[1]
+        for r in con.execute(api.oracle_sql()["join_asof_tolerance"]).fetchall()
+    }
+    got = {
+        r["error_id"]: r["click_id"]
+        for r in api.queries()["join_asof_tolerance"](spark, tol_dir).collect()
+    }
+    assert got == oracle
