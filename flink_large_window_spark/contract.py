@@ -214,6 +214,7 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
     # round-4 additions (SQL oracle, hash-verified at sf0.001/0.01/0.1)
     "sim_ann_ivf_multiprobe",
     "join_asof_tolerance",
+    "pattern_detect_notfollowedby",
     # sources / physical-plan keys
     "source_csv_roundtrip",
     "source_jsonl_roundtrip",

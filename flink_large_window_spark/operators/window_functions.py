@@ -437,6 +437,56 @@ def pattern_detect_followedby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pattern_detect_notfollowedby",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN CURRENT ROW AND INTERVAL 6 HOUR FOLLOWING
+             ) AS purchases_6h
+      FROM events
+    )
+    SELECT user_id, event_id AS click_event
+    FROM flagged
+    WHERE event_type = 'click' AND purchases_6h = 0
+    """,
+)
+def pattern_detect_notfollowedby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence CEP (Flink ``notFollowedBy`` with a time bound):
+    abandoned clicks — same-user clicks with NO purchase in the
+    following 6 hours. The negation pattern funnels/churn detection
+    runs on.
+
+    Same RANGE-frame machinery as pattern_detect_followedby but with a
+    FOLLOWING horizon and a zero-count predicate. Batch semantics at
+    the stream tail: a click whose 6-hour horizon extends past the
+    last event counts only observed purchases (absence = none in the
+    data) — in streaming, Flink/Spark would hold emission until the
+    watermark passes click_ts + 6h; bounded replay makes both commit
+    to the same answer. One shuffle on user_id; the frame is
+    watermark-evictable state in the streaming form.
+    """
+    prep(spark)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(Window.currentRow, 6 * 3600 * 1_000_000)
+    )
+    flagged = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .over(w)
+        .alias("purchases_6h"),
+    )
+    return flagged.filter(
+        (F.col("event_type") == "click") & (F.col("purchases_6h") == 0)
+    ).select("user_id", F.col("event_id").alias("click_event"))
+
+
+@query(
     "winfn_running_distinct",
     oracle="""
     WITH flagged AS (
