@@ -132,3 +132,47 @@ def test_sliding_plan_dispatch(spark):
     )
     assert prebucket.exceptAll(forced).count() == 0
     assert forced.exceptAll(prebucket).count() == 0
+
+
+def test_sliding_prebucket_parity_other_ratios(spark):
+    """The pane/slice rollup must equal the native plan for any exact
+    ratio, not just the 1h/15m contract shape — checked on a synthetic
+    dense frame at ratios 4, 6, and 8."""
+    import datetime as dt
+
+    from flink_large_window_spark.streaming.windows import (
+        sliding_user_counts,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (u, t0 + dt.timedelta(seconds=137 * i + u * 61))
+        for u in range(4)
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    minute = 60 * 1_000_000
+    for size_min, slide_min in ((60, 15), (90, 15), (40, 5)):
+        size_us, slide_us = size_min * minute, slide_min * minute
+        pre = sliding_user_counts(
+            ev, size_us, slide_us, events_per_bucket_hint=100.0
+        )
+        nat = (
+            ev.groupBy(
+                F.window(
+                    "ts",
+                    f"{size_us} microseconds",
+                    f"{slide_us} microseconds",
+                ).alias("w"),
+                "user_id",
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("w.start").cast("string").alias("w_start"),
+                "user_id",
+                "n",
+            )
+        )
+        assert "Generate" in _plan(pre), (size_min, slide_min)
+        assert pre.exceptAll(nat).count() == 0, (size_min, slide_min)
+        assert nat.exceptAll(pre).count() == 0, (size_min, slide_min)
