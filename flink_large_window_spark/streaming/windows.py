@@ -186,19 +186,19 @@ def window_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_session_agg",
     oracle=f"""
     WITH ordered AS (
-      SELECT user_id, ts, epoch_us(ts) AS us,
+      SELECT user_id, ts, event_id, epoch_us(ts) AS us,
              epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
              ) AS gap_us
       FROM events
     ), marked AS (
-      SELECT user_id, ts, us,
+      SELECT user_id, ts, event_id, us,
              CASE WHEN gap_us IS NULL OR gap_us >= {GAP_US} THEN 1 ELSE 0 END AS is_new
       FROM ordered
     ), sessions AS (
       SELECT user_id, ts, us,
              SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS sess_id
       FROM marked
