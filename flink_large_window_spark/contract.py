@@ -238,6 +238,7 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
     "join_window_tumbling_stream",
     "stream_stream_left_outer",
     "stream_stream_full_outer",
+    "stream_late_drop",
     "stream_foreachbatch_upsert",
     "stateful_count_session_stream",
     "stateful_session_timeout_stream",

@@ -63,6 +63,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STREAM_SHUFFLE_PARTITIONS = 8
 
+#: stateOperators metrics of the most recent run_to_memory query —
+#: lets tests assert watermark behavior (e.g. numRowsDroppedByWatermark)
+#: without re-running the stream.
+LAST_STATE_METRICS: list[dict] = []
+
 
 def run_to_memory(spark: SparkSession, out: DataFrame, mode: str = "append") -> DataFrame:
     """Drain a streaming DataFrame into a memory sink, return the table.
@@ -102,6 +107,12 @@ def run_to_memory(spark: SparkSession, out: DataFrame, mode: str = "append") -> 
             .start()
         )
         q.awaitTermination()
+        global LAST_STATE_METRICS
+        LAST_STATE_METRICS = [
+            dict(op)
+            for p in q.recentProgress
+            for op in (p.get("stateOperators") or [])
+        ]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
@@ -727,3 +738,60 @@ def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
     )
     return run_to_memory(spark, joined, mode="append")
+
+
+@query("stream_late_drop")  # rows-only; pytest asserts the drop accounting
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live demonstration of SURVEY §2.9 gap #2 — what Spark DOES with
+    late data (drops past-watermark rows; no Flink side output).
+
+    The replay is three micro-batches: batch 0 carries the 90% on-time
+    slice (event_id % 10 != 0), whose max ts advances the watermark to
+    stream-end − 10 min; batch 1 is a one-row keeper (a copy of the
+    max-ts row, event_id −1) — needed because Spark ≥3.4 filters late
+    input with the PREVIOUS batch's watermark (SPARK-42376 split of
+    late-events vs eviction watermark), so the keeper batch is what
+    arms the filter; batch 2 replays the held-back 10%, now ALL late —
+    every row whose 1-hour pane closed before the watermark is dropped
+    by the aggregation's state operator (surfaced in
+    LAST_STATE_METRICS["numRowsDroppedByWatermark"]); only late rows
+    inside the final watermark window survive into their (never-
+    emitted) open pane. tests/test_streaming_parity.py pins the
+    accounting: emitted closed panes carry EXACTLY the on-time counts
+    and the drop metric is positive. The batch operator
+    late_data_split is the deterministic reconstruction of the same
+    policy; Flink users port side-output consumers onto that split
+    (gap policy #2).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    prep(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    replay = scratch_dir("flws_late_")
+    tbl = pq.read_table(src)
+    # event_id % 10 == 0 → held back as the late slice
+    mod10 = pc.equal(
+        pc.subtract(tbl["event_id"], pc.multiply(pc.divide(tbl["event_id"], 10), 10)),
+        0,
+    )
+    ontime = tbl.filter(pc.invert(mod10))
+    # keeper = the max-ts on-time row again; it lands in the final
+    # (open, never-emitted) pane, so it cannot distort emitted counts
+    keeper = ontime.take([pc.index(ontime["ts"], pc.max(ontime["ts"])).as_py()])
+    pq.write_table(ontime, os.path.join(replay, "0-ontime.parquet"))
+    pq.write_table(keeper, os.path.join(replay, "1-keeper.parquet"))
+    pq.write_table(tbl.filter(mod10), os.path.join(replay, "2-late.parquet"))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("w_start"), "n")
+    )
+    return run_to_memory(spark, agg, mode="append")

@@ -250,3 +250,48 @@ def test_stream_stream_full_outer_parity(spark, max_ts):
     assert not missing, f"closed null-padded rows missing: {sorted(missing)[:3]}"
     assert any(r[2] is None for r in s), "no purchase-side null-padded rows"
     assert any(r[3] is None for r in s), "no click-side null-padded rows"
+
+
+def test_stream_late_drop_accounting(spark, max_ts):
+    """The late-replay demo must actually drop: per-pane counts sit
+    between on-time-only and full-batch counts, panes closed before
+    the final watermark contain ONLY on-time rows, and the state
+    operator reports the dropped rows."""
+    from flink_large_window_spark import registry
+    from flink_large_window_spark.streaming import streams
+    from flink_large_window_spark.tables import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    pane = F.window("ts", "1 hour").getField("start").cast("string")
+    full = {
+        r["w_start"]: r["n"]
+        for r in ev.groupBy(pane.alias("w_start")).count().withColumnRenamed("count", "n").collect()
+    }
+    ontime = {
+        r["w_start"]: r["n"]
+        for r in ev.filter(F.col("event_id") % 10 != 0)
+        .groupBy(pane.alias("w_start"))
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    got = {
+        r["w_start"]: r["n"]
+        for r in registry.REGISTRY["stream_late_drop"](spark, SF_SMOKE).collect()
+    }
+    assert got, "no panes emitted"
+    # Append mode emits a pane only once the watermark closes it, and
+    # the keeper batch arms the late-events filter before the late
+    # slice replays — so every emitted pane holds EXACTLY its on-time
+    # rows, nothing from the late file.
+    wm = max_ts.replace(tzinfo=None) - WM
+    for w, n in got.items():
+        assert dt.datetime.fromisoformat(w) + dt.timedelta(hours=1) < wm, (
+            f"open pane emitted: {w}"
+        )
+        assert n == ontime.get(w, 0), f"late row leaked into closed pane {w}"
+        assert n <= full[w]
+    dropped = sum(
+        m.get("numRowsDroppedByWatermark", 0) for m in streams.LAST_STATE_METRICS
+    )
+    assert dropped > 0, "watermark dropped nothing — demo is vacuous"
