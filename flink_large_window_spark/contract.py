@@ -139,27 +139,50 @@ _R03_EXTRAS: frozenset[str] = frozenset(
         "pattern_detect_cep", "q10_returned_items", "q18_large_volume",
     }
 )
+_R04_EXTRAS: frozenset[str] = frozenset(
+    {
+        "agg_bitwise_flags", "agg_distinct_multi", "agg_regression",
+        "agg_skew_kurtosis_pinned", "dedup_embed_cosine_ivf",
+        "emb_kmeans_assign", "join_asof_nearest",
+        "pattern_detect_followedby", "pivot_event_counts",
+        "q12_priority_class", "q13_customer_distribution",
+        "q14_promo_effect", "q15_top_supplier", "q17_small_quantity",
+        "q19_discounted_revenue", "q21_waiting_supplier",
+        "q22_global_sales", "q4_order_priority", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+        "sample_hash_bernoulli", "sample_reservoir_hash",
+        "sample_stratified_hash", "scalar_bitwise", "scalar_hash",
+        "scalar_interval_arith", "scalar_json_struct",
+        "scalar_try_arith", "set_except_all", "set_intersect_all",
+        "sim_ann_ivf_multiprobe", "sim_ann_ivf_topk",
+        "sort_within_partitions", "ts_ewma_daily",
+        "ts_funnel_conversion", "ts_ohlc_bars", "ts_resample_gapfill",
+        "ts_retention_cohort", "udf_group_map_zscore",
+        "udtf_python_chunks", "unpivot_part_metrics",
+        "window_count_sliding", "window_count_tumbling",
+        "window_tumbling_offset", "winfn_first_ignore_nulls",
+        "winfn_moving_stddev", "winfn_nth_value",
+        "winfn_percent_rank_cume",
+    }
+)
 DRIVER_CHECKED: frozenset[str] = (
-    frozenset(CONTRACT_KEYS) | _R01_EXTRAS | _R03_EXTRAS
+    frozenset(CONTRACT_KEYS) | _R01_EXTRAS | _R03_EXTRAS | _R04_EXTRAS
 )
 
-# Round 4: keys whose oracle was upgraded rows-only → full SQL this
-# round (VERDICT r3 item 3). They already have a rows-only driver row
-# from r03; re-running them inside the checked window records the
-# stronger hash-match evidence, so they lead the prefix.
-RECHECK_KEYS: tuple[str, ...] = (
-    "sim_ann_ivf_topk",
-    "dedup_embed_cosine_ivf",
-    "emb_kmeans_assign",
-)
+# Round 5: no rows-only → SQL oracle upgrades this round, so no
+# re-check keys lead the prefix; the window goes straight to the
+# never-driver-sampled tail.
+RECHECK_KEYS: tuple[str, ...] = ()
 
-# Round-4 priority: the 69 keys with no driver CORRECTNESS row in any
-# round, ordered SQL-oracle batch keys first (TPC-H battery, asof
-# variant, agg/window/scalar/sampling/reshape/timeseries families,
-# format round-trips, physical-plan keys), then rows-only batch keys
-# (each pytest-covered), then the streaming twins slowest-last — the
-# driver's 50-key budget lands on the cheap, hash-checkable evidence
-# first; the tail rotates into round 5.
+# Round-5 priority: after the r4 window, 27 registered keys still
+# have no driver CORRECTNESS row (10 SQL-oracle + 17 rows-only).
+# Ordered SQL-oracle keys first (asof variant, CEP absence, format
+# round-trips, physical-plan keys, the two hash-checkable streaming
+# keys), then rows-only batch keys (each pytest-covered), then the
+# streaming twins slowest-last. New round-5 keys are appended to
+# their family group so they also land inside the 50-key window;
+# with ≤50 unchecked keys remaining, round 5 should complete driver
+# coverage of the whole registry.
 PRIORITY_EXTRAS: tuple[str, ...] = (
     # TPC-H battery (operators/tpch.py)
     "q4_order_priority",
@@ -222,13 +245,18 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
     "scan_schema_evolution",
     "join_skew_salted",
     "join_bucketed_noshuffle",
+    # SQL-oracle streaming keys (hash-checkable despite running a
+    # real micro-batch query — promoted ahead of the rows-only tail
+    # so the driver records strong evidence for them first; VERDICT
+    # r4 "Next round" item 1)
+    "stream_static_enrich",
+    "stream_foreachbatch_upsert",
     # rows-only batch keys (pytest-covered)
     "text_langid_ngram",
     "multimodal_embed_quantize",
     "multimodal_blob_features",
     "multimodal_frame_sample",
     # streaming twins, slowest last (local sweep timings, r3 verdict)
-    "stream_static_enrich",
     "join_interval_stream",
     "watermark_dedup_stream",
     "window_tumbling_agg_stream",
@@ -239,7 +267,6 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
     "stream_stream_left_outer",
     "stream_stream_full_outer",
     "stream_late_drop",
-    "stream_foreachbatch_upsert",
     "stateful_count_session_stream",
     "stateful_session_timeout_stream",
     "window_large_day_stream",
@@ -247,9 +274,10 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
 
 
 def driver_priority_order(keys) -> list[str]:
-    """Round-4 checked-prefix order over ``keys``:
+    """Round-5 checked-prefix order over ``keys``:
 
-    1. RECHECK_KEYS (oracle upgraded this round — re-record as SQL);
+    1. RECHECK_KEYS (oracle upgraded this round — re-record as SQL;
+       empty in round 5);
     2. contract keys with no driver CORRECTNESS row yet (contract order;
        empty as of round 4, kept as a safety net);
     3. PRIORITY_EXTRAS with no row yet (listed order);
