@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import query
-from ..tables import prep, table
+from ..tables import prep, row_count, table
 
 N_HASHES = 64
 N_BANDS = 8  # 8 rows per band → LSH threshold ≈ (1/8)^(1/8) ≈ 0.77
@@ -403,11 +403,17 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-task GEMM is substantial and the B² pair-task count tracks
     # corpus size — a fixed B=8 spent more wall time scheduling 64
     # near-empty tasks than multiplying at fixture scale, and would
-    # under-split a 10⁸-vector corpus. The count() is a cheap
-    # metadata-ish scan of one long column; a deployment would read it
-    # from table stats.
-    n_vec = emb.count()
-    n_blocks = max(1, min(64, math.ceil(n_vec / 1024)))
+    # under-split a 10⁸-vector corpus. Sized from parquet FOOTER
+    # metadata (r5): the r4 version ran `emb.count()` — a whole extra
+    # Spark action scanning the table once per invocation, which at
+    # 100 TB is a second full pass over the corpus to learn one
+    # integer. `row_count` reads num_rows from the footer on the
+    # driver (catalog/ANALYZE stats in a deployment) — zero jobs.
+    n_vec = row_count(sf_dir, "embeddings")
+    # Floor B so the B² pair-task count covers the cluster even on a
+    # small corpus (r5: the pure n/1024 rule gave B=2 at fixture scale
+    # — 4 GEMM tasks on 32 cores; measured 0.69s vs 0.46s at B≥8).
+    n_blocks = max(1, min(64, max(math.ceil(n_vec / 1024), 8), n_vec))
     blocked = emb.withColumn("block", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
 
     def pack(pdf):
@@ -424,6 +430,12 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
+    # Persist the packed form: it feeds BOTH crossJoin sides, so without
+    # it the pack stage runs twice per job. Repeat invocations do NOT
+    # stack cache entries — CacheManager keys on the canonicalized plan,
+    # so every invocation of this query (same sf_dir) shares ONE entry
+    # ("asked to cache already cached data" path), and the packed form
+    # is ~corpus-sized float64, DISK_ONLY territory at 100 TB.
     packed = (
         blocked.groupBy("block")
         .applyInPandas(

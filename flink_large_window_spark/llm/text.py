@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import query
-from ..tables import prep, table
+from ..tables import prep, row_count, table
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -121,28 +121,33 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln((N+1)/(df+1))+1 pinned identically in both engines; integer-only
     output per the float-hash rule (ranks, not scores).
 
-    N (corpus size) is computed IN-PLAN — a count aggregate broadcast
-    into the scoring join — not via a separate `.count()` action (round
-    1 ran one; at 100 TB that is a second full scan of the corpus;
-    flagged by the round-1 review). One action, one Catalyst plan.
+    ONE full corpus scan (r5). The r4 plan scanned `documents` three
+    times — once each for tf, df and N (flagged by the round-4 review;
+    1.83× the bench baseline). Now everything derives from the single
+    tokenize→(doc_id, term) aggregate: `df` is a per-term count over
+    `tf` (tf rows are already distinct (doc_id, term) pairs, so a plain
+    count IS the document frequency — no second countDistinct pass),
+    and N comes from parquet footer metadata (`row_count`, the
+    catalog-stats path — exact COUNT(*), zero jobs). The remaining
+    tf-side scan is row-group-pruned by the doc_id < 20 pushdown, so
+    the only full pass over the corpus is the one that tokenizes it.
     """
     prep(spark)
     toks = table(spark, sf_dir, "documents").select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_ = table(spark, sf_dir, "documents").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # Footer/catalog stats, not a scan. Every fixture doc has non-null
+    # text, so COUNT(*) == the tokenized doc count the idf needs.
+    n_docs = row_count(sf_dir, "documents")
     scored = (
         tf.filter(F.col("doc_id") < 20)
         .join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(n_))
         .withColumn(
             "score",
             F.col("tf")
-            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+            * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())

@@ -74,6 +74,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from parquet FOOTER metadata —
+    O(footer bytes) on the driver, zero Spark jobs, zero data scanned.
+
+    This is the "read it from table stats" path: parquet files carry
+    ``num_rows`` in the footer, so sizing decisions (block counts, salt
+    fan-out) never need a pre-pass over the data. At 100 TB the same
+    number comes from the catalog (ANALYZE stats / Delta log) or a
+    parallel footer read over the file listing; either way it is
+    metadata, not a table scan.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for spark.sql queries."""
     for name in TABLE_NAMES:
