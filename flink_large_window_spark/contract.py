@@ -238,6 +238,9 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
     "sim_ann_ivf_multiprobe",
     "join_asof_tolerance",
     "pattern_detect_notfollowedby",
+    # round-5 additions (SQL oracle)
+    "pattern_detect_times",
+    "pattern_detect_oneormore",
     # sources / physical-plan keys
     "source_csv_roundtrip",
     "source_jsonl_roundtrip",

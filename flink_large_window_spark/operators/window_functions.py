@@ -487,6 +487,158 @@ def pattern_detect_notfollowedby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pattern_detect_times",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type, 1) OVER w AS prev1,
+             LAG(event_type, 2) OVER w AS prev2,
+             LAG(event_type, 3) OVER w AS prev3,
+             LAG(ts, 2)         OVER w AS ts_first
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           event_id AS purchase_event,
+           CAST(ts_first AS STRING) AS pattern_start,
+           CAST(ts       AS STRING) AS pattern_end
+    FROM seq
+    WHERE event_type = 'purchase'
+      AND prev1 = 'click' AND prev2 = 'click'
+      AND (prev3 IS NULL OR prev3 <> 'click')
+      AND ts <= ts_first + INTERVAL 6 HOUR
+    """,
+)
+def pattern_detect_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP count quantifier (Flink ``times(n)``): exactly TWO
+    consecutive clicks immediately followed by a purchase, all within
+    6 hours of the first click — the
+    ``Pattern.begin("c").times(2).consecutive().next("buy").within(6h)``
+    shape. "Exactly" is the point of the quantifier: a third
+    preceding click disqualifies the match (prev3 guard), which is
+    what separates ``times(2)`` from the ≥-count relaxed form in
+    pattern_detect_followedby. (n=2 because the fixtures' longest
+    click run preceding a purchase is 2 — n=3 matches zero rows at
+    every SF, and an always-empty key is no evidence.)
+
+    Same execution shape as the other CEP keys: one shuffle on
+    user_id, then the quantifier is a row-local predicate over a lag
+    frame — no self-joins, no state beyond the 4-row frame, identical
+    at 100 TB. Event-time total order pinned by the (ts, event_id)
+    tie-break in both engines.
+    """
+    prep(spark)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("prev1"),
+        F.lag("event_type", 2).over(w).alias("prev2"),
+        F.lag("event_type", 3).over(w).alias("prev3"),
+        F.lag("ts", 2).over(w).alias("ts_first"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("prev1") == "click")
+            & (F.col("prev2") == "click")
+            & (F.col("prev3").isNull() | (F.col("prev3") != "click"))
+            & (F.col("ts") <= F.col("ts_first") + F.expr("interval 6 hour"))
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event"),
+            F.col("ts_first").cast("string").alias("pattern_start"),
+            F.col("ts").cast("string").alias("pattern_end"),
+        )
+    )
+
+
+@query(
+    "pattern_detect_oneormore",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, MIN(ts) AS run_start,
+             COUNT(*) AS n_clicks, MAX(rn) AS end_rn
+      FROM ordered WHERE event_type = 'click'
+      GROUP BY user_id, rn - rn_t
+    )
+    SELECT r.user_id,
+           o.event_id AS purchase_event,
+           CAST(r.n_clicks AS BIGINT) AS n_clicks,
+           CAST(r.run_start AS STRING) AS pattern_start,
+           CAST(o.ts AS STRING) AS pattern_end
+    FROM runs r JOIN ordered o
+      ON o.user_id = r.user_id AND o.rn = r.end_rn + 1
+    WHERE o.event_type = 'purchase'
+      AND o.ts <= r.run_start + INTERVAL 6 HOUR
+    """,
+)
+def pattern_detect_oneormore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP greedy loop quantifier (Flink ``oneOrMore().greedy()``):
+    a MAXIMAL run of ≥1 consecutive clicks immediately followed by a
+    purchase, within 6 hours of the run's first click — reported once
+    with the full run length, never as its shorter suffix matches
+    (that once-per-maximal-run emission is what ``greedy`` means).
+
+    Gaps-and-islands formulation: the rn − rn_t difference is constant
+    exactly within a consecutive same-type run, so click runs reduce
+    to a grouped aggregate; the purchase must be the event at run-end
+    rn + 1. Shuffles: two window passes ((user) and (user, type)
+    orders — the second sorts within the same user partitioning), one
+    grouped agg, one (user_id, rn)-keyed join. Everything is
+    partition-local per user; no self-join blow-up at 100 TB.
+    """
+    prep(spark)
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_ut = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    ordered = table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.row_number().over(w_u).alias("rn"),
+        F.row_number().over(w_ut).alias("rn_t"),
+    )
+    runs = (
+        ordered.filter(F.col("event_type") == "click")
+        .groupBy("user_id", (F.col("rn") - F.col("rn_t")).alias("island"))
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.max("rn").alias("end_rn"),
+        )
+    )
+    purchases = ordered.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), "event_id", F.col("ts").alias("p_ts"), "rn"
+    )
+    return (
+        runs.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("rn") == F.col("end_rn") + 1),
+        )
+        .filter(F.col("p_ts") <= F.col("run_start") + F.expr("interval 6 hour"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event"),
+            F.col("n_clicks").cast("long").alias("n_clicks"),
+            F.col("run_start").cast("string").alias("pattern_start"),
+            F.col("p_ts").cast("string").alias("pattern_end"),
+        )
+    )
+
+
+@query(
     "winfn_running_distinct",
     oracle="""
     WITH flagged AS (
