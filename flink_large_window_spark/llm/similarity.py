@@ -336,7 +336,15 @@ def _kmeans_oracle(iters: int = 3, k: int = 10, dim: int = 64) -> str:
     Mirrors emb_kmeans_assign op-for-op: same init (first-k vectors),
     same assignment metric (c² − 2a·c in double — the a² term is
     row-constant and dropped on BOTH sides), same lowest-cluster
-    tie-break, same empty-cluster carry-forward (COALESCE)."""
+    tie-break, same empty-cluster carry-forward (COALESCE).
+
+    Caveat: "op-for-op" holds at the expression level, not the ulp
+    level — numpy's a@c.T sums via BLAS (pairwise/SIMD order) while
+    DuckDB's list_inner_product sums sequentially, so d2 can differ by
+    a few ulps between engines. The ROW_NUMBER/argmin tie-break only
+    guarantees identical assignment when the argmin is decided by more
+    than that margin (true on the shipped fixtures; a near-tie on
+    other data could legitimately diverge)."""
     d2 = "list_inner_product(c.v, c.v) - 2 * list_inner_product(e.v, c.v)"
 
     def assign(cents: str) -> str:

@@ -18,6 +18,7 @@ form's result on the same data.
 from __future__ import annotations
 
 import os
+import time
 from typing import Iterator
 
 import pandas as pd
@@ -747,8 +748,8 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The replay is three micro-batches: batch 0 carries the 90% on-time
     slice (event_id % 10 != 0), whose max ts advances the watermark to
-    stream-end − 10 min; batch 1 is a one-row keeper (a copy of the
-    max-ts row, event_id −1) — needed because Spark ≥3.4 filters late
+    stream-end − 10 min; batch 1 is a one-row keeper (an unmodified
+    duplicate of the max-ts row) — needed because Spark ≥3.4 filters late
     input with the PREVIOUS batch's watermark (SPARK-42376 split of
     late-events vs eviction watermark), so the keeper batch is what
     arms the filter; batch 2 replays the held-back 10%, now ALL late —
@@ -782,6 +783,14 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq.write_table(ontime, os.path.join(replay, "0-ontime.parquet"))
     pq.write_table(keeper, os.path.join(replay, "1-keeper.parquet"))
     pq.write_table(tbl.filter(mod10), os.path.join(replay, "2-late.parquet"))
+    # FileStreamSource orders batches by modification time (ms
+    # granularity, listing order on ties); the demo depends on
+    # ontime → keeper → late, so pin strictly increasing mtimes.
+    now = time.time()
+    for i, name in enumerate(
+        ("0-ontime.parquet", "1-keeper.parquet", "2-late.parquet")
+    ):
+        os.utime(os.path.join(replay, name), (now + i, now + i))
 
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
