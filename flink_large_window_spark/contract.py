@@ -270,6 +270,7 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
     "stream_stream_left_outer",
     "stream_stream_full_outer",
     "stream_late_drop",
+    "stream_watermark_skew",
     "stateful_count_session_stream",
     "stateful_session_timeout_stream",
     "window_large_day_stream",

@@ -804,3 +804,67 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").cast("string").alias("w_start"), "n")
     )
     return run_to_memory(spark, agg, mode="append")
+
+
+@query("stream_watermark_skew")  # rows-only; pytest pins the pane accounting
+def stream_watermark_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live demonstration of SURVEY §2.9 gap #1 — keyed sources with
+    PER-PARTITION watermark skew under Spark's global-min semantics.
+
+    Two file-replay sources model a 2-partition keyed stream: the
+    even-user partition is current (events through stream end), the
+    odd-user partition lags 48 hours (its reader has only fetched
+    through max_ts − 48h). Each branch declares its own
+    ``withWatermark``; after the union Spark combines them with the
+    default ``multipleWatermarkPolicy = min``, so the query watermark
+    is the LAGGING partition's frontier − 10min. Every 1-hour pane
+    between that and the fast partition's frontier holds fast-partition
+    rows but cannot close — exactly Flink's min-over-input-channels
+    rule. What Spark lacks is Flink's in-band refinements
+    (``withIdleness`` to unstick an idle partition, per-split
+    watermark alignment); the session-wide escape hatch is
+    ``multipleWatermarkPolicy = max``, which closes panes at the FAST
+    frontier — and condemns the lagging partition's undelivered rows
+    to arrive past-watermark (stream_late_drop shows that fate).
+    tests/test_streaming_parity.py pins both pane accountings.
+
+    At scale the two replay dirs are Kafka partitions and the lag is
+    consumer skew; the state cost of the held-open panes is
+    (skew hours) × (per-pane state), which is why Flink grew watermark
+    alignment — the policy here makes that trade visible, not hidden.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    prep(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    tbl = pq.read_table(src)
+    lag_cutoff = pc.subtract(
+        pc.max(tbl["ts"]), pa.scalar(48 * 3600 * 1_000_000, type=pa.duration("us"))
+    )
+    even = pc.equal(pc.bit_wise_and(tbl["user_id"], 1), 0)
+    fast_dir = scratch_dir("flws_wmskew_fast_")
+    slow_dir = scratch_dir("flws_wmskew_slow_")
+    pq.write_table(tbl.filter(even), os.path.join(fast_dir, "part.parquet"))
+    pq.write_table(
+        tbl.filter(pc.and_(pc.invert(even), pc.less_equal(tbl["ts"], lag_cutoff))),
+        os.path.join(slow_dir, "part.parquet"),
+    )
+
+    schema = spark.read.parquet(src).schema
+    fast = (
+        spark.readStream.schema(schema).parquet(fast_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    slow = (
+        spark.readStream.schema(schema).parquet(slow_dir)
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = (
+        fast.unionByName(slow)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("w_start"), "n")
+    )
+    return run_to_memory(spark, agg, mode="append")

@@ -295,3 +295,75 @@ def test_stream_late_drop_accounting(spark, max_ts):
         m.get("numRowsDroppedByWatermark", 0) for m in streams.LAST_STATE_METRICS
     )
     assert dropped > 0, "watermark dropped nothing — demo is vacuous"
+
+
+def test_stream_watermark_skew_accounting(spark, max_ts):
+    """The 2-partition skew demo: under the default min policy the
+    lagging partition's frontier governs — panes past it hold
+    fast-partition rows but stay open; under the max policy the fast
+    frontier governs and the closed tail panes hold ONLY
+    fast-partition rows (the laggard never delivered there)."""
+    from flink_large_window_spark import registry
+    from flink_large_window_spark.tables import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    mx = max_ts.replace(tzinfo=None)
+    lag_cutoff = mx - dt.timedelta(hours=48)
+    pane = F.window("ts", "1 hour").getField("start").cast("string")
+    fast = ev.filter(F.col("user_id") % 2 == 0)
+    slow = ev.filter((F.col("user_id") % 2 == 1) & (F.col("ts") <= F.lit(lag_cutoff)))
+    delivered = {
+        r["w_start"]: r["n"]
+        for r in fast.unionByName(slow)
+        .groupBy(pane.alias("w_start"))
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    fast_only = {
+        r["w_start"]: r["n"]
+        for r in fast.groupBy(pane.alias("w_start"))
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+
+    got_min = {
+        r["w_start"]: r["n"]
+        for r in registry.REGISTRY["stream_watermark_skew"](spark, SF_SMOKE).collect()
+    }
+    assert got_min, "no panes emitted under min policy"
+    # Frontiers from the DELIVERED data (the sparse fixture's actual
+    # partition maxima, not the nominal cutoffs).
+    wm_min = slow.agg(F.max("ts")).collect()[0][0].replace(tzinfo=None) - WM
+    wm_max = fast.agg(F.max("ts")).collect()[0][0].replace(tzinfo=None) - WM
+    for w, n in got_min.items():
+        assert dt.datetime.fromisoformat(w) + dt.timedelta(hours=1) <= wm_min, (
+            f"pane {w} closed past the lagging partition's watermark"
+        )
+        assert n == delivered[w], f"pane {w} count mismatch"
+    held = [
+        w
+        for w in fast_only
+        if wm_min < dt.datetime.fromisoformat(w) + dt.timedelta(hours=1) <= wm_max
+    ]
+    assert held, "no fast-partition panes in the skew gap — demo is vacuous"
+    assert not any(w in got_min for w in held), (
+        "a skew-gap pane was emitted despite the lagging partition"
+    )
+
+    # Escape hatch: the max policy closes panes at the FAST frontier.
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+    try:
+        got_max = {
+            r["w_start"]: r["n"]
+            for r in registry.REGISTRY["stream_watermark_skew"](spark, SF_SMOKE).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "min")
+    emitted_held = [w for w in held if w in got_max]
+    assert emitted_held, "max policy did not unstick the skew-gap panes"
+    for w in emitted_held:
+        assert got_max[w] == fast_only[w], (
+            f"skew-gap pane {w} should hold only fast-partition rows"
+        )
