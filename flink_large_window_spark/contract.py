@@ -271,6 +271,7 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
     "stream_stream_full_outer",
     "stream_late_drop",
     "stream_watermark_skew",
+    "stream_allowed_lateness_reemit",
     "stateful_count_session_stream",
     "stateful_session_timeout_stream",
     "window_large_day_stream",

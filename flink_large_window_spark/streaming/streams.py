@@ -868,3 +868,77 @@ def stream_watermark_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").cast("string").alias("w_start"), "n")
     )
     return run_to_memory(spark, agg, mode="append")
+
+
+@query("stream_allowed_lateness_reemit")  # rows-only; pytest pins the refires
+def stream_allowed_lateness_reemit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink ``allowedLateness`` window re-emission, reconstructed with
+    UPDATE output mode + a foreachBatch emission log (SURVEY §2.9 gap
+    #2's optional "retract-and-reemit" form; the policy substitutes
+    late_data_split / stream_late_drop remain the append-mode answer).
+
+    Flink separates the lateness bound from the watermark: a pane
+    fires at the watermark, but its state lives ``allowedLateness``
+    longer, and a late-but-allowed element RE-FIRES the pane with
+    updated contents. Spark has one knob — the watermark delay — which
+    is both bound and retention; in UPDATE mode a late-but-allowed row
+    updates its pane and the changed pane is emitted again, which IS
+    the refire. The replay makes it observable: batch 0 carries the
+    on-time 90% (all panes fire once), batch 1 replays the held-back
+    10% against a 45-day allowance (longer than the fixture's whole
+    span, so nothing is dropped) — every pane containing a late row
+    fires AGAIN with its updated count. foreachBatch logs each
+    emission with its batch id; the returned frame is that log
+    (w_start, batch_id, n), so refires are rows, not prose.
+    tests/test_streaming_parity.py pins: batch-1 refires exist, their
+    counts equal the full batch aggregate (allowance honored), and
+    batch-0 firings carry exactly the on-time counts.
+
+    At 100 TB the emission log is the changelog a downstream serving
+    table MERGEs (see stream_foreachbatch_upsert); allowance length ×
+    pane cardinality bounds the retained state, same as Flink.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    prep(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    replay = scratch_dir("flws_lateness_")
+    tbl = pq.read_table(src)
+    mod10 = pc.equal(
+        pc.subtract(tbl["event_id"], pc.multiply(pc.divide(tbl["event_id"], 10), 10)),
+        0,
+    )
+    pq.write_table(tbl.filter(pc.invert(mod10)), os.path.join(replay, "0-ontime.parquet"))
+    pq.write_table(tbl.filter(mod10), os.path.join(replay, "1-late.parquet"))
+    now = time.time()
+    for i, name in enumerate(("0-ontime.parquet", "1-late.parquet")):
+        os.utime(os.path.join(replay, name), (now + i, now + i))
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(replay)
+    )
+    agg = (
+        stream.withWatermark("ts", "45 days")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("w_start"), "n")
+    )
+
+    log: list[tuple[str, int, int]] = []
+
+    def record(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():  # pane-count rows only, never events
+            log.append((r["w_start"], batch_id, r["n"]))
+
+    q = (
+        agg.writeStream.foreachBatch(record)
+        .outputMode("update")
+        .option("checkpointLocation", scratch_dir("flws_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(log, "w_start string, batch_id long, n long")
