@@ -9,10 +9,19 @@ agree on final window contents (SURVEY §2.9 gap #1).
 State store: RocksDB provider (Flink's RocksDB state backend analogue)
 so large-window state spills off-heap; set per-session at runtime.
 
-These keys are rows-only in the driver (streaming output is checked for
-non-emptiness there); the strong checks are the pytest parity tests in
-tests/test_streaming_parity.py asserting stream output == the batch
-form's result on the same data.
+Oracle status (round 5): under bounded replay the emission set of most
+twins is DETERMINISTIC — append mode emits exactly the panes/sessions
+closed by the final watermark (max event ts − delay), stream-stream
+joins emit all inner matches plus null-padded rows for closed panes,
+and single-batch UPDATE-mode queries fire each group once with final
+counts. Those twins now carry full DuckDB oracles (the batch oracle
+plus the closed-before-watermark filter), verified hash-equal at
+sf0.001/0.01/0.1; the pytest parity suite remains as the semantic
+cross-check. Still rows-only by design: window_large_day_stream
+(approx_count_distinct state), source_rate_stream (wall-clock), and
+the three watermark-mechanics demos (stream_late_drop,
+stream_watermark_skew, stream_allowed_lateness_reemit) whose outputs
+depend on batch sequencing that SQL should not re-encode.
 """
 
 from __future__ import annotations
@@ -119,7 +128,19 @@ def run_to_memory(spark: SparkSession, out: DataFrame, mode: str = "append") -> 
     return spark.table(name)
 
 
-@query("window_tumbling_agg_stream")  # rows-only; parity test is the strong check
+@query(
+    "window_tumbling_agg_stream",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start,
+           event_type,
+           COUNT(*)             AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          < (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
 def window_tumbling_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of window_tumbling_agg (10-min watermark)."""
     ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
@@ -136,7 +157,38 @@ def window_tumbling_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, agg, mode="append")
 
 
-@query("window_session_agg_stream")  # rows-only
+@query(
+    "window_session_agg_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, event_id, us,
+             CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, ts, us,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS VARCHAR)                              AS s_start,
+           CAST(make_timestamp(MAX(us) + 1800000000) AS VARCHAR) AS s_end,
+           COUNT(*)                                              AS n_events,
+           MAX(us) + 1800000000 - MIN(us)                        AS duration_us
+    FROM sessions
+    GROUP BY user_id, sess_id
+    HAVING make_timestamp(MAX(us) + 1800000000)
+           < (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+)
 def window_session_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of window_session_agg (session_window + watermark)."""
     ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
@@ -182,7 +234,10 @@ def window_large_day_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, agg, mode="append")
 
 
-@query("watermark_dedup_stream")  # rows-only
+@query(
+    "watermark_dedup_stream",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
 def watermark_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on event_id — state is pruned once
     the watermark passes, exactly Flink's keyed dedup-with-timer."""
@@ -205,7 +260,24 @@ _OUT_SCHEMA = StructType(
 )
 
 
-@query("stateful_count_session_stream")  # rows-only
+@query(
+    "stateful_count_session_stream",
+    oracle="""
+    WITH seg AS (
+      SELECT event_id, user_id, ts,
+             SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS seg_id
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY user_id, seg_id ORDER BY ts, event_id
+           ) AS INTEGER) AS n_since_signup
+    FROM seg
+    """,
+)
 def stateful_count_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of stateful_count_session via applyInPandasWithState.
 
@@ -261,7 +333,22 @@ def stateful_count_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_to_memory(spark, out, mode="append")
 
 
-@query("window_sliding_agg_stream")  # rows-only
+@query(
+    "window_sliding_agg_stream",
+    oracle="""
+    WITH slid AS (
+      SELECT user_id,
+             make_timestamp((epoch_us(ts) // 900000000) * 900000000
+                            - CAST(k.k AS BIGINT) * 900000000) AS w_start
+      FROM events, (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+    )
+    SELECT CAST(w_start AS VARCHAR) AS w_start, user_id, COUNT(*) AS n
+    FROM slid
+    WHERE w_start + INTERVAL 1 HOUR
+          < (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    GROUP BY w_start, user_id
+    """,
+)
 def window_sliding_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of window_sliding_agg (1h window / 15min slide).
 
@@ -277,7 +364,16 @@ def window_sliding_agg_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, agg, mode="append")
 
 
-@query("join_interval_stream")  # rows-only
+@query(
+    "join_interval_stream",
+    oracle="""
+    SELECT e1.event_id AS signup_id, e2.event_id AS purchase_id, e1.user_id
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_type = 'signup' AND e2.event_type = 'purchase'
+     AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    """,
+)
 def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of join_interval: stream-stream inner join with an
     event-time range condition — Flink `intervalJoin(...).between(0, 1h)`.
@@ -315,7 +411,16 @@ def join_interval_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, joined, mode="append")
 
 
-@query("window_early_fire_stream")  # rows-only
+@query(
+    "window_early_fire_stream",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS d_start,
+           event_type,
+           COUNT(*) AS running_n
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
 def window_early_fire_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Early firing via UPDATE output mode: each micro-batch re-emits
     the day windows it touched — Spark's analogue of Flink's
@@ -480,7 +585,16 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("join_window_tumbling_stream")  # rows-only; parity test is the strong check
+@query(
+    "join_window_tumbling_stream",
+    oracle="""
+    SELECT e1.event_id AS click_id, e2.event_id AS purchase_id, e1.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') e1
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') e2
+      ON e1.user_id = e2.user_id
+     AND date_trunc('hour', e1.ts) = date_trunc('hour', e2.ts)
+    """,
+)
 def join_window_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of join_window_tumbling: stream-stream inner join
     on (user, same 1h tumbling pane) — Flink's
@@ -522,7 +636,42 @@ def join_window_tumbling_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 
-@query("stateful_session_timeout_stream")  # rows-only; pytest checks vs batch
+@query(
+    "stateful_session_timeout_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, event_id, us,
+             CASE WHEN gap_us IS NULL OR gap_us >= 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), sessions AS (
+      SELECT user_id, us,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM marked
+    ), agg AS (
+      SELECT user_id, sess_id,
+             MIN(us) AS session_start_us,
+             MAX(us) AS last_ts_us,
+             COUNT(*) AS n_events
+      FROM sessions GROUP BY user_id, sess_id
+    ), latest AS (
+      SELECT user_id, MAX(sess_id) AS max_sid FROM agg GROUP BY user_id
+    )
+    SELECT a.user_id, a.session_start_us, a.last_ts_us, a.n_events
+    FROM agg a JOIN latest f USING (user_id)
+    WHERE a.sess_id < f.max_sid
+       OR a.last_ts_us + 1800000000
+          < epoch_us((SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE)
+    """,
+)
 def stateful_session_timeout_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom session windows via keyed state + EVENT-TIME TIMERS —
     the Flink ``KeyedProcessFunction`` + ``registerEventTimeTimer``
@@ -648,7 +797,25 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, joined, mode="append")
 
 
-@query("stream_stream_left_outer")  # rows-only; parity test is the strong check
+@query(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, date_trunc('hour', ts) AS h
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT event_id AS purchase_id, user_id, date_trunc('hour', ts) AS h
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, CAST(c.h AS VARCHAR) AS w_start,
+           c.click_id, p.purchase_id
+    FROM clicks c LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.h = p.h
+    WHERE p.purchase_id IS NOT NULL
+       OR c.h + INTERVAL 1 HOUR
+          < (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+)  # rows-only; parity test is the strong check
 def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream LEFT OUTER join: every click joined to
     same-user purchases in the same 1h tumbling pane; clicks with no
@@ -701,7 +868,26 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, joined, mode="append")
 
 
-@query("stream_stream_full_outer")  # rows-only; parity test is the strong check
+@query(
+    "stream_stream_full_outer",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id, date_trunc('hour', ts) AS h
+      FROM events WHERE event_type = 'click'
+    ), purchases AS (
+      SELECT event_id AS purchase_id, user_id, date_trunc('hour', ts) AS h
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           CAST(COALESCE(c.h, p.h) AS VARCHAR) AS w_start,
+           c.click_id, p.purchase_id
+    FROM clicks c FULL OUTER JOIN purchases p
+      ON c.user_id = p.user_id AND c.h = p.h
+    WHERE (c.click_id IS NOT NULL AND p.purchase_id IS NOT NULL)
+       OR COALESCE(c.h, p.h) + INTERVAL 1 HOUR
+          < (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+)  # rows-only; parity test is the strong check
 def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked stream-stream FULL OUTER join on (user × 1h pane):
     clicks with no same-pane purchase AND purchases with no same-pane
