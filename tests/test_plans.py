@@ -176,3 +176,45 @@ def test_sliding_prebucket_parity_other_ratios(spark):
         assert "Generate" in _plan(pre), (size_min, slide_min)
         assert pre.exceptAll(nat).count() == 0, (size_min, slide_min)
         assert nat.exceptAll(pre).count() == 0, (size_min, slide_min)
+
+
+def test_tfidf_single_full_scan(spark):
+    """Round-5 fix: tf-idf derives df and N from the tf aggregate plus
+    footer stats — the plan must hold exactly TWO documents scans (the
+    full tokenize pass and the row-group-pruned doc_id<20 branch, which
+    must carry a pushed filter), not the round-4 three."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    plan = _plan(REGISTRY["text_tfidf_topterms"](spark, SF_SMOKE))
+    n_scans = plan.count("Scan parquet")
+    assert n_scans == 2, f"expected 2 documents scans, saw {n_scans}"
+    pushed = [
+        seg.splitlines()[0]
+        for seg in plan.split("PushedFilters:")[1:]
+    ]
+    assert any("doc_id" in p and "LessThan" in p for p in pushed), (
+        f"doc_id<20 not pushed to the pruned branch: {pushed}"
+    )
+
+
+def test_pattern_times_single_exchange(spark):
+    """The times(n) quantifier is a row-local lag-frame predicate: one
+    shuffle on user_id and nothing else."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    plan = _plan(REGISTRY["pattern_detect_times"](spark, SF_SMOKE))
+    n_exchange = plan.count("Exchange")
+    assert n_exchange == 1, f"expected a single user_id shuffle, saw {n_exchange}"
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_dedup_embed_cosine_uses_cache_not_rescan(spark):
+    """The packed-block frame feeds BOTH crossJoin sides from ONE cache
+    entry (CacheManager canonical-plan dedupe) — the executed plan must
+    read the cache twice and scan the embeddings parquet zero times."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    df = REGISTRY["dedup_embed_cosine"](spark, SF_SMOKE)
+    df.collect()  # materialize the persisted packed form + finalize AQE
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 2, "crossJoin sides not cache-fed"
