@@ -181,10 +181,34 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_embed_quantize")  # rows-only: float scale in output
+@query(
+    "multimodal_embed_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             CASE WHEN list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x))) = 0
+                  THEN 1.0
+                  ELSE list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                               x -> abs(x))) / 127.0
+             END AS sc
+      FROM embeddings
+    )
+    SELECT vec_id,
+           floor(sc * 1000000 + 0.5) / 1000000 AS scale,
+           list_transform(v, x -> CAST(floor(x / sc + 0.5) AS INTEGER)) AS q
+    FROM s
+    """,
+)
 def multimodal_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding column:
-    per-vector scale = max|x|/127, q_i = round(x_i/scale) ∈ [−127,127].
+    per-vector scale = max|x|/127, q_i = floor(x_i/scale + 0.5) ∈
+    [−127,127] (round-half-up — chosen over np.rint's banker's
+    rounding so BOTH engines compute the identical integer; all ops
+    are exact IEEE double → the SQL oracle is bit-faithful, upgraded
+    from rows-only in round 5). The reported scale is half-up rounded
+    to 1e-6 the same way; q uses the unrounded scale.
 
     This is the storage/serving form of a 100 TB vector corpus — 4×
     smaller than float32 (16× vs the float64 Spark would otherwise
@@ -205,11 +229,11 @@ def multimodal_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             a = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             scale = np.abs(a).max(axis=1) / 127.0
             scale[scale == 0] = 1.0
-            q = np.rint(a / scale[:, None]).astype(np.int8)
+            q = np.floor(a / scale[:, None] + 0.5).astype(np.int32)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "scale": scale,
+                    "scale": np.floor(scale * 1e6 + 0.5) / 1e6,
                     "q": [row.tolist() for row in q],
                 }
             )
