@@ -342,7 +342,37 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_langid_ngram")  # rows-only: heuristic classifier, not SQL-canonical
+@query(
+    "text_langid_ngram",
+    oracle="""
+    WITH tris AS (
+      SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tri
+      FROM documents,
+           UNNEST(generate_series(1, greatest(length(text) - 2, 1))) AS u(i)
+    ), prof AS (
+      SELECT lang AS cand_lang, tri FROM (
+        SELECT lang, tri,
+               ROW_NUMBER() OVER (
+                 PARTITION BY lang ORDER BY COUNT(*) DESC, tri ASC) AS r
+        FROM tris GROUP BY lang, tri
+      ) WHERE r <= 50
+    ), votes AS (
+      SELECT t.doc_id, p.cand_lang, COUNT(*) AS overlap
+      FROM (SELECT DISTINCT doc_id, tri FROM tris) t
+      JOIN prof p USING (tri)
+      GROUP BY t.doc_id, p.cand_lang
+    ), pred AS (
+      SELECT doc_id, cand_lang AS pred_lang FROM (
+        SELECT doc_id, cand_lang,
+               ROW_NUMBER() OVER (
+                 PARTITION BY doc_id ORDER BY overlap DESC, cand_lang ASC) AS r
+        FROM votes
+      ) WHERE r = 1
+    )
+    SELECT d.doc_id, d.lang, p.pred_lang, d.lang = p.pred_lang AS hit
+    FROM documents d JOIN pred p USING (doc_id)
+    """,
+)
 def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language identification via character-trigram profiles.
 
