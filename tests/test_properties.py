@@ -166,3 +166,35 @@ def test_mapinpandas_kernels_survive_empty_partitions(spark):
             assert len(calls) > n0, f"wrapper never invoked for {key}"
         finally:
             mod.table = saved
+
+
+def test_cep_family_consistency(spark):
+    """Cross-key invariants of the CEP quantifier family on the same
+    data: every times(2) match is also a followedBy match (two strictly
+    consecutive clicks imply clicks_6h >= 2 at that purchase), every
+    times(2) match appears in oneOrMore as a maximal run of exactly 2,
+    and oneOrMore runs are maximal (never the suffix of a longer one —
+    checked by requiring distinct purchase events)."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    times = {
+        (r["user_id"], r["purchase_event"])
+        for r in REGISTRY["pattern_detect_times"](spark, SF_SMOKE).collect()
+    }
+    followed = {
+        (r["user_id"], r["purchase_event"])
+        for r in REGISTRY["pattern_detect_followedby"](spark, SF_SMOKE).collect()
+    }
+    assert times <= followed, f"times(2) not a subset: {sorted(times - followed)[:3]}"
+
+    one = REGISTRY["pattern_detect_oneormore"](spark, SF_SMOKE).collect()
+    by_purchase = {}
+    for r in one:
+        key = (r["user_id"], r["purchase_event"])
+        assert key not in by_purchase, f"duplicate maximal run for {key}"
+        by_purchase[key] = r["n_clicks"]
+    for key in times:
+        assert by_purchase.get(key) == 2, (
+            f"times(2) match {key} should be a maximal 2-click run, "
+            f"got {by_purchase.get(key)}"
+        )
