@@ -507,6 +507,28 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect of data.
     """
     prep(spark)
+    import math
+
+    # Size the iteration's shuffle width to the LABEL frame, not the
+    # session default (r5): each round runs 2 joins + an agg over
+    # 16-byte (doc_id, label) pairs — at cluster scale the session
+    # default tracks the CORPUS width, which would spread a tiny label
+    # frame over thousands of near-empty tasks per round. Sized from
+    # footer stats (~250k label pairs per task), floored at 4, never
+    # above the session default; restored after the loop. At fixture
+    # scale the effect is within run-to-run JIT noise (an earlier A/B
+    # that showed 2.8→2.3s was confounded with JVM warm-up).
+    n_docs = row_count(sf_dir, "documents")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    iter_parts = max(4, min(int(prev_parts), math.ceil(n_docs / 250_000)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
+    try:
+        return _cluster_cc_loop(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _cluster_cc_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     w = Window.partitionBy("lang", "source").orderBy("doc_id")
     chain = (
