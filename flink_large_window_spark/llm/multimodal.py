@@ -98,7 +98,25 @@ def multimodal_doc_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_blob_features")  # rows-only: stubbed decode, real plumbing
+@query(
+    "multimodal_blob_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN n = 0 THEN -1
+                ELSE CAST(('0x' || substr(hx, 1, 2)) AS INTEGER)
+           END AS INTEGER) AS first_byte,
+           CAST(CASE WHEN n = 0 THEN -1
+                ELSE CAST(('0x' || substr(hx, n * 2 - 1, 2)) AS INTEGER)
+           END AS INTEGER) AS last_byte
+    FROM b
+    """,
+)
 def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column feature extraction through mapInPandas.
 
@@ -147,7 +165,20 @@ def decode_video_frames(blob: bytes, stride: int) -> "object":
     raise NotImplementedError("video codec not available in this container")
 
 
-@query("multimodal_frame_sample")  # rows-only: stubbed decode, real plumbing
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             greatest(octet_length(encode(text)) // 64, 1) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(LEAST(LEAST(n - i * 64, 64), 16) AS INTEGER) AS thumb_len
+    FROM b, UNNEST(generate_series(0, n_frames - 1, 4)) AS u(i)
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling / resize plumbing for media blobs.
 

@@ -117,7 +117,13 @@ def source_rate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
-@query("sink_parquet")  # rows-only: write → re-read smoke
+@query(
+    "sink_parquet",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write an aggregate result to parquet, re-read and return it.
 
