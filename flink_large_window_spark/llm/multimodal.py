@@ -143,12 +143,15 @@ def multimodal_blob_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": blob.str.len().astype("int64"),
-                    "first_byte": blob.str[0].apply(
-                        lambda b: int(b) if b is not None else -1
-                    ),
-                    "last_byte": blob.str[-1].apply(
-                        lambda b: int(b) if b is not None else -1
-                    ),
+                    # b[0]/b[-1] on bytes is already an int; empty
+                    # blobs → -1 (the oracle's n=0 branch). blob.str[0]
+                    # would yield NaN (not None) for b"" and crash.
+                    "first_byte": blob.apply(
+                        lambda b: b[0] if b else -1
+                    ).astype("int32"),
+                    "last_byte": blob.apply(
+                        lambda b: b[-1] if b else -1
+                    ).astype("int32"),
                 }
             )
 
@@ -228,7 +231,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            floor(sc * 1000000 + 0.5) / 1000000 AS scale,
-           list_transform(v, x -> CAST(floor(x / sc + 0.5) AS INTEGER)) AS q
+           array_to_string(
+             list_transform(v, x -> CAST(floor(x / sc + 0.5) AS INTEGER)),
+             ',') AS q_csv
     FROM s
     """,
 )
@@ -247,6 +252,11 @@ def multimodal_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     One Arrow-batched scan, no shuffle; reconstruction quality
     (dequantized cosine ≥ 0.999 vs the original) is pinned by
     tests/test_llm_quality.py.
+
+    The quantized vector is emitted as a comma-joined string
+    (``q_csv``), not ``array<int>``: the driver's canonicalizer sorts
+    the pandas result frame, and list-typed cells are unhashable there
+    (the round-5 ERR). Same serialization pattern as ``agg_collect``.
     """
     prep(spark)
     import numpy as np
@@ -265,10 +275,12 @@ def multimodal_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "vec_id": pdf["vec_id"],
                     "scale": np.floor(scale * 1e6 + 0.5) / 1e6,
-                    "q": [row.tolist() for row in q],
+                    "q_csv": [
+                        ",".join(map(str, row)) for row in q
+                    ],
                 }
             )
 
     return emb.mapInPandas(
-        quant, schema="vec_id long, scale double, q array<int>"
+        quant, schema="vec_id long, scale double, q_csv string"
     )

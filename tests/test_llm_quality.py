@@ -100,7 +100,8 @@ def test_quantization_reconstruction(spark):
     }
     worst = 1.0
     for r in REGISTRY["multimodal_embed_quantize"](spark, SF_SMOKE).collect():
-        deq = np.array(r["q"], dtype=np.float64) * r["scale"]
+        q = np.array([int(x) for x in r["q_csv"].split(",")])
+        deq = q.astype(np.float64) * r["scale"]
         o = orig[r["vec_id"]]
         cos = float(deq @ o / (np.linalg.norm(deq) * np.linalg.norm(o)))
         worst = min(worst, cos)
