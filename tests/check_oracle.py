@@ -3,7 +3,11 @@
 Runs every registered query's Spark form and DuckDB oracle side by side
 and compares row count + schema + order-insensitive values. Stricter
 than the driver's value-hash (we diff actual cells), so green here
-should imply green there.
+should imply green there — with one deliberate carve-out: frames with
+nested-typed (list/ndarray/dict) columns are REJECTED outright, because
+the driver's sort_values canonicalizer crashes on them (round-5
+``multimodal_embed_quantize`` ERR) while any stringify-then-sort local
+check would silently pass.
 
 Usage:
     python tests/check_oracle.py                    # all keys at sf0.01
@@ -49,6 +53,32 @@ def _canon_dtype(dtype) -> str:
     return s
 
 
+def nested_cols(df: pd.DataFrame) -> list[str]:
+    """Columns whose cells are list/ndarray/dict-typed.
+
+    The driver canonicalizes by ``sort_values`` over the whole frame;
+    list-typed cells are unhashable there (``TypeError: unhashable
+    type: 'list'`` — the round-5 ``multimodal_embed_quantize`` ERR), so
+    a SQL-oracle key emitting one can pass a stringifying local check
+    while crashing the driver. Detect via the first non-null cell per
+    object column (a column is either nested-typed or not).
+    """
+    bad = []
+    for c in df.columns:
+        col = df[c]
+        if col.dtype != object:
+            continue
+        nn = col.dropna()
+        if not len(nn):
+            continue
+        v = nn.iloc[0]
+        if isinstance(v, (list, tuple, dict, set)) or (
+            type(v).__name__ == "ndarray"
+        ):
+            bad.append(c)
+    return bad
+
+
 def _canon_cell(v) -> str:
     if v is None:
         return "NULL"
@@ -92,6 +122,17 @@ def compare_one(spark, con, key: str, sf_dir: str) -> dict:
         res["secs"] = round(time.time() - t0, 2)
         return res
     duck_pd = con.execute(sql).df()
+
+    bad = sorted(set(nested_cols(spark_pd)) | set(nested_cols(duck_pd)))
+    if bad:
+        res["status"] = "FAIL"
+        res["details"].append(
+            f"nested-typed column(s) {bad}: unhashable under the "
+            "driver's sort_values canonicalizer — serialize to string "
+            "(concat_ws / array_to_string) or explode to rows"
+        )
+        res["secs"] = round(time.time() - t0, 2)
+        return res
 
     if len(spark_pd) != len(duck_pd):
         res["status"] = "FAIL"
