@@ -518,17 +518,30 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # above the session default; restored after the loop. At fixture
     # scale the effect is within run-to-run JIT noise (an earlier A/B
     # that showed 2.8→2.3s was confounded with JVM warm-up).
+    #
+    # The conf must be applied INSIDE the loop, after its table() call:
+    # table() runs prep(), which resets shuffle partitions to the
+    # session default — setting iter_parts here and then entering the
+    # loop made the tuning a silent no-op in round 5 (ADVICE r5).
+    # tests/test_plans.py asserts the live conf the loop observed.
     n_docs = row_count(sf_dir, "documents")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     iter_parts = max(4, min(int(prev_parts), math.ceil(n_docs / 250_000)))
-    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
     try:
-        return _cluster_cc_loop(spark, sf_dir)
+        return _cluster_cc_loop(spark, sf_dir, iter_parts)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
-def _cluster_cc_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Conf snapshot taken inside _cluster_cc_loop right before the first
+# iteration action — i.e. AFTER prep()'s reset. Lets the test assert
+# the tuning actually reached the iteration shuffles.
+_LAST_ITER_PARTS: int | None = None
+
+
+def _cluster_cc_loop(
+    spark: SparkSession, sf_dir: str, iter_parts: int | None = None
+) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     w = Window.partitionBy("lang", "source").orderBy("doc_id")
     chain = (
@@ -536,9 +549,18 @@ def _cluster_cc_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev").isNotNull())
         .select(F.col("doc_id").alias("src"), F.col("prev").alias("dst"))
     )
+    # Edge derivation shuffles the full corpus (the lag window) — run it
+    # under the session-default width, then narrow to the label-frame
+    # width for the iteration. localCheckpoint is an action, so the
+    # conf in force HERE is what each materialization actually uses.
     edges = chain.unionByName(
         chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
+
+    if iter_parts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
+    global _LAST_ITER_PARTS
+    _LAST_ITER_PARTS = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
     for _ in range(32):  # bound >> log2(max component size)

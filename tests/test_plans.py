@@ -218,3 +218,27 @@ def test_dedup_embed_cosine_uses_cache_not_rescan(spark):
     df.collect()  # materialize the persisted packed form + finalize AQE
     plan = _plan(df)
     assert plan.count("InMemoryTableScan") >= 2, "crossJoin sides not cache-fed"
+
+
+def test_cluster_cc_iteration_runs_at_tuned_width(spark):
+    """The label-propagation loop must actually run its iteration
+    shuffles at the label-frame width, not the session default. Round
+    5's tuning was a silent no-op: the conf was set BEFORE the loop's
+    table() call, whose prep() resets shuffle partitions to 32 (ADVICE
+    r5). The loop now snapshots the live conf right before its first
+    iteration action; at smoke scale the sizing formula gives the
+    4-partition floor. The session default must also be restored after
+    the query returns."""
+    import flink_large_window_spark.llm.dedup as dedup_mod
+    from flink_large_window_spark.registry import REGISTRY
+    from flink_large_window_spark.tables import prep
+
+    prep(spark)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    dedup_mod._LAST_ITER_PARTS = None
+    REGISTRY["dedup_cluster_cc"](spark, SF_SMOKE).collect()
+    assert dedup_mod._LAST_ITER_PARTS == 4, (
+        f"iteration observed {dedup_mod._LAST_ITER_PARTS} shuffle "
+        "partitions — prep() reset the tuned width again"
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
