@@ -50,7 +50,76 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_near_minhash")  # rows-only: algorithmic choice not SQL-canonical
+# Full SQL mirror of the MinHash-LSH pipeline (round 6, upgraded from
+# rows-only). Portable because every stage is deterministic integer
+# math both engines share: md5 (bit-identical), 63-bit big-endian hex
+# parse, mod-Mersenne universal hashes (all intermediates < 2^63 so
+# BIGINT never overflows), and per-band XOR folds (bit_xor ==
+# np.bitwise_xor.reduce; mins < 2^31 so the 0x9E3779B1 product stays
+# under 2^62). Jaccard is verified on DISTINCT hash sets — identical to
+# Spark's array_intersect/array_union set semantics on the hs arrays.
+_MINHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t, text FROM documents
+    ), shing AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_transform(generate_series(1, len(t) - 2),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                  ELSE [text]
+             END AS shingles
+      FROM toks
+    ), hh AS (
+      SELECT DISTINCT doc_id,
+             CAST(CAST(('0x' || substr(md5(u.s), 1, 16)) AS UBIGINT) >> 1
+                  AS BIGINT) AS h
+      FROM shing, UNNEST(shingles) AS u(s)
+    ), minh AS (
+      SELECT doc_id, g.i AS i,
+             MIN(((h % {MERSENNE}) * (2 * g.i + 1) + 7919 * (g.i + 1))
+                 % {MERSENNE}) AS mh
+      FROM hh, (SELECT UNNEST(generate_series(0, {N_HASHES - 1})) AS i) g
+      GROUP BY doc_id, g.i
+    ), band AS (
+      SELECT doc_id, i // 8 AS band, bit_xor(mh * 2654435761) AS bh
+      FROM minh GROUP BY doc_id, i // 8
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      FROM band l JOIN band r
+        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    ), inter AS (
+      SELECT c.a, c.b, COUNT(*) AS n_int
+      FROM cand c
+      JOIN hh x ON x.doc_id = c.a
+      JOIN hh y ON y.doc_id = c.b AND y.h = x.h
+      GROUP BY c.a, c.b
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM hh GROUP BY doc_id
+    ), jac AS (
+      SELECT c.a, c.b, COALESCE(i.n_int, 0) AS n_int,
+             sa.n + sb.n - COALESCE(i.n_int, 0) AS n_uni
+      FROM cand c
+      LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+      JOIN sizes sa ON sa.doc_id = c.a
+      JOIN sizes sb ON sb.doc_id = c.b
+    ), per AS (
+      SELECT doc_id, COUNT(*) AS n_candidates,
+             SUM(CASE WHEN CAST(n_int AS DOUBLE) / n_uni >= 0.8
+                      THEN 1 ELSE 0 END) AS n_dups_080
+      FROM (
+        SELECT a AS doc_id, n_int, n_uni FROM jac
+        UNION ALL
+        SELECT b AS doc_id, n_int, n_uni FROM jac
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_candidates, 0) AS n_candidates,
+           CAST(COALESCE(p.n_dups_080, 0) AS BIGINT) AS n_dups_080
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+
+@query("dedup_near_minhash", oracle=_MINHASH_ORACLE)
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection via MinHash-LSH over token 3-shingles.
 
@@ -65,6 +134,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate verification — verified Jaccard over the exact shingle
     sets carried from the same scan. Base hash is md5-derived (portable,
     process-stable); swap in a faster 64-bit hash at deployment scale.
+    That portability is what makes the full SQL oracle above possible
+    (round 6): DuckDB reproduces every stage bit-for-bit, so the whole
+    LSH pipeline — signatures, band keys, candidate set, Jaccard
+    verdicts — is hash-checked, not just row-counted.
 
     Output: per-doc near-dup summary (doc_id, n_candidates,
     n_dups_080) — per-doc rows so the result is non-empty even when
