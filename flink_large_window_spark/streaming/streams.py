@@ -1056,7 +1056,25 @@ def stream_watermark_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, agg, mode="append")
 
 
-@query("stream_allowed_lateness_reemit")  # rows-only; pytest pins the refires
+@query(
+    "stream_allowed_lateness_reemit",
+    oracle="""
+    WITH pane AS (
+      SELECT date_trunc('hour', ts) AS w,
+             COUNT(*) FILTER (WHERE event_id % 10 <> 0) AS n_ontime,
+             COUNT(*) FILTER (WHERE event_id % 10 = 0)  AS n_late,
+             COUNT(*) AS n_total
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(w AS VARCHAR) AS w_start,
+           CAST(0 AS BIGINT)  AS batch_id,
+           n_ontime           AS n
+    FROM pane WHERE n_ontime > 0
+    UNION ALL
+    SELECT CAST(w AS VARCHAR), CAST(1 AS BIGINT), n_total
+    FROM pane WHERE n_late > 0
+    """,
+)
 def stream_allowed_lateness_reemit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flink ``allowedLateness`` window re-emission, reconstructed with
     UPDATE output mode + a foreachBatch emission log (SURVEY §2.9 gap
@@ -1075,7 +1093,13 @@ def stream_allowed_lateness_reemit(spark: SparkSession, sf_dir: str) -> DataFram
     span, so nothing is dropped) — every pane containing a late row
     fires AGAIN with its updated count. foreachBatch logs each
     emission with its batch id; the returned frame is that log
-    (w_start, batch_id, n), so refires are rows, not prose.
+    (w_start, batch_id, n), so refires are rows, not prose. The log is
+    SQL-derivable (round 6, upgraded from rows-only): UPDATE mode
+    emits exactly the panes CHANGED per batch, so batch 0 is every
+    pane with an on-time row at its on-time count, and batch 1 is
+    every pane with a late row at its cumulative count — the 45-day
+    allowance exceeds the fixture span, so no pane is evicted between
+    batches and no late row is dropped.
     tests/test_streaming_parity.py pins: batch-1 refires exist, their
     counts equal the full batch aggregate (allowance honored), and
     batch-0 firings carry exactly the on-time counts.

@@ -419,3 +419,46 @@ def test_stream_allowed_lateness_reemit_accounting(spark, max_ts):
     assert set(refired) == {
         w for w in full if w in ontime and full[w] != ontime[w]
     }
+
+
+def test_no_fixture_pane_end_on_final_watermark():
+    """The streaming twins' oracles encode append-mode closure as
+    strictly ``pane_end < max(ts) - 10min``, while Spark evicts when
+    ``pane_end <= watermark`` with the watermark ms-truncated (ADVICE
+    r5). The two agree iff no pane end lands EXACTLY on the final
+    watermark — true for the shipped fixtures, but a regeneration could
+    silently flip hash equality. Pin it: at every scale factor the
+    final watermark must not be 15-min-aligned (hour / day / 15-min
+    sliding pane ends) nor equal to any (event ts + 30min session
+    gap)."""
+    import duckdb
+
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        con = duckdb.connect()
+        max_us, n_on_gap = con.execute(
+            f"""
+            WITH e AS (
+              SELECT epoch_us(ts) AS us
+              FROM read_parquet('{sf_dir}/events.parquet')
+            ), wm AS (
+              SELECT (MAX(us) // 1000) * 1000 - 600000000 AS wm_us FROM e
+            )
+            SELECT (SELECT wm_us FROM wm),
+                   (SELECT COUNT(*) FROM e, wm
+                     WHERE us + 1800000000 = wm_us)
+            """
+        ).fetchone()
+        wm_us = max_us
+        assert wm_us % 900_000_000 != 0, (
+            f"{sf_dir}: final watermark is 15-min-aligned — a tumbling/"
+            "sliding/day pane end sits exactly on it; the twins' "
+            "strict-< oracles no longer match Spark's <= eviction"
+        )
+        assert n_on_gap == 0, (
+            f"{sf_dir}: {n_on_gap} session ends (ts + 30min) equal the "
+            "final watermark — session twins' oracle boundary flips"
+        )
