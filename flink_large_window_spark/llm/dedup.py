@@ -235,7 +235,14 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_candidates"),
             F.sum(F.when(F.col("jaccard") >= 0.8, 1).otherwise(0)).alias("n_dups_080"),
         )
+        # Eager: one job consumes both fat caches (signature arrays +
+        # exploded bands), then they are released instead of living for
+        # the rest of the session (ADVICE r5). per_doc is one narrow
+        # row per candidate-touched doc.
+        .localCheckpoint()
     )
+    base.unpersist()
+    banded.unpersist()
     return (
         docs.select("doc_id")
         .join(per_doc, "doc_id", "left")
@@ -509,6 +516,12 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so every invocation of this query (same sf_dir) shares ONE entry
     # ("asked to cache already cached data" path), and the packed form
     # is ~corpus-sized float64, DISK_ONLY territory at 100 TB.
+    # Session cache budget (ADVICE r5): this is the ONE deliberately
+    # session-lifetime cache in the llm family — the returned frame
+    # reads it lazily from both crossJoin sides (the plan test pins
+    # InMemoryTableScan x2), so it cannot be unpersisted inside this
+    # function. Default storage level is MEMORY_AND_DISK: under
+    # pressure it spills, never silently recomputes mid-job.
     packed = (
         blocked.groupBy("block")
         .applyInPandas(
@@ -746,14 +759,19 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(F.col("b").alias("doc_id"))
     )
     counts = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hamming3"))
-    return (
+    out = (
         sigs.select("doc_id")
         .join(counts, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_hamming3", F.lit(0)).cast("long").alias("n_hamming3"),
         )
+        # Eager: both consumers of the sigs cache run in this one job,
+        # so the cache can be released before returning (ADVICE r5).
+        .localCheckpoint()
     )
+    sigs.unpersist()
+    return out
 
 
 @query(

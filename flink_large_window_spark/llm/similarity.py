@@ -451,4 +451,10 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"vec_id": pdf["vec_id"], "cluster": d2.argmin(axis=1).astype("int64")}
             )
 
+    # Release the corpus cache: the Lloyd iterations (its consumers)
+    # have all run, so the final assignment below re-reads parquet —
+    # one extra columnar scan, which is the 100 TB shape anyway, in
+    # exchange for not leaving a corpus-sized cache entry behind for
+    # the rest of the session (ADVICE r5).
+    emb.unpersist()
     return emb.mapInPandas(assign_final, schema="vec_id long, cluster long")

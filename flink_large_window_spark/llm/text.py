@@ -418,7 +418,15 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         votes.withColumn("r", F.row_number().over(w_pick))
         .filter(F.col("r") == 1)
         .select("doc_id", F.col("cand_lang").alias("pred_lang"))
+        # Eager: consumes the tris cache in one job so it can be
+        # RELEASED before returning (ADVICE r5 — un-unpersisted
+        # corpus-sized caches accumulate across a 195-key suite run).
+        # The checkpointed frame is one narrow row per doc and is
+        # cleaned by the ContextCleaner when the result is dropped,
+        # unlike CacheManager entries which live until unpersist.
+        .localCheckpoint()
     )
+    tris.unpersist()
     return docs.select("doc_id", "lang").join(pred, "doc_id").select(
         "doc_id", "lang", "pred_lang", (F.col("lang") == F.col("pred_lang")).alias("hit")
     )

@@ -242,3 +242,25 @@ def test_cluster_cc_iteration_runs_at_tuned_width(spark):
         "partitions — prep() reset the tuned width again"
     )
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_llm_queries_release_their_caches(spark):
+    """langid / minhash / simhash-hamming / kmeans persist fat
+    intermediates; each must consume them eagerly and unpersist before
+    returning, or corpus-sized cache entries accumulate for the life of
+    a 195-key suite session (ADVICE r5). dedup_embed_cosine's packed
+    frame is the one documented exception (lazily cache-fed crossJoin,
+    see test_dedup_embed_cosine_uses_cache_not_rescan)."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    spark.catalog.clearCache()
+    for key in (
+        "text_langid_ngram",
+        "dedup_near_minhash",
+        "dedup_simhash_hamming",
+        "emb_kmeans_assign",
+    ):
+        REGISTRY[key](spark, SF_SMOKE).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "an llm query left a CacheManager entry behind after collect"
+    )
