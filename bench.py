@@ -63,6 +63,13 @@ HEADLINE = [
 ]
 
 
+# Baseline-straddlers on a ±15% noise floor (VERDICT r5 item 6): a
+# 3-run median cannot separate drift from noise for these two, so they
+# get 5 timed runs. Everything else keeps n=3 — the extra runs cost
+# ~6s total and only help where the ratio is ambiguous.
+WATCH_LIST_RUNS = {"dedup_cluster_cc": 5, "sample_hash_bernoulli": 5}
+
+
 def bench_one(spark, fn, sf_dir: str, runs: int = 3) -> dict:
     def run() -> float:
         t0 = time.perf_counter()
@@ -83,7 +90,9 @@ def main() -> None:
     qs = api.queries()
     results: dict[str, dict] = {}
     for key in HEADLINE:
-        results[key] = bench_one(spark, qs[key], sf_dir)
+        results[key] = bench_one(
+            spark, qs[key], sf_dir, runs=WATCH_LIST_RUNS.get(key, 3)
+        )
         print(f"# {key}: {results[key]['median_s']}s", file=sys.stderr)
 
     total = round(sum(r["median_s"] for r in results.values()), 4)

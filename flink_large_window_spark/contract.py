@@ -165,14 +165,96 @@ _R04_EXTRAS: frozenset[str] = frozenset(
         "winfn_percent_rank_cume",
     }
 )
+_R05_EXTRAS: frozenset[str] = frozenset(
+    {
+        "join_asof_tolerance", "join_bucketed_noshuffle",
+        "join_interval_stream", "join_skew_salted",
+        "join_window_tumbling_stream", "multimodal_blob_features",
+        "multimodal_embed_quantize", "multimodal_frame_sample",
+        "pattern_detect_notfollowedby", "pattern_detect_oneormore",
+        "pattern_detect_times", "scan_schema_evolution",
+        "source_csv_roundtrip", "source_jsonl_roundtrip",
+        "source_orc_roundtrip", "stateful_count_session_stream",
+        "stateful_session_timeout_stream", "stream_allowed_lateness_reemit",
+        "stream_foreachbatch_upsert", "stream_late_drop",
+        "stream_static_enrich", "stream_stream_full_outer",
+        "stream_stream_left_outer", "stream_watermark_skew",
+        "text_langid_ngram", "watermark_dedup_stream",
+        "window_early_fire_stream", "window_large_day_stream",
+        "window_session_agg_stream", "window_sliding_agg_stream",
+        "window_tumbling_agg_stream",
+    }
+)
 DRIVER_CHECKED: frozenset[str] = (
-    frozenset(CONTRACT_KEYS) | _R01_EXTRAS | _R03_EXTRAS | _R04_EXTRAS
+    frozenset(CONTRACT_KEYS)
+    | _R01_EXTRAS
+    | _R03_EXTRAS
+    | _R04_EXTRAS
+    | _R05_EXTRAS
 )
 
-# Round 5: no rows-only → SQL oracle upgrades this round, so no
-# re-check keys lead the prefix; the window goes straight to the
-# never-driver-sampled tail.
-RECHECK_KEYS: tuple[str, ...] = ()
+# Round 6: driver coverage closed in round 5 (every registered key has
+# a CORRECTNESS row), so the window's job flips from coverage to
+# RECENCY (VERDICT r5 item 3). These 50 keys fill the whole budget:
+# first the 8 keys whose behavior changed THIS round (the red-key fix,
+# the two new oracles, the cache-release and conf-fix edits), then the
+# stale tail — SQL-oracle keys whose implementation file changed in a
+# LATER round than their most recent driver evidence, ordered by that
+# staleness gap (computed from git diff per round vs CORRECTNESS_r0N
+# membership; the generator lives in the round-6 session log and the
+# ordering is pinned by tests/test_contract.py).
+RECHECK_KEYS: tuple[str, ...] = (
+    "multimodal_embed_quantize",
+    "dedup_near_minhash",
+    "stream_allowed_lateness_reemit",
+    "multimodal_blob_features",
+    "text_langid_ngram",
+    "dedup_simhash_hamming",
+    "emb_kmeans_assign",
+    "dedup_cluster_cc",
+    "join_dynamic_partition_pruning",
+    "scan_file_metadata",
+    "sink_parquet_partitioned",
+    "sql_entry_exists",
+    "winfn_first_last",
+    "winfn_lag_lead",
+    "winfn_moving_avg_range",
+    "winfn_ntile",
+    "winfn_rank_dense",
+    "winfn_row_number_topk",
+    "winfn_running_sum",
+    "join_asof_forward",
+    "join_interval_banded",
+    "join_null_safe",
+    "join_strategy_hints",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "dedup_embed_cosine",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "llm_corpus_pipeline",
+    "multimodal_doc_join",
+    "multimodal_vec_stats",
+    "pattern_detect_cep",
+    "sim_cosine_topk",
+    "sim_knn_join_label",
+    "text_fingerprint_rolling",
+    "text_lang_stats",
+    "text_ngrams",
+    "text_quality_score",
+    "text_tfidf_topterms",
+    "text_token_count_bpe",
+    "text_tokenize_wordcount",
+    "winfn_running_distinct",
+    "join_asof",
+    "join_interval",
+    "join_window_tumbling",
+    "dedup_embed_cosine_ivf",
+    "pattern_detect_followedby",
+    "sim_ann_ivf_multiprobe",
+    "sim_ann_ivf_topk",
+)
 
 # Round-5 priority: after the r4 window, 27 registered keys still
 # have no driver CORRECTNESS row (10 SQL-oracle + 17 rows-only).

@@ -17,11 +17,17 @@ and single-batch UPDATE-mode queries fire each group once with final
 counts. Those twins now carry full DuckDB oracles (the batch oracle
 plus the closed-before-watermark filter), verified hash-equal at
 sf0.001/0.01/0.1; the pytest parity suite remains as the semantic
-cross-check. Still rows-only by design: window_large_day_stream
-(approx_count_distinct state), source_rate_stream (wall-clock), and
-the three watermark-mechanics demos (stream_late_drop,
-stream_watermark_skew, stream_allowed_lateness_reemit) whose outputs
-depend on batch sequencing that SQL should not re-encode.
+cross-check. Round 6 added stream_allowed_lateness_reemit: its
+two-batch emission log is also deterministic (UPDATE mode emits
+exactly the panes changed per batch), so "batch sequencing" was not a
+barrier there after all. Still rows-only by design:
+window_large_day_stream (approx_count_distinct — the estimate is
+implementation-defined), source_rate_stream (wall-clock), and the two
+live watermark-mechanics demos (stream_late_drop,
+stream_watermark_skew) whose point is Spark's runtime drop/lag
+accounting (numRowsDroppedByWatermark, per-source watermark lag),
+values that exist only in query progress, not in any SQL-reachable
+relation.
 """
 
 from __future__ import annotations

@@ -9,9 +9,13 @@ with every remaining never-checked key (computed below, not hard-coded —
 see ``test_rotation_tail_fits_window``), which is fewer than the 50-key
 budget, so the rotation CLOSES this round: every registered key gains a
 driver CORRECTNESS row, and the leftover window slots fall through to
-contract-key re-checks (harmless, stronger recency evidence). These
-tests make a module reshuffle that breaks the rotation a hard failure
-instead of a silent evidence gap.
+contract-key re-checks (harmless, stronger recency evidence). Round 6
+flips the window's job from coverage to RECENCY: RECHECK_KEYS fills the
+whole 50-key budget with this round's changed keys followed by the
+stale tail (implementation file changed in a later round than the
+key's latest driver evidence). These tests make a module reshuffle
+that breaks the rotation a hard failure instead of a silent evidence
+gap.
 """
 
 from __future__ import annotations
@@ -122,3 +126,36 @@ def test_no_contract_key_lost_overall():
     assert set(CONTRACT_KEYS) <= set(q)
     # sanity: registry did not shrink below round-2 size
     assert len(q) >= 182
+
+
+def test_round6_recheck_window_shape():
+    """The round-6 window is all-recheck: 50 unique SQL-oracle keys,
+    led by the keys whose behavior changed this round, followed only by
+    STALE keys — ones whose latest driver evidence predates round 5
+    (anything re-confirmed in the r5 window is fresh and may not burn a
+    slot)."""
+    import json
+    import os
+
+    assert len(RECHECK_KEYS) == DRIVER_PREFIX_BUDGET
+    assert len(set(RECHECK_KEYS)) == DRIVER_PREFIX_BUDGET
+    q = api.queries()
+    oracles = api.oracle_sql()
+    assert all(k in q and k in oracles for k in RECHECK_KEYS)
+
+    round6_touched = RECHECK_KEYS[:8]
+    assert set(round6_touched) == {
+        "multimodal_embed_quantize",
+        "dedup_near_minhash",
+        "stream_allowed_lateness_reemit",
+        "multimodal_blob_features",
+        "text_langid_ngram",
+        "dedup_simhash_hamming",
+        "emb_kmeans_assign",
+        "dedup_cluster_cc",
+    }
+
+    r5_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r05.json")
+    fresh = set(json.load(open(r5_path)))
+    wasted = [k for k in RECHECK_KEYS[8:] if k in fresh]
+    assert not wasted, f"recheck slots burned on r5-fresh evidence: {wasted}"
