@@ -147,6 +147,19 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # The signature scan is PYTHON-bound, so its parallelism is the
+    # scan's input split count — and a small corpus arrives as one
+    # parquet row group, i.e. ONE task for the whole md5/minhash stage
+    # (measured: the scan alone was >half the round-6 bench time,
+    # single-threaded on 32 cores). Spread it with an explicit
+    # repartition while the corpus is small enough that reshuffling the
+    # raw text is negligible; at production scale the corpus arrives in
+    # many files/row groups, this branch is off, and the file layout
+    # provides the parallelism. Sized from footer metadata, no pre-pass.
+    n_docs = row_count(sf_dir, "documents")
+    if n_docs <= 1_000_000:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        docs = docs.repartition(max(4, min(width, n_docs // 150)))
     coef_a = np.array([2 * i + 1 for i in range(N_HASHES)], dtype=np.int64)
     coef_b = np.array([7919 * (i + 1) for i in range(N_HASHES)], dtype=np.int64)
 
@@ -198,9 +211,13 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig, schema="doc_id long, hs array<long>, bands array<long>"
     ).persist()
 
+    # No persist on banded: both self-join sides are the same subplan,
+    # so Catalyst shuffles it once and the other side is a
+    # ReusedExchange — a cache entry here bought nothing and cost a
+    # materialization (round-6 A/B: dropping it is −0.3s at sf0.1).
     banded = base.select(
         "doc_id", F.posexplode("bands").alias("band", "bh")
-    ).persist()
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     candidates = (
@@ -242,7 +259,6 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     base.unpersist()
-    banded.unpersist()
     return (
         docs.select("doc_id")
         .join(per_doc, "doc_id", "left")
