@@ -15,7 +15,7 @@ contract = set(CONTRACT_KEYS)
 lines = [
     "# OPERATORS — every registered query key",
     "",
-    "Auto-generated from the registry (round 5). One row per key in",
+    "Auto-generated from the registry. One row per key in",
     "driver-checked order: **key** · oracle class · summary (first",
     "docstring line). §2 = SURVEY.md §2 contract row. Regenerate with",
     "`python tools/gen_operators.py`.",
