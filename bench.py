@@ -11,6 +11,17 @@ JSON line to stdout:
 and writes BENCH_LAST.json with per-run detail + env. BENCH.json is
 the FROZEN round-1 baseline (BASELINE.md) and is never rewritten here
 — later rounds must stay within 2× of it.
+
+Known measurement hazards (round 6): (1) CacheManager substitutes
+cached data by canonical plan, so a key that persists without
+releasing makes its own later runs (and any plan-identical key)
+artificially fast — the pre-r6 minhash number was this artifact; the
+honest cold path is what this harness now measures. (2) Python-scan
+keys interfere: running one mapInPandas-heavy key transiently slows
+the next Python-scan key ~20-40% for a run or two (reused Python
+workers / async cleanup), measured r6 on minhash→simhash. The
+watch-list n=5 medians absorb both effects; cross-round comparisons
+should use medians, never single runs.
 """
 
 from __future__ import annotations
@@ -64,10 +75,18 @@ HEADLINE = [
 
 
 # Baseline-straddlers on a ±15% noise floor (VERDICT r5 item 6): a
-# 3-run median cannot separate drift from noise for these two, so they
-# get 5 timed runs. Everything else keeps n=3 — the extra runs cost
-# ~6s total and only help where the ratio is ambiguous.
-WATCH_LIST_RUNS = {"dedup_cluster_cc": 5, "sample_hash_bernoulli": 5}
+# 3-run median cannot separate drift from noise there, so they get 5
+# timed runs. The two Python-scan dedup keys are also bimodal (rare
+# ~1.5x outlier runs from Python-worker churn — a 7-run probe in round
+# 6 measured [0.47 x6, 0.71 x1] for simhash), so they join the list.
+# Everything else keeps n=3 — the extra runs cost ~10s total and only
+# help where the ratio is ambiguous.
+WATCH_LIST_RUNS = {
+    "dedup_cluster_cc": 5,
+    "sample_hash_bernoulli": 5,
+    "dedup_simhash": 5,
+    "dedup_near_minhash": 5,
+}
 
 
 def bench_one(spark, fn, sf_dir: str, runs: int = 3) -> dict:
