@@ -157,6 +157,8 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # many files/row groups, this branch is off, and the file layout
     # provides the parallelism. Sized from footer metadata, no pre-pass.
     n_docs = row_count(sf_dir, "documents")
+    doc_ids = docs.select("doc_id")  # pre-repartition: the final
+    # id join needs no round-robin exchange on its scan side.
     if n_docs <= 1_000_000:
         width = int(spark.conf.get("spark.sql.shuffle.partitions"))
         docs = docs.repartition(max(4, min(width, n_docs // 150)))
@@ -204,64 +206,79 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bandss.append(bands)
             yield pd.DataFrame({"doc_id": ids, "hs": hss, "bands": bandss})
 
-    # Feeds both the LSH join (via `banded`) and Jaccard verification —
-    # persist so the Python scan runs once. At 100 TB this becomes a
-    # checkpoint to durable storage, same dataflow.
+    # ONE action, ZERO cached state, ONE Python scan: the shingle-hash
+    # sets ride THROUGH the band-bucket shuffle (each banded row
+    # carries its doc's `hs`), and candidate pairs come from a
+    # groupBy(band, bh) + within-bucket double-explode instead of a
+    # band self-join. Two designs that look equivalent are not:
+    # (1) persist + localCheckpoint (pre-r6) ran the scan once but left
+    # RDD blocks behind that only the async ContextCleaner released —
+    # back-to-back invocations degraded 1.2s -> 2.3s with 7-10s GC
+    # outliers at sf0.1; (2) a band self-join runs the scan TWICE,
+    # because MapInPandas plans never compare sameResult (verified on
+    # a trivial identity self-join: two MapInPandas nodes, no
+    # ReusedExchange), so exchange reuse cannot deduplicate the
+    # Python stage. The bucket aggregate has exactly one scan consumer
+    # by construction. Carrying `hs` costs ~8x signature bytes in the
+    # exchange (~3 KB/doc here); at 100 TB, if that shuffle dominates,
+    # checkpoint the signature frame durably — same dataflow. A
+    # degenerate hot bucket concentrates its k^2 pair generation in one
+    # task; production LSH drops over-full buckets as
+    # non-discriminative (a size cap mirrored in the oracle), not
+    # needed at fixture scales.
     base = docs.mapInPandas(
         sig, schema="doc_id long, hs array<long>, bands array<long>"
-    ).persist()
-
-    # No persist on banded: both self-join sides are the same subplan,
-    # so Catalyst shuffles it once and the other side is a
-    # ReusedExchange — a cache entry here bought nothing and cost a
-    # materialization (round-6 A/B: dropping it is −0.3s at sf0.1).
+    )
     banded = base.select(
-        "doc_id", F.posexplode("bands").alias("band", "bh")
+        "doc_id", "hs", F.posexplode("bands").alias("band", "bh")
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.collect_list(F.struct("doc_id", "hs")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
     candidates = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        buckets.select(F.explode("ds").alias("x"), "ds")
+        .select("x", F.explode("ds").alias("y"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.col("x.hs").alias("ha"),
+            F.col("y.hs").alias("hb"),
         )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .distinct()
+        # A pair surfaces once per shared band (up to 8x); ha/hb are
+        # functions of a/b so any survivor row is the right one.
+        .dropDuplicates(["a", "b"])
     )
 
-    # Verify candidates with exact Jaccard over shingle-hash sets.
-    sets_ = base.select("doc_id", F.col("hs"))
-    verified = (
-        candidates.join(sets_.withColumnRenamed("doc_id", "a").withColumnRenamed("hs", "ha"), "a")
-        .join(sets_.withColumnRenamed("doc_id", "b").withColumnRenamed("hs", "hb"), "b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("ha", "hb"))
-            / F.size(F.array_union("ha", "hb")),
-        )
-        .select("a", "b", "jaccard")
+    # Verify candidates with exact Jaccard over the carried sets, then
+    # fan each pair out to both endpoint docs in one projection (an
+    # earlier unionByName of two selects re-ran the whole join per
+    # branch).
+    verified = candidates.withColumn(
+        "jaccard",
+        F.size(F.array_intersect("ha", "hb"))
+        / F.size(F.array_union("ha", "hb")),
     )
-
     per_doc = (
-        verified.select(F.col("a").alias("doc_id"), "jaccard")
-        .unionByName(verified.select(F.col("b").alias("doc_id"), "jaccard"))
+        verified.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("doc_id"), F.col("jaccard")),
+                    F.struct(F.col("b").alias("doc_id"), F.col("jaccard")),
+                )
+            ).alias("e")
+        )
+        .select("e.doc_id", "e.jaccard")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_candidates"),
             F.sum(F.when(F.col("jaccard") >= 0.8, 1).otherwise(0)).alias("n_dups_080"),
         )
-        # Eager: one job consumes both fat caches (signature arrays +
-        # exploded bands), then they are released instead of living for
-        # the rest of the session (ADVICE r5). per_doc is one narrow
-        # row per candidate-touched doc.
-        .localCheckpoint()
     )
-    base.unpersist()
     return (
-        docs.select("doc_id")
-        .join(per_doc, "doc_id", "left")
+        doc_ids.join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),

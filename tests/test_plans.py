@@ -264,3 +264,24 @@ def test_llm_queries_release_their_caches(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "an llm query left a CacheManager entry behind after collect"
     )
+
+
+def test_minhash_single_python_scan_no_cache(spark):
+    """Round-6 redesign: dedup_near_minhash must hold exactly ONE
+    MapInPandas node (bucket-aggregate LSH — a band self-join silently
+    runs the signature scan twice, because MapInPandas plans never
+    compare sameResult and exchange reuse cannot deduplicate them) and
+    must leave no cache/checkpoint state behind (the pre-r6
+    persist+localCheckpoint design degraded back-to-back runs via
+    lingering RDD blocks)."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    spark.catalog.clearCache()
+    df = REGISTRY["dedup_near_minhash"](spark, SF_SMOKE)
+    plan = _plan(df)
+    n = plan.count("MapInPandas")
+    assert n == 1, f"expected exactly 1 MapInPandas, saw {n}"
+    df.collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "dedup_near_minhash left a CacheManager entry behind"
+    )
