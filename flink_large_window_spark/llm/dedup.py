@@ -753,7 +753,23 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     # (shift, width): 4 disjoint bands covering bits 0..61.
     band_spec = [(0, 16), (16, 15), (31, 16), (47, 15)]
-    sigs = dedup_simhash(spark, sf_dir).persist()
+    # ZERO cached state: no persist, no localCheckpoint (the round-5
+    # pair left RDD blocks that only the async ContextCleaner
+    # reclaimed — the hazard fixed suite-wide this round). The price
+    # is that the band self-join runs the signature scan TWICE
+    # (MapInPandas plans never compare sameResult, so exchange reuse
+    # cannot deduplicate them) — measured +0.45s at sf0.1, still
+    # 0.83x the frozen baseline; at 100 TB checkpoint `sigs` durably
+    # instead and the dataflow is unchanged. The minhash-style
+    # groupBy-bucket reshape is deliberately NOT used here: simhash
+    # band values are heavily skewed (similar docs share band bits —
+    # max bucket 447 docs vs 4.9 avg at sf0.1), and collect_list +
+    # double explode concentrates each bucket's k^2 pair
+    # materialization (with k copies of the k-element struct array)
+    # in one task — measured 3-7s vs the join's 1.6s. A sort-merge
+    # join streams the same k^2 pairs without materializing the
+    # per-bucket array.
+    sigs = dedup_simhash(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
         "simhash",
@@ -785,26 +801,22 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l.simhash").alias("sa"),
             F.col("r.simhash").alias("sb"),
         )
-        .distinct()
+        .dropDuplicates(["a", "b"])
         .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
     )
-    hits = cand.select(F.col("a").alias("doc_id")).unionByName(
-        cand.select(F.col("b").alias("doc_id"))
+    hits = cand.select(
+        F.explode(F.array(F.col("a"), F.col("b"))).alias("doc_id")
     )
     counts = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hamming3"))
-    out = (
-        sigs.select("doc_id")
+    return (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
         .join(counts, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_hamming3", F.lit(0)).cast("long").alias("n_hamming3"),
         )
-        # Eager: both consumers of the sigs cache run in this one job,
-        # so the cache can be released before returning (ADVICE r5).
-        .localCheckpoint()
     )
-    sigs.unpersist()
-    return out
 
 
 @query(

@@ -385,7 +385,18 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     docs = table(spark, sf_dir, "documents")
-    tris = docs.select(
+    # The trigram explode is the expensive stage (sequence+transform+
+    # substr per char), and a small corpus arrives as ONE parquet row
+    # group — without an explicit spread it runs in one task (measured
+    # 1.8s of the round-5 3.0s total at sf0.1, single-threaded on 32
+    # cores). Same small-corpus repartition as dedup_near_minhash;
+    # off at production scale where the file layout parallelizes.
+    d = docs.select("doc_id", "lang", "text")
+    n_docs = row_count(sf_dir, "documents")
+    if n_docs <= 1_000_000:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        d = d.repartition(max(4, min(width, n_docs // 150)))
+    tris = d.select(
         "doc_id",
         "lang",
         F.explode(
@@ -396,7 +407,15 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("tri"),
-    ).persist()  # feeds both profile-building and voting
+    )
+    # No cache: tris is all JVM expressions, so its two consumers
+    # (profile build, voting) cost one extra column-pruned scan +
+    # explode — with the spread above that is cheaper than the round-5
+    # persist+localCheckpoint pair, whose lingering RDD blocks
+    # degraded back-to-back runs until the async ContextCleaner caught
+    # up (the hazard fixed suite-wide this round). Measured at sf0.1:
+    # 0.93s no-cache+spread vs 3.0s persist vs 4.2s no-cache serial.
+    # At 100 TB, checkpoint tris durably if the explode dominates.
     w_prof = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tri").asc())
     profiles = (
         tris.groupBy("lang", "tri")
@@ -418,15 +437,7 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         votes.withColumn("r", F.row_number().over(w_pick))
         .filter(F.col("r") == 1)
         .select("doc_id", F.col("cand_lang").alias("pred_lang"))
-        # Eager: consumes the tris cache in one job so it can be
-        # RELEASED before returning (ADVICE r5 — un-unpersisted
-        # corpus-sized caches accumulate across a 195-key suite run).
-        # The checkpointed frame is one narrow row per doc and is
-        # cleaned by the ContextCleaner when the result is dropped,
-        # unlike CacheManager entries which live until unpersist.
-        .localCheckpoint()
     )
-    tris.unpersist()
     return docs.select("doc_id", "lang").join(pred, "doc_id").select(
         "doc_id", "lang", "pred_lang", (F.col("lang") == F.col("pred_lang")).alias("hit")
     )
