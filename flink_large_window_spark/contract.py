@@ -204,6 +204,13 @@ DRIVER_CHECKED: frozenset[str] = (
 # membership; the generator lives in the round-6 session log and the
 # ordering is pinned by tests/test_contract.py).
 RECHECK_KEYS: tuple[str, ...] = (
+    # brand-new this round (no driver evidence yet): the partsupp
+    # quartet unblocked by the derived-partsupp relation (tpch.py)
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_variety",
+    "q20_excess_stock",
+    # changed this round
     "multimodal_embed_quantize",
     "dedup_near_minhash",
     "stream_allowed_lateness_reemit",
@@ -250,10 +257,10 @@ RECHECK_KEYS: tuple[str, ...] = (
     "join_asof",
     "join_interval",
     "join_window_tumbling",
-    "dedup_embed_cosine_ivf",
-    "pattern_detect_followedby",
-    "sim_ann_ivf_multiprobe",
-    "sim_ann_ivf_topk",
+    # (dedup_embed_cosine_ivf, pattern_detect_followedby,
+    # sim_ann_ivf_multiprobe, sim_ann_ivf_topk — the least-stale tail,
+    # all r4-green and untouched since — yielded their slots to the
+    # four new partsupp keys; budget stays exactly 50.)
 )
 
 # Round-5 priority: after the r4 window, 27 registered keys still

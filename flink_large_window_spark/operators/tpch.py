@@ -684,3 +684,363 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q11 / Q16 / Q20 — the partsupp-dependent quartet (round 6).
+#
+# The fixtures ship no partsupp table, so these four were documented out
+# of scope through round 5. Round 6 unblocks them with a DERIVED
+# partsupp: the TPC-H dbgen supplier-assignment formula (public spec,
+# §4.2.3: 4 suppliers per part, suppkey_i = (partkey + i*(S/4 +
+# partkey/S)) mod S, adapted to the fixtures' 0-based keys) plus
+# deterministic integer hashes for availqty/supplycost. Both engines
+# derive the identical relation from the same part/supplier inputs, so
+# the four queries are fully hash-checkable — no synthetic files, no
+# fixture mutation. Costs are carried as INTEGER CENTS end-to-end and
+# divided by 100 only in the final projection: every sum/min/compare is
+# exact int64 arithmetic in both engines, so cross-engine float
+# summation-order noise cannot exist in these four queries at all.
+#
+# Scale notes (100 TB): partsupp is 4×|part| rows of 4 ints — a derived
+# DIMENSION, not a fact. The derivation is projection + 4-way explode
+# (no shuffle) + one DISTINCT keyed on (partkey, suppkey); the DISTINCT
+# exists only for the degenerate tiny-S case where the dbgen step wraps
+# (S=10 at sf0.001) and is map-side-combined into near-zero cost since
+# keys are already nearly unique. In production this relation would be
+# materialized once and bucketed by ps_partkey alongside part.
+# ---------------------------------------------------------------------------
+
+#: DuckDB CTE bodies for the derived partsupp (prepend "WITH ").
+_PARTSUPP_SQL = """sc AS (SELECT COUNT(*) AS cnt FROM supplier),
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             (ps_partkey * 37 + ps_suppkey * 71) % 9999 + 1 AS ps_availqty,
+             (ps_partkey * 7919 + ps_suppkey * 104729) % 99901 + 100
+               AS ps_cost_cents
+      FROM (
+        SELECT DISTINCT p_partkey AS ps_partkey,
+               (p_partkey + i * (cnt // 4 + p_partkey // cnt)) % cnt
+                 AS ps_suppkey
+        FROM part, sc, (SELECT UNNEST([0, 1, 2, 3]) AS i)
+      )
+    )"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived partsupp relation (see module comment above).
+
+    Supplier cardinality S enters the plan as a broadcast 1-row
+    aggregate (never a driver-side collect), so the whole derivation is
+    one narrow Catalyst plan: scan part's key column → cross-join the
+    S scalar → explode 4 literals → integer arithmetic → DISTINCT.
+    """
+    part = table(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = (
+        table(spark, sf_dir, "supplier")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        part.join(F.broadcast(s_cnt))
+        .select(
+            "p_partkey",
+            "cnt",
+            F.explode(F.array([F.lit(i) for i in range(4)])).alias("i"),
+        )
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.expr(
+                "(p_partkey + i * (cnt div 4 + p_partkey div cnt)) % cnt"
+            ).alias("ps_suppkey"),
+        )
+        .distinct()
+        .withColumn(
+            "ps_availqty",
+            F.expr("(ps_partkey * 37 + ps_suppkey * 71) % 9999 + 1"),
+        )
+        .withColumn(
+            "ps_cost_cents",
+            F.expr(
+                "(ps_partkey * 7919 + ps_suppkey * 104729) % 99901 + 100"
+            ),
+        )
+    )
+
+
+def _supp_region(spark: SparkSession, sf_dir: str, r_name: str) -> DataFrame:
+    """Suppliers restricted to one region, with their nation name —
+    a ≤|supplier|-row dimension, always broadcast by callers."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == r_name)
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="WITH "
+    + _PARTSUPP_SQL
+    + """,
+    eursupp AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), cand AS (
+      SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, ps_cost_cents
+      FROM part
+      JOIN partsupp ON p_partkey = ps_partkey
+      JOIN eursupp ON ps_suppkey = s_suppkey
+      WHERE p_type = 'ECONOMY' AND p_size <= 15
+    ), mc AS (
+      SELECT p_partkey AS mk, MIN(ps_cost_cents) AS min_cents
+      FROM cand GROUP BY p_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           ROUND(min_cents / 100.0, 2) AS supplycost
+    FROM cand JOIN mc ON p_partkey = mk AND ps_cost_cents = min_cents
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each small ECONOMY
+    part, the European supplier(s) offering it at the region-minimum
+    supplycost. The correlated MIN subquery is decorrelated into a
+    per-part aggregate re-joined on (partkey, cost) — the same rewrite
+    Catalyst applies to the SQL form, made explicit. p_brand stands in
+    for the absent p_mfgr. Cost ties emit all tied suppliers in both
+    engines (no top-k, no float rank).
+
+    Scale: part is filtered before the partsupp join (predicate reaches
+    the scan); the region-restricted supplier dim (~S/5 rows) is
+    broadcast; the only shuffles are the two per-part aggregates, both
+    keyed on p_partkey so AQE reuses the exchange.
+    """
+    prep(spark)
+    ps = derived_partsupp(spark, sf_dir)
+    p = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_brand")
+    )
+    eursupp = _supp_region(spark, sf_dir, "EUROPE")
+    cand = (
+        p.join(ps, p.p_partkey == ps.ps_partkey)
+        .join(F.broadcast(eursupp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_brand", "s_name", "s_acctbal", "n_name",
+            "ps_cost_cents",
+        )
+    )
+    mc = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("ps_cost_cents").alias("min_cents")
+    )
+    return (
+        cand.join(
+            mc,
+            (cand.p_partkey == mc.mk)
+            & (cand.ps_cost_cents == mc.min_cents),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            F.round(F.col("min_cents") / 100.0, 2).alias("supplycost"),
+        )
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="WITH "
+    + _PARTSUPP_SQL
+    + """,
+    scope AS (
+      SELECT ps_partkey, ps_availqty * ps_cost_cents AS v
+      FROM partsupp
+      JOIN supplier ON ps_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ), tot AS (
+      SELECT SUM(v) AS t, COUNT(DISTINCT ps_partkey) AS np FROM scope
+    )
+    SELECT ps_partkey, ROUND(SUM(v) / 100.0, 2) AS stock_value
+    FROM scope, tot
+    GROUP BY ps_partkey, t, np
+    HAVING np * SUM(v) > 2 * t
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock identification): parts whose
+    stock value held by Asian suppliers exceeds 2× the mean per-part
+    value in that scope. Classic Q11's fixed fraction (0.0001/SF) goes
+    to zero rows as data grows; the mean-relative threshold
+    ``np * SUM(v) > 2 * t`` is scale-invariant AND pure int64 — no
+    float threshold to straddle. value cents ≤ 1e9/row keeps
+    np·Σv < 2^63 through sf100.
+
+    Scale: one shuffle on ps_partkey for the per-part sum; the global
+    total is a broadcast 1-row aggregate over the same scope frame
+    (exchange reuse), never a collect.
+    """
+    prep(spark)
+    ps = derived_partsupp(spark, sf_dir)
+    asiasupp = _supp_region(spark, sf_dir, "ASIA").select("s_suppkey")
+    scope = (
+        ps.join(F.broadcast(asiasupp), ps.ps_suppkey == F.col("s_suppkey"))
+        .select(
+            "ps_partkey",
+            (F.col("ps_availqty") * F.col("ps_cost_cents")).alias("v"),
+        )
+    )
+    tot = scope.agg(
+        F.sum("v").alias("t"),
+        F.count_distinct("ps_partkey").alias("np"),
+    )
+    return (
+        scope.groupBy("ps_partkey")
+        .agg(F.sum("v").alias("sv"))
+        .join(F.broadcast(tot))
+        .filter(F.col("np") * F.col("sv") > 2 * F.col("t"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("sv") / 100.0, 2).alias("stock_value"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_variety",
+    oracle="WITH "
+    + _PARTSUPP_SQL
+    + """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON ps_partkey = p_partkey
+    WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      AND p_size IN (1, 7, 9, 14, 23, 36, 45, 49)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers can provide each surviving (brand, type, size) combination,
+    excluding flagged suppliers. The fixtures carry no supplier comment
+    column, so negative account balance stands in for the complaints
+    filter; the NOT IN becomes a broadcast left-anti join.
+
+    Scale: part's three predicates push to its scan; the anti-join side
+    is a handful of keys (broadcast); one shuffle for the distinct-count
+    aggregate, which Spark runs as the standard two-phase expand.
+    """
+    prep(spark)
+    ps = derived_partsupp(spark, sf_dir)
+    p = (
+        table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 7, 9, 14, 23, 36, 45, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    flagged = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(p, ps.ps_partkey == p.p_partkey)
+        .join(
+            F.broadcast(flagged),
+            ps.ps_suppkey == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q20_excess_stock",
+    oracle="WITH "
+    + _PARTSUPP_SQL
+    + """,
+    shipped AS (
+      SELECT l_partkey, l_suppkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ), excess AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+      JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%') pp
+        ON ps_partkey = p_partkey
+      JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      WHERE 2 * ps_availqty > qty
+    )
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM excess
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AFRICA'
+    """,
+)
+def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): African suppliers
+    holding excess stock — more than half of what they shipped in 1997 —
+    of any 'small…' part. The correlated half-of-shipped subquery is
+    decorrelated into a per-(part, supplier) lineitem aggregate joined
+    back on both keys; pairs with no 1997 shipments drop out of the
+    inner join exactly as the NULL scalar subquery drops them in SQL.
+    The quantity sum is cast to int64 (fixture quantities are
+    integer-valued — asserted by tests) so the 2·availqty > qty compare
+    is exact integer arithmetic in both engines.
+
+    Scale: lineitem is the only fact — its date filter pushes to the
+    scan and the aggregate is keyed on (l_partkey, l_suppkey); the
+    part-name filter and region-supplier dims broadcast; DISTINCT
+    suppliers is a few-hundred-row shuffle.
+    """
+    prep(spark)
+    ps = derived_partsupp(spark, sf_dir)
+    pp = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    excess = (
+        ps.join(F.broadcast(pp), ps.ps_partkey == pp.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(2 * F.col("ps_availqty") > F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    afrisupp = _supp_region(spark, sf_dir, "AFRICA")
+    return excess.join(
+        F.broadcast(afrisupp), F.col("ps_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "s_acctbal")
