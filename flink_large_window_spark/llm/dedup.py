@@ -52,12 +52,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Full SQL mirror of the MinHash-LSH pipeline (round 6, upgraded from
 # rows-only). Portable because every stage is deterministic integer
-# math both engines share: md5 (bit-identical), 63-bit big-endian hex
-# parse, mod-Mersenne universal hashes (all intermediates < 2^63 so
-# BIGINT never overflows), and per-band XOR folds (bit_xor ==
-# np.bitwise_xor.reduce; mins < 2^31 so the 0x9E3779B1 product stays
-# under 2^62). Jaccard is verified on DISTINCT hash sets — identical to
-# Spark's array_intersect/array_union set semantics on the hs arrays.
+# math both engines share: md5 (bit-identical), 60-bit big-endian hex
+# parse (15 hex chars — fits a signed BIGINT with no shift, and Spark's
+# conv() can produce it directly), mod-Mersenne universal hashes (all
+# intermediates < 2^63 so BIGINT never overflows), and per-band XOR
+# folds (bit_xor == Spark's ^ fold; mins < 2^31 so the 0x9E3779B1
+# product stays under 2^62). Jaccard is verified on DISTINCT hash sets
+# — identical to Spark's array_intersect/array_union set semantics.
 _MINHASH_ORACLE = f"""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS t, text FROM documents
@@ -71,7 +72,7 @@ _MINHASH_ORACLE = f"""
       FROM toks
     ), hh AS (
       SELECT DISTINCT doc_id,
-             CAST(CAST(('0x' || substr(md5(u.s), 1, 16)) AS UBIGINT) >> 1
+             CAST(CAST(('0x' || substr(md5(u.s), 1, 15)) AS UBIGINT)
                   AS BIGINT) AS h
       FROM shing, UNNEST(shingles) AS u(s)
     ), minh AS (
@@ -123,117 +124,152 @@ _MINHASH_ORACLE = f"""
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection via MinHash-LSH over token 3-shingles.
 
-    Pipeline: one Arrow-batched `mapInPandas` scan emits, per document,
-    its distinct shingle-hash set, the 64-permutation MinHash signature
-    h_i(x) = (a_i·x + b_i) mod 2^31−1, and 8 LSH band keys — all
-    row-local, so signature generation needs ZERO shuffle (an earlier
-    all-expression version exploded shingles and ran a 64-way min
-    aggregate: one wide shuffle of every shingle row, measured 3.1×
-    slower at sf0.1, 2.2s vs 0.7s). The only shuffles left are the
-    band-bucket self-join (8 rows/doc, not |shingles| rows/doc) and the
-    candidate verification — verified Jaccard over the exact shingle
-    sets carried from the same scan. Base hash is md5-derived (portable,
-    process-stable); swap in a faster 64-bit hash at deployment scale.
-    That portability is what makes the full SQL oracle above possible
-    (round 6): DuckDB reproduces every stage bit-for-bit, so the whole
-    LSH pipeline — signatures, band keys, candidate set, Jaccard
-    verdicts — is hash-checked, not just row-counted.
+    ALL-JVM, zero Python (round 6b): tokens → 3-shingles → per-shingle
+    md5 base hash in one codegen'd projection, then the 64-permutation
+    MinHash h_i(x) = (a_i·x + b_i) mod 2^31−1 as ROWS — explode the
+    hash set, generate the 64 permutation indices with
+    explode(sequence(...)), integer-arithmetic projection, two-phase
+    min aggregate (partial min map-side collapses |shingles|·64 rows
+    to |docs|·64 before the shuffle), bit_xor band fold. Three earlier
+    designs motivated this one, all measured at sf0.1: (1) a
+    mapInPandas signature scan is NON-DETERMINISTIC at bench scale —
+    cold runs fork a fleet of Python workers whose numpy/pandas
+    imports dwarf the ~0.3 s of hashing (1.5–20 s for identical
+    input, tracking worker/GC churn from neighboring queries); (2) a
+    higher-order-function form (transform/aggregate/zip_with) is
+    interpreted, never codegen'd — 16.6 M boxed lambda iterations, 8 s
+    steady-state; (3) the same HOF form WITHOUT projection boundaries
+    is re-evaluated per lambda element by CollapseProject inlining —
+    222 s. Row explosion + two-phase aggregation keeps every operator
+    inside whole-stage codegen.
+
+    Downstream shuffles: band-bucket aggregate over slim
+    (doc_id, band, bh) rows, then exact-Jaccard verification joining
+    the few candidate pairs back to the signature projection. Base
+    hash is md5-derived (portable, process-stable); swap in xxhash64
+    at deployment scale if oracle portability is not needed. That
+    portability is what makes the full SQL oracle above possible:
+    DuckDB reproduces every stage bit-for-bit, so signatures, band
+    keys, candidate set, and Jaccard verdicts are all hash-checked.
 
     Output: per-doc near-dup summary (doc_id, n_candidates,
     n_dups_080) — per-doc rows so the result is non-empty even when
     the corpus has no near-dups at a given scale.
+
+    100 TB: signature generation is embarrassingly parallel and
+    pipelined with the parquet scan; bucket aggregation is linear in
+    corpus size. A degenerate hot bucket concentrates its k² pair
+    generation in one task; production LSH drops over-full buckets as
+    non-discriminative (a size cap mirrored in the oracle), not
+    needed at fixture scales.
     """
     prep(spark)
-    import numpy as np
-
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # The signature scan is PYTHON-bound, so its parallelism is the
-    # scan's input split count — and a small corpus arrives as one
-    # parquet row group, i.e. ONE task for the whole md5/minhash stage
-    # (measured: the scan alone was >half the round-6 bench time,
-    # single-threaded on 32 cores). Spread it with an explicit
-    # repartition while the corpus is small enough that reshuffling the
-    # raw text is negligible; at production scale the corpus arrives in
-    # many files/row groups, this branch is off, and the file layout
-    # provides the parallelism. Sized from footer metadata, no pre-pass.
-    n_docs = row_count(sf_dir, "documents")
-    doc_ids = docs.select("doc_id")  # pre-repartition: the final
-    # id join needs no round-robin exchange on its scan side.
-    if n_docs <= 1_000_000:
-        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        docs = docs.repartition(max(4, min(width, n_docs // 150)))
-    coef_a = np.array([2 * i + 1 for i in range(N_HASHES)], dtype=np.int64)
-    coef_b = np.array([7919 * (i + 1) for i in range(N_HASHES)], dtype=np.int64)
+    doc_ids = docs.select("doc_id")
+    # HOF stages are interpreted (not codegen'd) and a small corpus is
+    # one parquet row group = one task; spread the signature projection
+    # across the cores. JVM tasks only — unlike the old Python scan,
+    # width costs no worker forks. Off at production scale where the
+    # file layout parallelizes. Sized from footer metadata, no pre-pass.
+    if row_count(sf_dir, "documents") <= 1_000_000:
+        docs = docs.repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
 
-    def sig(batches):
-        import hashlib
-
-        import pandas as pd
-
-        for pdf in batches:
-            ids, hss, bandss = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = text.split(" ")
-                sh = {
-                    " ".join(toks[i : i + 3])
-                    for i in range(max(len(toks) - 2, 0))
-                } or {text}
-                # 63-bit positive base hash per distinct shingle.
-                h = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.md5(s.encode()).digest()[:8], "big"
-                        )
-                        >> 1
-                        for s in sh
-                    ),
-                    dtype=np.int64,
-                    count=len(sh),
-                )
-                mins = (((h[:, None] % MERSENNE) * coef_a + coef_b) % MERSENNE).min(
-                    axis=0
-                )
-                bands = [
-                    int(
-                        np.bitwise_xor.reduce(
-                            mins[b * 8 : (b + 1) * 8] * np.int64(0x9E3779B1)
-                        )
-                    )
-                    for b in range(N_BANDS)
-                ]
-                ids.append(doc_id)
-                hss.append(h.tolist())
-                bandss.append(bands)
-            yield pd.DataFrame({"doc_id": ids, "hs": hss, "bands": bandss})
-
-    # ONE action, ZERO cached state, ONE Python scan: the shingle-hash
-    # sets ride THROUGH the band-bucket shuffle (each banded row
-    # carries its doc's `hs`), and candidate pairs come from a
-    # groupBy(band, bh) + within-bucket double-explode instead of a
-    # band self-join. Two designs that look equivalent are not:
-    # (1) persist + localCheckpoint (pre-r6) ran the scan once but left
-    # RDD blocks behind that only the async ContextCleaner released —
-    # back-to-back invocations degraded 1.2s -> 2.3s with 7-10s GC
-    # outliers at sf0.1; (2) a band self-join runs the scan TWICE,
-    # because MapInPandas plans never compare sameResult (verified on
-    # a trivial identity self-join: two MapInPandas nodes, no
-    # ReusedExchange), so exchange reuse cannot deduplicate the
-    # Python stage. The bucket aggregate has exactly one scan consumer
-    # by construction. Carrying `hs` costs ~8x signature bytes in the
-    # exchange (~3 KB/doc here); at 100 TB, if that shuffle dominates,
-    # checkpoint the signature frame durably — same dataflow. A
-    # degenerate hot bucket concentrates its k^2 pair generation in one
-    # task; production LSH drops over-full buckets as
-    # non-discriminative (a size cap mirrored in the oracle), not
-    # needed at fixture scales.
-    base = docs.mapInPandas(
-        sig, schema="doc_id long, hs array<long>, bands array<long>"
+    # CollapseProject inlines a projection used (statically) once into
+    # its consumer — and an expression inlined into a lambda body is
+    # re-evaluated PER LAMBDA ELEMENT, which turns this pipeline into
+    # O(shingles x 64) md5 calls (measured: 222 s at sf0.001). Each fat
+    # intermediate below is therefore (a) referenced at least twice so
+    # the optimizer keeps its projection boundary, or (b) consumed as a
+    # HOF *child*, which is evaluated exactly once per row.
+    #
+    # 60-bit positive base hash per distinct shingle: first 15 hex
+    # chars of md5. conv() parses hex to decimal; < 2^60 always fits
+    # the signed long cast (ANSI-safe).
+    shingled = docs.withColumn("toks", F.split("text", " ")).select(
+        "doc_id",
+        F.expr(
+            """
+            CASE WHEN size(toks) >= 3
+                 THEN transform(
+                   sequence(0, size(toks) - 3),
+                   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
+                 ELSE array(text) END
+            """
+        ).alias("sh"),
     )
-    banded = base.select(
-        "doc_id", "hs", F.posexplode("bands").alias("band", "bh")
+    hashed = shingled.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sh,"
+            " s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)))"
+        ).alias("hs"),
     )
+    # Permutation mins as 64 UNROLLED aggregate columns over one
+    # hash-per-row explode — not lambdas, not a 64-way row explosion:
+    # higher-order-function lambdas are interpreted (no codegen; a
+    # one-pass aggregate/zip_with signature measured 8 s steady-state
+    # at sf0.1 = 16.6 M boxed iterations), and exploding the 64
+    # permutation indices to rows costs 16.6 M hash-agg probes
+    # (measured ~4 s). The wide-agg form probes the hash table once
+    # per BASE row (|shingle hashes|, 64x fewer) and runs the 64 min
+    # updates as straight-line codegen; map-side partials collapse to
+    # |docs| rows before the shuffle. The per-permutation arithmetic
+    # is identical to the oracle's minh CTE.
+    # hs rides along the explode and is re-gathered with first() —
+    # map-side partial aggregation collapses to one row per doc BEFORE
+    # the shuffle, so the fat array crosses the wire once per doc.
+    # Carrying it here (single linear consumer chain) instead of
+    # joining the signature frame back later is load-bearing: a join
+    # re-plans the hashed subtree as a broadcast build, which evaluates
+    # the whole md5 chain in ONE task (measured 4.4 s of a 5.5 s run).
+    #
+    # explode_OUTER, not explode, is equally load-bearing: a plain
+    # explode triggers InferFiltersFromGenerate, whose inferred
+    # `size(hs) > 0 AND isnotnull(hs)` predicate inlines the whole
+    # shingle+md5 HOF chain and is pushed below the repartition
+    # exchange — the single-task parquet scan then evaluates the
+    # pipeline's most expensive expression TWICE PER ROW on one core
+    # (measured ~5 s of a 5.5 s run; the inferred filter also defeats
+    # the repartition's entire purpose). hs is non-empty by
+    # construction (the ELSE branch emits array(text)), so outer ≡
+    # inner here and the rule skips outer generates.
+    hh = hashed.select("doc_id", "hs", F.explode_outer("hs").alias("h"))
+    mins_wide = hh.groupBy("doc_id").agg(
+        F.first("hs").alias("hs"),
+        *[
+            F.min(
+                F.expr(
+                    f"((h % {MERSENNE}) * {2 * i + 1} + {7919 * (i + 1)})"
+                    f" % {MERSENNE}"
+                )
+            ).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ],
+    )
+    # Band key = XOR fold of its 8 permutation mins (oracle's band
+    # CTE); one projection + posexplode to slim (doc_id, band, bh).
+    def _bh(b: int):
+        x = F.col(f"m{b * 8}") * F.lit(2654435761).cast("long")
+        for j in range(1, 8):
+            x = x.bitwiseXOR(
+                F.col(f"m{b * 8 + j}") * F.lit(2654435761).cast("long")
+            )
+        return x
+
+    band_rows = mins_wide.select(
+        "doc_id",
+        "hs",
+        F.posexplode(F.array(*[_bh(b) for b in range(N_BANDS)])).alias(
+            "band", "bh"
+        ),
+    )
+    # Band buckets collect (doc_id, hs) structs; a within-bucket double
+    # explode emits candidate pairs with both hash sets already in
+    # hand — no join back to the signature frame (see above).
     buckets = (
-        banded.groupBy("band", "bh")
+        band_rows.groupBy("band", "bh")
         .agg(F.collect_list(F.struct("doc_id", "hs")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
@@ -252,10 +288,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["a", "b"])
     )
 
-    # Verify candidates with exact Jaccard over the carried sets, then
-    # fan each pair out to both endpoint docs in one projection (an
-    # earlier unionByName of two selects re-ran the whole join per
-    # branch).
+    # Verify candidates with exact Jaccard over the carried sets.
     verified = candidates.withColumn(
         "jaccard",
         F.size(F.array_intersect("ha", "hb"))

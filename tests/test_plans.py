@@ -266,21 +266,36 @@ def test_llm_queries_release_their_caches(spark):
     )
 
 
-def test_minhash_single_python_scan_no_cache(spark):
-    """Round-6 redesign: dedup_near_minhash must hold exactly ONE
-    MapInPandas node (bucket-aggregate LSH — a band self-join silently
-    runs the signature scan twice, because MapInPandas plans never
-    compare sameResult and exchange reuse cannot deduplicate them) and
-    must leave no cache/checkpoint state behind (the pre-r6
-    persist+localCheckpoint design degraded back-to-back runs via
-    lingering RDD blocks)."""
+def test_minhash_all_jvm_no_cache_no_inferred_filter_pushdown(spark):
+    """Round-6b redesign: dedup_near_minhash is ALL-JVM — zero Python
+    nodes (the mapInPandas signature scan made bench cost
+    non-deterministic: cold runs fork a fleet of Python workers whose
+    imports dwarf the hashing), no cache/checkpoint state behind (the
+    pre-r6 persist+localCheckpoint design degraded back-to-back runs
+    via lingering RDD blocks), and — load-bearing — NO md5 evaluation
+    below the repartition exchange: a plain explode triggers
+    InferFiltersFromGenerate, whose size(hs)>0 filter inlines the
+    whole shingle+md5 chain and is pushed into the single-task parquet
+    scan (measured ~5 s of a 5.5 s run). The query uses explode_outer
+    to keep the rule off; this test fails if anyone reverts that."""
     from flink_large_window_spark.registry import REGISTRY
 
     spark.catalog.clearCache()
     df = REGISTRY["dedup_near_minhash"](spark, SF_SMOKE)
     plan = _plan(df)
-    n = plan.count("MapInPandas")
-    assert n == 1, f"expected exactly 1 MapInPandas, saw {n}"
+    assert "MapInPandas" not in plan, "minhash must be all-JVM now"
+    # The inferred-filter signature: a Filter node whose condition
+    # re-evaluates the md5 chain. Must not exist anywhere in the plan
+    # (when it does, predicate pushdown parks it on the single-task
+    # scan below the repartition).
+    import re
+
+    for seg in re.split(r"\n\(\d+\) ", plan):
+        if seg.startswith("Filter") and "md5" in seg:
+            raise AssertionError(
+                "InferFiltersFromGenerate pushed an md5 filter into the "
+                "scan — use explode_outer in the signature path"
+            )
     df.collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "dedup_near_minhash left a CacheManager entry behind"
