@@ -385,67 +385,63 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapses to 256 bucket values — quadratic buckets at ≥10^8 docs;
     flagged by the round-1 review).
 
-    The whole signature is row-local, so it is computed in one
-    Arrow-batched `mapInPandas` scan with zero shuffle — int64 numpy
-    arithmetic identical to the oracle (fixture text is pure ASCII, so
-    utf-8 byte == ascii(); max h ≈ 2.3e17 < 2^63, exact). Non-ASCII
-    text no longer crashes the scan (round-1 kernel did
-    `.encode("ascii")`): tokens hash over their first 8 utf-8 BYTES,
-    deterministic for any input — for non-ASCII tokens the oracle's
-    first-8-chars codepoint sum diverges, acceptable because the
-    portable-hash contract is fixture-scoped ASCII and a production
-    deployment swaps in xxhash64 anyway. The earlier all-expression
-    form exploded bit-rows per (doc, token) through two grouped
-    aggregates — one shuffle of bits×|tokens| rows — and measured 1.7×
-    slower at sf0.1; per-token numpy calls instead of batch-flattened
-    vectorization were slower still.
+    ALL-JVM (round 6b — the former Arrow/numpy mapInPandas scan had
+    non-deterministic bench cost from Python-worker fork/import churn,
+    the same pathology fixed in dedup_near_minhash): one explode to
+    (doc_id, token) rows, a (doc_id, token) count aggregate for tf,
+    the two char-polynomials as UNROLLED 8-term codegen expressions
+    (ascii('') = 0 in both engines, so short tokens need no length
+    guard — absent positions contribute exactly the oracle's
+    least(len, 8) bound), then the 62 bit weights as unrolled SUM
+    aggregate columns in one groupBy(doc_id) — the same wide-agg
+    pattern as minhash: one hash-table probe per token row, 62
+    straight-line updates. The signature reassembles in a final
+    62-term projection. Everything stays inside whole-stage codegen;
+    explode_outer keeps InferFiltersFromGenerate from pushing an
+    inferred filter below the scan. Two shuffles, both map-side
+    combined: (doc_id, token) tf and the per-doc bit weights.
+    Hash math is char-based substr/ascii, matching the oracle exactly
+    (the retired numpy kernel hashed utf-8 BYTES — equivalent only on
+    ASCII; this form is exact for any input).
     """
     prep(spark)
-    import numpy as np
-
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    pow131 = np.array(_POW131, dtype=np.int64)
-    pow137 = np.array(_POW137, dtype=np.int64)
-    bit_ids = np.arange(SIMHASH_BITS, dtype=np.int64)
-    half = np.arange(31, dtype=np.int64)
-
-    def sig(batches):
-        from collections import Counter
-
-        import pandas as pd
-
-        for pdf in batches:
-            # Flatten the batch to one (doc_idx, token, tf) stream, then
-            # vectorize over ALL tokens at once: pad each token to 8
-            # NUL bytes (NUL contributes 0·base^j — a no-op, matching
-            # the oracle's least(len, 8) bound), one matmul per hash
-            # base, one segment-sum for every document's bit weights.
-            doc_idx, tfs, buf = [], [], []
-            for i, text in enumerate(pdf["text"]):
-                for t, n in Counter(text.lower().split(" ")).items():
-                    doc_idx.append(i)
-                    tfs.append(n)
-                    buf.append(t.encode("utf-8")[:8].ljust(8, b"\0"))
-            n_docs = len(pdf)
-            if not buf:
-                yield pd.DataFrame(
-                    {"doc_id": pdf["doc_id"], "simhash": np.zeros(n_docs, np.int64)}
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode_outer(F.split(F.lower("text"), " ")).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    h1 = " + ".join(
+        f"ascii(substr(token, {j + 1}, 1)) * CAST({_POW131[j]} AS BIGINT)"
+        for j in range(8)
+    )
+    h2 = " + ".join(
+        f"ascii(substr(token, {j + 1}, 1)) * CAST({_POW137[j]} AS BIGINT)"
+        for j in range(8)
+    )
+    hashed_tok = tok.select(
+        "doc_id", "tf", F.expr(h1).alias("h1"), F.expr(h2).alias("h2")
+    )
+    weights = hashed_tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"CASE WHEN (({'h1' if b < 31 else 'h2'} div"
+                    f" {1 << (b % 31)}) % 2) = 1 THEN tf ELSE -tf END"
                 )
-                continue
-            codes = np.frombuffer(b"".join(buf), dtype=np.uint8).reshape(-1, 8)
-            h1 = codes.astype(np.int64) @ pow131
-            h2 = codes.astype(np.int64) @ pow137
-            # 62 sign columns: h1 bits 0..30 then h2 bits 0..30.
-            signs = np.concatenate(
-                [((h1[:, None] >> half) & 1), ((h2[:, None] >> half) & 1)], axis=1
-            ) * 2 - 1
-            weighted = signs * np.asarray(tfs, dtype=np.int64)[:, None]
-            acc = np.zeros((n_docs, SIMHASH_BITS), dtype=np.int64)
-            np.add.at(acc, np.asarray(doc_idx), weighted)
-            sigs = ((acc > 0).astype(np.int64) << bit_ids).sum(axis=1)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sigs})
-
-    return docs.mapInPandas(sig, schema="doc_id long, simhash long")
+            ).alias(f"w{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sig = " + ".join(
+        f"(CASE WHEN w{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return weights.select("doc_id", F.expr(sig).alias("simhash"))
 
 
 @query(
@@ -788,25 +784,28 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     band_spec = [(0, 16), (16, 15), (31, 16), (47, 15)]
     # ZERO cached state: no persist, no localCheckpoint (the round-5
     # pair left RDD blocks that only the async ContextCleaner
-    # reclaimed — the hazard fixed suite-wide this round). The price
-    # is that the band self-join runs the signature scan TWICE
-    # (MapInPandas plans never compare sameResult, so exchange reuse
-    # cannot deduplicate them) — measured +0.45s at sf0.1, still
-    # 0.83x the frozen baseline; at 100 TB checkpoint `sigs` durably
-    # instead and the dataflow is unchanged. The minhash-style
-    # groupBy-bucket reshape is deliberately NOT used here: simhash
-    # band values are heavily skewed (similar docs share band bits —
-    # max bucket 447 docs vs 4.9 avg at sf0.1), and collect_list +
-    # double explode concentrates each bucket's k^2 pair
-    # materialization (with k copies of the k-element struct array)
-    # in one task — measured 3-7s vs the join's 1.6s. A sort-merge
-    # join streams the same k^2 pairs without materializing the
-    # per-bucket array.
+    # reclaimed — the hazard fixed suite-wide this round). With the
+    # signature now all-JVM (round 6b), the band self-join's two sides
+    # ARE sameResult-comparable, so exchange reuse computes the
+    # signature aggregate once and replays it from the shuffle for the
+    # other side (the retired mapInPandas form never compared equal
+    # and genuinely ran twice); at 100 TB checkpoint `sigs` durably
+    # and the dataflow is unchanged. The minhash-style groupBy-bucket
+    # reshape is deliberately NOT used here: simhash band values are
+    # heavily skewed (similar docs share band bits — max bucket 447
+    # docs vs 4.9 avg at sf0.1), and collect_list + double explode
+    # concentrates each bucket's k^2 pair materialization (with k
+    # copies of the k-element struct array) in one task — measured
+    # 3-7s vs the join's 1.6s. A sort-merge join streams the same k^2
+    # pairs without materializing the per-bucket array.
     sigs = dedup_simhash(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
         "simhash",
-        F.explode(
+        # outer: keeps InferFiltersFromGenerate from inlining the
+        # 62-term signature expression into a pushed-down filter
+        # (array literal of 4 structs is never null/empty anyway).
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(
