@@ -95,7 +95,14 @@ def bench_one(spark, fn, sf_dir: str, runs: int = 3) -> dict:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    run()  # warm-up (codegen + file listing)
+    # TWO warm-ups (round 6): one is not enough to reach steady state
+    # for multi-stage plans — codegen compiles per stage as AQE reveals
+    # them, and JIT tiers up across the first executions, so single-
+    # warm-up medians recorded the compiler, not the query (measured:
+    # dedup_embed_cosine runs [3.24, 2.49, 0.77] → median 2.49 where
+    # steady state is 0.77; q5 decayed 4.45 → 1.00 the same way).
+    run()
+    run()
     times = [run() for _ in range(runs)]
     return {"median_s": round(statistics.median(times), 4), "runs": [round(t, 4) for t in times]}
 
