@@ -206,10 +206,12 @@ DRIVER_CHECKED: frozenset[str] = (
 RECHECK_KEYS: tuple[str, ...] = (
     # brand-new this round (no driver evidence yet): the partsupp
     # quartet unblocked by the derived-partsupp relation (tpch.py)
+    # and the savepoint-style stop/restart continuity proof
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_variety",
     "q20_excess_stock",
+    "stream_checkpoint_restart",
     # changed this round
     "multimodal_embed_quantize",
     "dedup_near_minhash",
@@ -256,11 +258,11 @@ RECHECK_KEYS: tuple[str, ...] = (
     "winfn_running_distinct",
     "join_asof",
     "join_interval",
-    "join_window_tumbling",
     # (dedup_embed_cosine_ivf, pattern_detect_followedby,
-    # sim_ann_ivf_multiprobe, sim_ann_ivf_topk — the least-stale tail,
-    # all r4-green and untouched since — yielded their slots to the
-    # four new partsupp keys; budget stays exactly 50.)
+    # sim_ann_ivf_multiprobe, sim_ann_ivf_topk, join_window_tumbling —
+    # the least-stale tail, all r2/r4-green and untouched since —
+    # yielded their slots to the five new round-6 keys; budget stays
+    # exactly 50.)
 )
 
 # Round-5 priority: after the r4 window, 27 registered keys still

@@ -283,12 +283,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.hs").alias("ha"),
             F.col("y.hs").alias("hb"),
         )
-        # A pair surfaces once per shared band (up to 8x); ha/hb are
-        # functions of a/b so any survivor row is the right one.
-        .dropDuplicates(["a", "b"])
     )
 
-    # Verify candidates with exact Jaccard over the carried sets.
+    # A pair surfaces once per shared band (up to 8x) with identical
+    # jaccard each time (ha/hb are functions of a/b), so instead of a
+    # dropDuplicates exchange the per-doc rollup counts DISTINCT
+    # partners — one shuffle fewer, same result.
     verified = candidates.withColumn(
         "jaccard",
         F.size(F.array_intersect("ha", "hb"))
@@ -298,16 +298,26 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("a").alias("doc_id"), F.col("jaccard")),
-                    F.struct(F.col("b").alias("doc_id"), F.col("jaccard")),
+                    F.struct(
+                        F.col("a").alias("doc_id"),
+                        F.col("b").alias("partner"),
+                        F.col("jaccard"),
+                    ),
+                    F.struct(
+                        F.col("b").alias("doc_id"),
+                        F.col("a").alias("partner"),
+                        F.col("jaccard"),
+                    ),
                 )
             ).alias("e")
         )
-        .select("e.doc_id", "e.jaccard")
+        .select("e.doc_id", "e.partner", "e.jaccard")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.sum(F.when(F.col("jaccard") >= 0.8, 1).otherwise(0)).alias("n_dups_080"),
+            F.count_distinct("partner").alias("n_candidates"),
+            F.count_distinct(
+                F.when(F.col("jaccard") >= 0.8, F.col("partner"))
+            ).alias("n_dups_080"),
         )
     )
     return (
@@ -388,31 +398,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL-JVM (round 6b — the former Arrow/numpy mapInPandas scan had
     non-deterministic bench cost from Python-worker fork/import churn,
     the same pathology fixed in dedup_near_minhash): one explode to
-    (doc_id, token) rows, a (doc_id, token) count aggregate for tf,
-    the two char-polynomials as UNROLLED 8-term codegen expressions
-    (ascii('') = 0 in both engines, so short tokens need no length
-    guard — absent positions contribute exactly the oracle's
-    least(len, 8) bound), then the 62 bit weights as unrolled SUM
-    aggregate columns in one groupBy(doc_id) — the same wide-agg
-    pattern as minhash: one hash-table probe per token row, 62
-    straight-line updates. The signature reassembles in a final
-    62-term projection. Everything stays inside whole-stage codegen;
+    per-OCCURRENCE (doc_id, token) rows, the two char-polynomials as
+    UNROLLED 8-term codegen expressions (ascii('') = 0 in both
+    engines, so short tokens need no length guard — absent positions
+    contribute exactly the oracle's least(len, 8) bound), then the 62
+    bit weights as unrolled SUM aggregate columns in one
+    groupBy(doc_id) — the same wide-agg pattern as minhash: one
+    hash-table probe per token row, 62 straight-line updates. The
+    signature reassembles in a final 62-term projection. The oracle's
+    per-(doc, token) tf grouping is skipped: Σ(±1 per occurrence) ≡
+    Σ(±tf per distinct token), so the WHOLE query is one shuffle,
+    map-side combined. Everything stays inside whole-stage codegen;
     explode_outer keeps InferFiltersFromGenerate from pushing an
-    inferred filter below the scan. Two shuffles, both map-side
-    combined: (doc_id, token) tf and the per-doc bit weights.
-    Hash math is char-based substr/ascii, matching the oracle exactly
-    (the retired numpy kernel hashed utf-8 BYTES — equivalent only on
-    ASCII; this form is exact for any input).
+    inferred filter below the scan. Hash math is char-based
+    substr/ascii, matching the oracle exactly (the retired numpy
+    kernel hashed utf-8 BYTES — equivalent only on ASCII; this form
+    is exact for any input).
     """
     prep(spark)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    tok = (
-        docs.select(
-            "doc_id",
-            F.explode_outer(F.split(F.lower("text"), " ")).alias("token"),
-        )
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    # NO (doc_id, token) tf pre-aggregate: summing ±1 per token
+    # OCCURRENCE equals summing ±tf per distinct token, so the tf
+    # grouping shuffle the oracle's tok CTE uses is mathematically
+    # redundant here — one occurrence-level explode feeds the wide
+    # aggregate directly and the whole query has exactly ONE shuffle.
+    tok = docs.select(
+        "doc_id",
+        F.explode_outer(F.split(F.lower("text"), " ")).alias("token"),
     )
     h1 = " + ".join(
         f"ascii(substr(token, {j + 1}, 1)) * CAST({_POW131[j]} AS BIGINT)"
@@ -423,14 +435,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(8)
     )
     hashed_tok = tok.select(
-        "doc_id", "tf", F.expr(h1).alias("h1"), F.expr(h2).alias("h2")
+        "doc_id", F.expr(h1).alias("h1"), F.expr(h2).alias("h2")
     )
     weights = hashed_tok.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.expr(
                     f"CASE WHEN (({'h1' if b < 31 else 'h2'} div"
-                    f" {1 << (b % 31)}) % 2) = 1 THEN tf ELSE -tf END"
+                    f" {1 << (b % 31)}) % 2) = 1 THEN 1 ELSE -1 END"
                 )
             ).alias(f"w{b}")
             for b in range(SIMHASH_BITS)

@@ -1158,3 +1158,113 @@ def stream_allowed_lateness_reemit(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination()
     return spark.createDataFrame(log, "w_start string, batch_id long, n long")
+
+
+@query(
+    "stream_checkpoint_restart",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start,
+           COUNT(*) AS n
+    FROM events
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          < (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    GROUP BY 1
+    """,
+)
+def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop/restart continuity through one shared checkpoint — the
+    Spark reconstruction of a Flink savepoint-and-resume (SURVEY §2.9;
+    every other twin here runs a single query over a fresh checkpoint,
+    which demonstrates window semantics but not the operational
+    contract Flink users actually rely on: state survives a planned
+    stop, and the resumed job neither loses nor double-counts).
+
+    Two queries, one checkpoint, one exactly-once parquet sink:
+    phase A replays events with ts <= max(ts) − 24h and STOPS — panes
+    closed by A's watermark are emitted and committed, the pane
+    containing the cutoff stays OPEN in RocksDB state with its partial
+    count; phase B appends the last-24h file, and a NEW query on the
+    same checkpoint restores source offsets (file A is not re-read),
+    watermark, and window state, then closes the remaining panes. The
+    straddling pane is the proof of restoration: its emitted count
+    includes phase-A rows that only checkpointed state could know.
+    The union of both phases' emissions is deterministic — exactly the
+    panes closed by the FINAL watermark at full-data counts (no B row
+    can belong to an A-closed pane: those panes end before
+    cutoff − 10min while every B row has ts > cutoff) — hence the
+    exact SQL oracle. The parquet sink's _spark_metadata log carries
+    exactly-once across the restart: the final read lists committed
+    batches from BOTH queries, no dedup step needed.
+
+    At 100 TB this is the upgrade/rebalance path: stop the job, keep
+    the checkpoint, restart with new resources — state volume, not
+    input history, bounds the resume cost. (Spark pins the shuffle
+    partition count in the checkpoint, so "new resources" means
+    executors, not state partitions — Flink's savepoint rescaling has
+    no Spark equivalent; that caveat is the one semantic gap.)
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    prep(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    replay = scratch_dir("flws_ckrestart_src_")
+    out = scratch_dir("flws_ckrestart_out_")
+    ckpt = scratch_dir("flws_ckrestart_ck_")
+    tbl = pq.read_table(src)
+    cutoff = pc.subtract(
+        pc.max(tbl["ts"]), pa.scalar(24 * 3600 * 1_000_000, type=pa.duration("us"))
+    )
+    schema = spark.read.parquet(src).schema
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+    )
+    try:
+
+        def run_phase() -> None:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(replay)
+            )
+            agg = (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.col("w.start").cast("string").alias("w_start"), "n"
+                )
+            )
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        now = time.time()
+        a_path = os.path.join(replay, "0-phase-a.parquet")
+        pq.write_table(tbl.filter(pc.less_equal(tbl["ts"], cutoff)), a_path)
+        os.utime(a_path, (now, now))
+        run_phase()  # ... job stops; checkpoint + open panes survive
+
+        b_path = os.path.join(replay, "1-phase-b.parquet")
+        pq.write_table(tbl.filter(pc.greater(tbl["ts"], cutoff)), b_path)
+        os.utime(b_path, (now + 10, now + 10))
+        run_phase()  # restart: resumes offsets/watermark/window state
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    return spark.read.parquet(out).select(
+        "w_start", F.col("n").cast("long").alias("n")
+    )

@@ -462,3 +462,42 @@ def test_no_fixture_pane_end_on_final_watermark():
             f"{sf_dir}: {n_on_gap} session ends (ts + 30min) equal the "
             "final watermark — session twins' oracle boundary flips"
         )
+
+
+def test_checkpoint_restart_restores_straddling_pane_state(spark):
+    """The savepoint-style restart proof (stream_checkpoint_restart):
+    the pane containing the phase cutoff (max ts − 24h) receives rows
+    in BOTH phases, so its emitted count can only be right if the
+    restarted query restored the stopped query's window state from the
+    shared checkpoint. Asserts (a) the fixture actually exercises the
+    straddle, (b) the pane appears EXACTLY once in the sink (no
+    double-emission across the restart), (c) at the full-data count."""
+    from flink_large_window_spark.registry import REGISTRY
+    from flink_large_window_spark.tables import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - dt.timedelta(hours=24)
+    pane_start = cutoff.replace(minute=0, second=0, microsecond=0)
+    pane = ev.filter(
+        (F.col("ts") >= F.lit(pane_start))
+        & (F.col("ts") < F.lit(pane_start + dt.timedelta(hours=1)))
+    )
+    n_before = pane.filter(F.col("ts") <= F.lit(cutoff)).count()
+    n_after = pane.filter(F.col("ts") > F.lit(cutoff)).count()
+    assert n_before > 0 and n_after > 0, (
+        "fixture does not straddle the restart cutoff — the continuity "
+        "proof is vacuous; pick a different cutoff"
+    )
+
+    out = REGISTRY["stream_checkpoint_restart"](spark, SF_SMOKE)
+    rows = [
+        r
+        for r in out.collect()
+        if r["w_start"] == pane_start.strftime("%Y-%m-%d %H:%M:%S")
+    ]
+    assert len(rows) == 1, f"straddling pane emitted {len(rows)} times"
+    assert rows[0]["n"] == n_before + n_after, (
+        f"straddling pane count {rows[0]['n']} != full-data "
+        f"{n_before + n_after} — phase-A state was not restored"
+    )
