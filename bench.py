@@ -19,9 +19,12 @@ artificially fast — the pre-r6 minhash number was this artifact; the
 honest cold path is what this harness now measures. (2) Python-scan
 keys interfere: running one mapInPandas-heavy key transiently slows
 the next Python-scan key ~20-40% for a run or two (reused Python
-workers / async cleanup), measured r6 on minhash→simhash. The
-watch-list n=5 medians absorb both effects; cross-round comparisons
-should use medians, never single runs.
+workers / async cleanup), measured r6 on the then-Python minhash →
+simhash pair — the reason both LSH kernels are all-JVM since round
+6b; the hazard still applies to the remaining numpy keys
+(dedup_embed_cosine, emb_kmeans_assign, fingerprints). The watch-list
+n=5 medians absorb both effects; cross-round comparisons should use
+medians, never single runs.
 """
 
 from __future__ import annotations
@@ -76,11 +79,13 @@ HEADLINE = [
 
 # Baseline-straddlers on a ±15% noise floor (VERDICT r5 item 6): a
 # 3-run median cannot separate drift from noise there, so they get 5
-# timed runs. The two Python-scan dedup keys are also bimodal (rare
-# ~1.5x outlier runs from Python-worker churn — a 7-run probe in round
-# 6 measured [0.47 x6, 0.71 x1] for simhash), so they join the list.
-# Everything else keeps n=3 — the extra runs cost ~10s total and only
-# help where the ratio is ambiguous.
+# timed runs. dedup_simhash / dedup_near_minhash joined the list when
+# their mapInPandas scans were bimodal from Python-worker churn; both
+# are all-JVM since round 6b (zero Python, plan-test-pinned) but stay
+# on n=5 — they are the suite's highest-stage-count keys and remain
+# the most sensitive to scheduler noise on a loaded host. Everything
+# else keeps n=3 — the extra runs cost ~10s total and only help where
+# the ratio is ambiguous.
 WATCH_LIST_RUNS = {
     "dedup_cluster_cc": 5,
     "sample_hash_bernoulli": 5,

@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import query
-from ..tables import prep, row_count, table
+from ..tables import prep, row_count, spread_small_corpus, table
 
 N_HASHES = 64
 N_BANDS = 8  # 8 rows per band → LSH threshold ≈ (1/8)^(1/8) ≈ 0.77
@@ -143,9 +143,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     222 s. Row explosion + two-phase aggregation keeps every operator
     inside whole-stage codegen.
 
-    Downstream shuffles: band-bucket aggregate over slim
-    (doc_id, band, bh) rows, then exact-Jaccard verification joining
-    the few candidate pairs back to the signature projection. Base
+    Downstream shuffles: the band-bucket aggregate (hash sets riding
+    once per doc via first(), never joined back — a join re-plans the
+    signature subtree as a single-task broadcast build) and the
+    per-doc DISTINCT-partner rollup that verifies exact Jaccard. Base
     hash is md5-derived (portable, process-stable); swap in xxhash64
     at deployment scale if oracle portability is not needed. That
     portability is what makes the full SQL oracle above possible:
@@ -168,13 +169,10 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_ids = docs.select("doc_id")
     # HOF stages are interpreted (not codegen'd) and a small corpus is
     # one parquet row group = one task; spread the signature projection
-    # across the cores. JVM tasks only — unlike the old Python scan,
-    # width costs no worker forks. Off at production scale where the
-    # file layout parallelizes. Sized from footer metadata, no pre-pass.
-    if row_count(sf_dir, "documents") <= 1_000_000:
-        docs = docs.repartition(
-            int(spark.conf.get("spark.sql.shuffle.partitions"))
-        )
+    # across the cores (shared policy, see tables.spread_small_corpus).
+    # JVM tasks only — unlike the old Python scan, width costs no
+    # worker forks. Off at production scale.
+    docs = spread_small_corpus(spark, docs, sf_dir, "documents")
 
     # CollapseProject inlines a projection used (statically) once into
     # its consumer — and an expression inlined into a lambda body is
@@ -355,12 +353,12 @@ _SIMHASH_ORACLE = f"""
       SELECT doc_id, tf,
              CAST(list_sum(list_transform(
                generate_series(1, least(length(token), 8)),
-               i -> ascii(substr(token, CAST(i AS INTEGER), 1))
+               i -> (ascii(substr(token, CAST(i AS INTEGER), 1)) % 256)
                     * {_pow_array_sql(_POW131)}[CAST(i AS INTEGER)]
              )) AS BIGINT) AS h1,
              CAST(list_sum(list_transform(
                generate_series(1, least(length(token), 8)),
-               i -> ascii(substr(token, CAST(i AS INTEGER), 1))
+               i -> (ascii(substr(token, CAST(i AS INTEGER), 1)) % 256)
                     * {_pow_array_sql(_POW137)}[CAST(i AS INTEGER)]
              )) AS BIGINT) AS h2
       FROM tok
@@ -411,9 +409,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combined. Everything stays inside whole-stage codegen;
     explode_outer keeps InferFiltersFromGenerate from pushing an
     inferred filter below the scan. Hash math is char-based
-    substr/ascii, matching the oracle exactly (the retired numpy
-    kernel hashed utf-8 BYTES — equivalent only on ASCII; this form
-    is exact for any input).
+    substr/ascii with codepoints bounded to a byte (``ascii(c) % 256``
+    on BOTH engines — identity on the ASCII fixtures, and the bound
+    keeps max h = 255·Σ131^j ≈ 1.7e17 < 2^63 so a high-codepoint char
+    in a high-coefficient position cannot trip Spark 4's ANSI
+    overflow; the retired numpy kernel hashed utf-8 BYTES, which was
+    only ASCII-equivalent — this form matches the oracle exactly for
+    any input).
     """
     prep(spark)
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -427,11 +429,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode_outer(F.split(F.lower("text"), " ")).alias("token"),
     )
     h1 = " + ".join(
-        f"ascii(substr(token, {j + 1}, 1)) * CAST({_POW131[j]} AS BIGINT)"
+        f"(ascii(substr(token, {j + 1}, 1)) % 256)"
+        f" * CAST({_POW131[j]} AS BIGINT)"
         for j in range(8)
     )
     h2 = " + ".join(
-        f"ascii(substr(token, {j + 1}, 1)) * CAST({_POW137[j]} AS BIGINT)"
+        f"(ascii(substr(token, {j + 1}, 1)) % 256)"
+        f" * CAST({_POW137[j]} AS BIGINT)"
         for j in range(8)
     )
     hashed_tok = tok.select(

@@ -16,7 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import query
-from ..tables import prep, row_count, table
+from ..tables import prep, row_count, spread_small_corpus, table
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -389,13 +389,12 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # substr per char), and a small corpus arrives as ONE parquet row
     # group — without an explicit spread it runs in one task (measured
     # 1.8s of the round-5 3.0s total at sf0.1, single-threaded on 32
-    # cores). Same small-corpus repartition as dedup_near_minhash;
-    # off at production scale where the file layout parallelizes.
-    d = docs.select("doc_id", "lang", "text")
-    n_docs = row_count(sf_dir, "documents")
-    if n_docs <= 1_000_000:
-        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        d = d.repartition(max(4, min(width, n_docs // 150)))
+    # cores). One shared spread policy with dedup_near_minhash
+    # (tables.spread_small_corpus); off at production scale where the
+    # file layout parallelizes.
+    d = spread_small_corpus(
+        spark, docs.select("doc_id", "lang", "text"), sf_dir, "documents"
+    )
     tris = d.select(
         "doc_id",
         "lang",

@@ -104,3 +104,27 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for spark.sql queries."""
     for name in TABLE_NAMES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread_small_corpus(
+    spark: SparkSession, df: DataFrame, sf_dir: str, name: str
+) -> DataFrame:
+    """Repartition a SMALL table so CPU-heavy per-row stages parallelize.
+
+    A small fixture table arrives as one parquet row group = one scan
+    task, which serializes any expensive projection/explode chained on
+    it (measured: the langid trigram explode ran 1.8 s of a 3.0 s
+    query single-threaded on 32 cores). Width is sized from parquet
+    FOOTER metadata (zero jobs, see row_count) as
+    ``max(4, min(shuffle.partitions, rows // 150))`` — enough rows per
+    task to amortize task launch. Above 1 M rows this is a no-op: at
+    production scale the file layout provides the parallelism and a
+    blanket repartition would be a pure extra shuffle. One policy,
+    shared by every small-corpus caller (minhash, langid), so a
+    threshold change cannot drift between them.
+    """
+    if row_count(sf_dir, name) > 1_000_000:
+        return df
+    n = row_count(sf_dir, name)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(max(4, min(width, n // 150)))

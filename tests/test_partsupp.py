@@ -14,10 +14,7 @@ import pyspark.sql.functions as F
 from flink_large_window_spark.operators.tpch import derived_partsupp
 from flink_large_window_spark.registry import REGISTRY
 from tests.conftest import SF_ORACLE, SF_SMOKE
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+from tests.test_plans import _plan
 
 
 def test_partsupp_primary_key_and_ranges(spark):

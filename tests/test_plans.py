@@ -287,15 +287,19 @@ def test_minhash_all_jvm_no_cache_no_inferred_filter_pushdown(spark):
     # The inferred-filter signature: a Filter node whose condition
     # re-evaluates the md5 chain. Must not exist anywhere in the plan
     # (when it does, predicate pushdown parks it on the single-task
-    # scan below the repartition).
-    import re
-
-    for seg in re.split(r"\n\(\d+\) ", plan):
-        if seg.startswith("Filter") and "md5" in seg:
-            raise AssertionError(
-                "InferFiltersFromGenerate pushed an md5 filter into the "
-                "scan — use explode_outer in the signature path"
-            )
+    # scan below the repartition). Tree-format plans render each node
+    # on one line ('+- Filter (size(array_distinct(... md5 ...') so a
+    # line scan is the reliable detector; a prior regex split on
+    # '\\n(N) ' never matched this format and the guard was vacuous.
+    bad = [
+        ln.strip()[:120]
+        for ln in plan.splitlines()
+        if "Filter" in ln and "md5" in ln
+    ]
+    assert not bad, (
+        "InferFiltersFromGenerate pushed an md5 filter into the scan — "
+        f"use explode_outer in the signature path: {bad}"
+    )
     df.collect()
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "dedup_near_minhash left a CacheManager entry behind"
