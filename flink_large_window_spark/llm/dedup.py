@@ -329,9 +329,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Portable token hashes both engines can compute identically:
-# h1(token) = Σ_{j < min(len,8)} ascii(char_j) · 131^j  (≈57 bits, int64-safe)
-# h2(token) = same with base 137. The signature takes the LOW 31 bits of
-# each (well-mixed region), giving a 62-bit SimHash with no sign issues.
+# h1(token) = Σ_{j < min(len,8)} (ascii(char_j) % 256) · 131^j — the
+# byte bound caps h1 at 255·Σ131^j ≈ 1.7e17 < 2^63 for ANY codepoint
+# (raw codepoints overflowed int64 under Spark's ANSI mode for chars
+# ≥ U+3600 in position 8); h2 = same with base 137. The signature
+# takes the LOW 31 bits of each (well-mixed region), giving a 62-bit
+# SimHash with no sign issues.
 _POW131 = [131**j for j in range(8)]
 _POW137 = [137**j for j in range(8)]
 SIMHASH_BITS = 62  # bits 0..30 from h1, bits 31..61 from h2
