@@ -216,6 +216,7 @@ RECHECK_KEYS: tuple[str, ...] = (
     "multimodal_embed_quantize",
     "dedup_near_minhash",
     "stream_allowed_lateness_reemit",
+    "stream_watermark_skew",
     "multimodal_blob_features",
     "text_langid_ngram",
     "dedup_simhash_hamming",
@@ -257,11 +258,11 @@ RECHECK_KEYS: tuple[str, ...] = (
     "text_tokenize_wordcount",
     "winfn_running_distinct",
     "join_asof",
-    "join_interval",
     # (dedup_embed_cosine_ivf, pattern_detect_followedby,
-    # sim_ann_ivf_multiprobe, sim_ann_ivf_topk, join_window_tumbling —
-    # the least-stale tail, all r2/r4-green and untouched since —
-    # yielded their slots to the five new round-6 keys; budget stays
+    # sim_ann_ivf_multiprobe, sim_ann_ivf_topk, join_window_tumbling,
+    # join_interval — the least-stale tail, all r2/r4-green and
+    # untouched since — yielded their slots to the five new round-6
+    # keys and the stream_watermark_skew oracle upgrade; budget stays
     # exactly 50.)
 )
 

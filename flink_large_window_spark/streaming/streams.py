@@ -20,14 +20,16 @@ sf0.001/0.01/0.1; the pytest parity suite remains as the semantic
 cross-check. Round 6 added stream_allowed_lateness_reemit: its
 two-batch emission log is also deterministic (UPDATE mode emits
 exactly the panes changed per batch), so "batch sequencing" was not a
-barrier there after all. Still rows-only by design:
-window_large_day_stream (approx_count_distinct — the estimate is
-implementation-defined), source_rate_stream (wall-clock), and the two
-live watermark-mechanics demos (stream_late_drop,
-stream_watermark_skew) whose point is Spark's runtime drop/lag
-accounting (numRowsDroppedByWatermark, per-source watermark lag),
-values that exist only in query progress, not in any SQL-reachable
-relation.
+barrier there after all, and stream_watermark_skew followed in the
+round-6 tail (the min-policy emission set is the lagging frontier's
+closed panes — SQL-derivable; only the lag METRIC is progress-only).
+Still rows-only by design: window_large_day_stream
+(approx_count_distinct — the estimate is implementation-defined),
+source_rate_stream (wall-clock), and stream_late_drop, whose point is
+Spark's runtime drop accounting (numRowsDroppedByWatermark exists
+only in query progress) and whose emission set depends on the
+inter-batch watermark staging (batch-1 filter uses batch-0's
+watermark), not just the final frontier.
 """
 
 from __future__ import annotations
@@ -998,7 +1000,23 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(spark, agg, mode="append")
 
 
-@query("stream_watermark_skew")  # rows-only; pytest pins the pane accounting
+@query(
+    "stream_watermark_skew",
+    oracle="""
+    WITH cut AS (
+      SELECT MAX(ts) - INTERVAL 48 HOUR AS c FROM events
+    ), slow_max AS (
+      SELECT MAX(ts) AS m FROM events, cut
+      WHERE user_id % 2 = 1 AND ts <= c
+    )
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start,
+           COUNT(*) AS n
+    FROM events, cut, slow_max
+    WHERE (user_id % 2 = 0 OR ts <= c)
+      AND date_trunc('hour', ts) + INTERVAL 1 HOUR < m - INTERVAL 10 MINUTE
+    GROUP BY 1
+    """,
+)
 def stream_watermark_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Live demonstration of SURVEY §2.9 gap #1 — keyed sources with
     PER-PARTITION watermark skew under Spark's global-min semantics.
@@ -1019,6 +1037,15 @@ def stream_watermark_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier — and condemns the lagging partition's undelivered rows
     to arrive past-watermark (stream_late_drop shows that fate).
     tests/test_streaming_parity.py pins both pane accountings.
+
+    SQL oracle since round 6 (upgraded from rows-only): under bounded
+    replay the min-policy emission set is deterministic — the query
+    watermark is the LAGGING frontier (max odd-user ts ≤ max ts − 48h)
+    − 10min, and the emitted panes are exactly those closed before it,
+    counted over the replayed subset (all even-user rows + odd-user
+    rows up to the lag cutoff). What stays beyond SQL's reach is only
+    the runtime lag METRIC (per-source watermark gap in query
+    progress), which the pytest accounting covers.
 
     At scale the two replay dirs are Kafka partitions and the lag is
     consumer skew; the state cost of the held-open panes is

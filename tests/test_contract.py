@@ -143,7 +143,7 @@ def test_round6_recheck_window_shape():
     oracles = api.oracle_sql()
     assert all(k in q and k in oracles for k in RECHECK_KEYS)
 
-    round6_touched = RECHECK_KEYS[:13]
+    round6_touched = RECHECK_KEYS[:14]
     assert set(round6_touched) == {
         # new this round (no driver evidence exists yet)
         "q2_min_cost_supplier",
@@ -155,6 +155,7 @@ def test_round6_recheck_window_shape():
         "multimodal_embed_quantize",
         "dedup_near_minhash",
         "stream_allowed_lateness_reemit",
+        "stream_watermark_skew",
         "multimodal_blob_features",
         "text_langid_ngram",
         "dedup_simhash_hamming",
@@ -164,5 +165,5 @@ def test_round6_recheck_window_shape():
 
     r5_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r05.json")
     fresh = set(json.load(open(r5_path)))
-    wasted = [k for k in RECHECK_KEYS[13:] if k in fresh]
+    wasted = [k for k in RECHECK_KEYS[14:] if k in fresh]
     assert not wasted, f"recheck slots burned on r5-fresh evidence: {wasted}"

@@ -501,3 +501,35 @@ def test_checkpoint_restart_restores_straddling_pane_state(spark):
         f"straddling pane count {rows[0]['n']} != full-data "
         f"{n_before + n_after} — phase-A state was not restored"
     )
+
+
+def test_no_fixture_pane_end_on_skew_watermark():
+    """Same boundary hazard as the final-watermark test, for the
+    stream_watermark_skew oracle (round 6 upgrade): its closure
+    frontier is the LAGGING partition's max ts (odd users, ts <=
+    max - 48h) - 10min, ms-truncated. If a fixture regen ever lands an
+    hour-pane end exactly on that instant, Spark's <= eviction and the
+    oracle's strict < disagree and the hash flips."""
+    import duckdb
+
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        con = duckdb.connect()
+        (slow_wm_us,) = con.execute(
+            f"""
+            WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS us
+              FROM read_parquet('{sf_dir}/events.parquet')
+            ), cut AS (SELECT MAX(us) - 172800000000 AS c FROM ev)
+            SELECT (MAX(us) // 1000) * 1000 - 600000000
+            FROM ev, cut WHERE user_id % 2 = 1 AND us <= c
+            """
+        ).fetchone()
+        assert slow_wm_us % 3_600_000_000 != 0, (
+            f"{sf_dir}: skew watermark is hour-aligned — a pane end "
+            "sits exactly on it; the skew oracle's strict-< boundary "
+            "no longer matches Spark's <= eviction"
+        )
