@@ -1245,6 +1245,16 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     schema = spark.read.parquet(src).schema
 
+    # Snapshot-and-restore BOTH tuned confs (run_to_memory leaves the
+    # provider set session-wide by design for the twins; this key
+    # restores it so its RocksDB choice cannot make a mixed-key
+    # session order-dependent).
+    try:
+        prev_provider = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+    except Exception:
+        prev_provider = None
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -1291,6 +1301,15 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_phase()  # restart: resumes offsets/watermark/window state
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                prev_provider,
+            )
 
     return spark.read.parquet(out).select(
         "w_start", F.col("n").cast("long").alias("n")

@@ -123,8 +123,8 @@ def spread_small_corpus(
     shared by every small-corpus caller (minhash, langid), so a
     threshold change cannot drift between them.
     """
-    if row_count(sf_dir, name) > 1_000_000:
-        return df
     n = row_count(sf_dir, name)
+    if n > 1_000_000:
+        return df
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return df.repartition(max(4, min(width, n // 150)))
