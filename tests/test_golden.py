@@ -41,6 +41,16 @@ KEYS = [
     "dedup_simhash_hamming",
     "llm_corpus_pipeline",
     "window_count_tumbling",
+    # round 6: the derived-partsupp quartet, the restart-continuity
+    # emission log, the upgraded skew emission set, and minhash on its
+    # round-6 60-bit hash basis
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_variety",
+    "q20_excess_stock",
+    "stream_checkpoint_restart",
+    "stream_watermark_skew",
+    "dedup_near_minhash",
 ]
 
 
