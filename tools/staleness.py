@@ -1,0 +1,139 @@
+"""Compute per-key driver-evidence staleness for the recheck rotation.
+
+Since round 5 every registered key has at least one driver CORRECTNESS
+row; from round 6 on, the 50-key driver window re-samples by RECENCY
+(VERDICT r5 item 3): keys whose implementation changed in a LATER
+round than their most recent driver evidence go first, ordered by that
+gap. Assembling that list by hand means cross-referencing five JSON
+files against per-module git history — this tool does it mechanically:
+
+    python tools/staleness.py            # ranked table
+    python tools/staleness.py --tuple    # paste-ready RECHECK_KEYS tail
+
+Method:
+- evidence round per key   = max N over CORRECTNESS_r0N.json files
+  whose entry for the key has hash_match=true (or, for rows-only keys,
+  a recorded spark_rows).
+- code round per key       = the round window containing the last
+  commit that touched the key's implementation FILE (resolved from the
+  registry via the function object), where round boundaries are the
+  driver's "round N: verdict/..." commits.
+- staleness                = code round − evidence round (only > 0 is
+  actionable); never-checked keys sort first with staleness = +inf.
+
+File-level granularity deliberately over-approximates: a commit to
+dedup.py marks every dedup key stale even if only one function
+changed. That errs toward re-checking, which is the cheap direction.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def round_boundaries() -> list[tuple[int, str]]:
+    """[(round N, commit sha of its 'round N: verdict' marker)] asc."""
+    out = subprocess.run(
+        ["git", "log", "--all", "--format=%H %s"],
+        capture_output=True, text=True, cwd=_REPO, check=True,
+    ).stdout
+    bounds = []
+    for line in out.splitlines():
+        sha, _, subj = line.partition(" ")
+        m = re.match(r"round (\d+): verdict", subj)
+        if m:
+            bounds.append((int(m.group(1)), sha))
+    return sorted(bounds)
+
+
+def evidence_rounds() -> dict[str, int]:
+    ev: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        n = int(re.search(r"r(\d+)\.json$", path).group(1))
+        for key, row in json.load(open(path)).items():
+            ok = row.get("hash_match") or (
+                row.get("err") == "no_oracle" and row.get("spark_rows")
+            )
+            if ok:
+                ev[key] = max(ev.get(key, 0), n)
+    return ev
+
+
+def code_rounds() -> dict[str, int]:
+    """key -> round in which its implementation file last changed."""
+    import flink_large_window_spark.api  # noqa: F401 — populates REGISTRY
+    from flink_large_window_spark.registry import REGISTRY
+
+    bounds = round_boundaries()  # round N marker ENDS round N
+    key_file = {
+        k: os.path.relpath(fn.__code__.co_filename, _REPO)
+        for k, fn in REGISTRY.items()
+    }
+    file_round: dict[str, int] = {}
+    for f in set(key_file.values()):
+        # last commit touching f
+        sha = subprocess.run(
+            ["git", "log", "-1", "--format=%H", "--", f],
+            capture_output=True, text=True, cwd=_REPO, check=True,
+        ).stdout.strip()
+        if not sha:
+            file_round[f] = 0
+            continue
+        # the file's round = 1 + (highest round whose marker is an
+        # ancestor of-but-not-equal... simpler: count markers that are
+        # ancestors of sha^ — i.e. markers the commit comes AFTER)
+        r = 1
+        for n, marker in bounds:
+            anc = subprocess.run(
+                ["git", "merge-base", "--is-ancestor", marker, sha],
+                cwd=_REPO,
+            ).returncode
+            if anc == 0 and marker != sha:
+                r = n + 1
+        file_round[f] = r
+    return {k: file_round[f] for k, f in key_file.items()}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tuple", action="store_true",
+                    help="print a paste-ready python tuple tail")
+    args = ap.parse_args()
+
+    ev = evidence_rounds()
+    code = code_rounds()
+    rows = []
+    for k, cr in code.items():
+        er = ev.get(k)
+        stale = float("inf") if er is None else cr - er
+        rows.append((stale, cr, er, k))
+    rows.sort(key=lambda r: (-(r[0] if r[0] != float("inf") else 10**6), r[3]))
+
+    if args.tuple:
+        for stale, cr, er, k in rows:
+            if stale > 0:
+                print(f'    "{k}",')
+        return
+    print(f"{'key':34s} {'code_r':>6s} {'evid_r':>6s} {'stale':>6s}")
+    for stale, cr, er, k in rows:
+        if stale <= 0:
+            continue
+        s = "NEW" if stale == float("inf") else str(int(stale))
+        print(f"{k:34s} {cr:6d} {str(er or '-'):>6s} {s:>6s}")
+    n_stale = sum(1 for r in rows if r[0] > 0)
+    print(f"\n{n_stale} keys with evidence older than their code "
+          f"(of {len(rows)} registered)")
+
+
+if __name__ == "__main__":
+    main()
