@@ -212,6 +212,7 @@ RECHECK_KEYS: tuple[str, ...] = (
     "q16_supplier_variety",
     "q20_excess_stock",
     "stream_checkpoint_restart",
+    "stream_rule_update_enrich",
     # changed this round
     "multimodal_embed_quantize",
     "dedup_near_minhash",
@@ -257,11 +258,10 @@ RECHECK_KEYS: tuple[str, ...] = (
     "text_token_count_bpe",
     "text_tokenize_wordcount",
     "winfn_running_distinct",
-    "join_asof",
     # (dedup_embed_cosine_ivf, pattern_detect_followedby,
     # sim_ann_ivf_multiprobe, sim_ann_ivf_topk, join_window_tumbling,
-    # join_interval — the least-stale tail, all r2/r4-green and
-    # untouched since — yielded their slots to the five new round-6
+    # join_interval, join_asof — the least-stale tail, all r2/r4-green
+    # and untouched since — yielded their slots to the six new round-6
     # keys and the stream_watermark_skew oracle upgrade; budget stays
     # exactly 50.)
 )

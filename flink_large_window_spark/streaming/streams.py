@@ -1314,3 +1314,140 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "w_start", F.col("n").cast("long").alias("n")
     )
+
+
+#: event_type -> revenue multiplier, versions 1 and 2. Literal in both
+#: engines so the oracle needs no side-channel; v2 shifts every rule so
+#: any pane containing post-swap rows is visibly re-weighted.
+_RULES_V1 = {"click": 1, "error": 2, "purchase": 3, "signup": 4, "view": 5}
+_RULES_V2 = {k: v + 10 for k, v in _RULES_V1.items()}
+
+
+@query(
+    "stream_rule_update_enrich",
+    oracle="""
+    WITH cut AS (
+      SELECT MAX(ts) - INTERVAL 24 HOUR AS c FROM events
+    ), mult(event_type, m1, m2) AS (
+      VALUES ('click', 1, 11), ('error', 2, 12), ('purchase', 3, 13),
+             ('signup', 4, 14), ('view', 5, 15)
+    )
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS w_start,
+           event_type,
+           ROUND(SUM(value * CASE WHEN ts <= c THEN m1 ELSE m2 END), 2)
+             AS revenue
+    FROM events JOIN mult USING (event_type), cut
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+          < (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def stream_rule_update_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink broadcast-state rule updates (BroadcastProcessFunction),
+    reconstructed with Spark's stream-static join re-resolution: the
+    static side of a stream-static join is re-planned and re-read
+    every micro-batch, so OVERWRITING the rules table mid-stream
+    re-weights all subsequent elements — exactly a control-stream rule
+    push. stream_static_enrich demonstrates the static case; this key
+    demonstrates the UPDATE.
+
+    Two phases over one checkpoint (the stream_checkpoint_restart
+    scaffolding): phase A replays events with ts <= max(ts) − 24h
+    under rules v1 and stops; the rules parquet is overwritten to v2;
+    phase B appends the last-24h file and resumes. Each element is
+    enriched with the rules ACTIVE WHEN IT ARRIVED — Flink's broadcast
+    -state semantics — so the pane straddling the cutoff accumulates
+    v1-weighted phase-A rows plus v2-weighted phase-B rows in restored
+    state, and its emitted revenue matches neither pure-v1 nor pure-v2
+    weighting (pinned by tests/test_streaming_parity.py). The emission
+    set is deterministic under bounded replay (panes closed by the
+    final watermark, per-row weights decided by the phase split), so
+    the whole behavior is SQL-oracle-checked; per-row value × integer
+    multiplier is exact, with the suite's ROUND(·, 2) money policy on
+    the final sums.
+
+    At 100 TB the rules table is a maintained dimension (Delta/Iceberg
+    MERGE target); Spark re-reads it per micro-batch, so rule-push
+    latency is one trigger interval — Flink delivers in-band instead,
+    which is the remaining semantic gap (documented, SURVEY §2.9).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    prep(spark)
+    src = os.path.join(sf_dir, "events.parquet")
+    replay = scratch_dir("flws_rules_src_")
+    rules_dir = scratch_dir("flws_rules_dim_")
+    out = scratch_dir("flws_rules_out_")
+    ckpt = scratch_dir("flws_rules_ck_")
+    tbl = pq.read_table(src)
+    cutoff = pc.subtract(
+        pc.max(tbl["ts"]), pa.scalar(24 * 3600 * 1_000_000, type=pa.duration("us"))
+    )
+    schema = spark.read.parquet(src).schema
+
+    def write_rules(version: dict) -> None:
+        spark.createDataFrame(
+            [(k, v) for k, v in sorted(version.items())],
+            "event_type string, mult int",
+        ).coalesce(1).write.mode("overwrite").parquet(rules_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+    )
+    try:
+
+        def run_phase() -> None:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(replay)
+            )
+            rules = spark.read.parquet(rules_dir)
+            agg = (
+                stream.withWatermark("ts", "10 minutes")
+                .join(F.broadcast(rules), "event_type")
+                .groupBy(
+                    F.window("ts", "1 hour").alias("w"), "event_type"
+                )
+                .agg(
+                    F.round(
+                        F.sum(F.col("value") * F.col("mult")), 2
+                    ).alias("revenue")
+                )
+                .select(
+                    F.col("w.start").cast("string").alias("w_start"),
+                    "event_type",
+                    "revenue",
+                )
+            )
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        now = time.time()
+        a_path = os.path.join(replay, "0-phase-a.parquet")
+        pq.write_table(tbl.filter(pc.less_equal(tbl["ts"], cutoff)), a_path)
+        os.utime(a_path, (now, now))
+        write_rules(_RULES_V1)
+        run_phase()
+
+        write_rules(_RULES_V2)  # the mid-stream rule push
+        b_path = os.path.join(replay, "1-phase-b.parquet")
+        pq.write_table(tbl.filter(pc.greater(tbl["ts"], cutoff)), b_path)
+        os.utime(b_path, (now + 10, now + 10))
+        run_phase()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    return spark.read.parquet(out).select(
+        "w_start", "event_type", F.col("revenue").cast("double").alias("revenue")
+    )

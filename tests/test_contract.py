@@ -143,7 +143,7 @@ def test_round6_recheck_window_shape():
     oracles = api.oracle_sql()
     assert all(k in q and k in oracles for k in RECHECK_KEYS)
 
-    round6_touched = RECHECK_KEYS[:14]
+    round6_touched = RECHECK_KEYS[:15]
     assert set(round6_touched) == {
         # new this round (no driver evidence exists yet)
         "q2_min_cost_supplier",
@@ -151,6 +151,7 @@ def test_round6_recheck_window_shape():
         "q16_supplier_variety",
         "q20_excess_stock",
         "stream_checkpoint_restart",
+        "stream_rule_update_enrich",
         # changed this round
         "multimodal_embed_quantize",
         "dedup_near_minhash",
@@ -165,5 +166,5 @@ def test_round6_recheck_window_shape():
 
     r5_path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r05.json")
     fresh = set(json.load(open(r5_path)))
-    wasted = [k for k in RECHECK_KEYS[14:] if k in fresh]
+    wasted = [k for k in RECHECK_KEYS[15:] if k in fresh]
     assert not wasted, f"recheck slots burned on r5-fresh evidence: {wasted}"

@@ -49,6 +49,7 @@ KEYS = [
     "q16_supplier_variety",
     "q20_excess_stock",
     "stream_checkpoint_restart",
+    "stream_rule_update_enrich",
     "stream_watermark_skew",
     "dedup_near_minhash",
 ]

@@ -533,3 +533,56 @@ def test_no_fixture_pane_end_on_skew_watermark():
             "sits exactly on it; the skew oracle's strict-< boundary "
             "no longer matches Spark's <= eviction"
         )
+
+
+def test_rule_update_straddling_pane_mixes_both_rule_versions(spark):
+    """The broadcast-state-update proof (stream_rule_update_enrich):
+    the pane straddling the phase cutoff accumulates v1-weighted
+    phase-A rows and v2-weighted phase-B rows in restored state, so
+    its emitted revenue must match the mixed weighting exactly — and
+    differ from BOTH pure-v1 and pure-v2 weightings (those would mean
+    the rule push never happened, or retroactively rewrote state)."""
+    from flink_large_window_spark.registry import REGISTRY
+    from flink_large_window_spark.streaming.streams import (
+        _RULES_V1,
+        _RULES_V2,
+    )
+    from flink_large_window_spark.tables import table
+
+    ev = table(spark, SF_SMOKE, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - dt.timedelta(hours=24)
+    pane_start = cutoff.replace(minute=0, second=0, microsecond=0)
+    pane = ev.filter(
+        (F.col("ts") >= F.lit(pane_start))
+        & (F.col("ts") < F.lit(pane_start + dt.timedelta(hours=1)))
+    )
+
+    def weighted(rows, rules_for):
+        return round(
+            sum(r["value"] * rules_for(r) for r in rows), 2
+        )
+
+    rows = pane.select("ts", "event_type", "value").collect()
+    assert any(r["ts"] <= cutoff for r in rows) and any(
+        r["ts"] > cutoff for r in rows
+    ), "fixture does not straddle the rule-push cutoff"
+    mixed = weighted(
+        rows,
+        lambda r: (_RULES_V1 if r["ts"] <= cutoff else _RULES_V2)[
+            r["event_type"]
+        ],
+    )
+    pure_v1 = weighted(rows, lambda r: _RULES_V1[r["event_type"]])
+    pure_v2 = weighted(rows, lambda r: _RULES_V2[r["event_type"]])
+
+    out = REGISTRY["stream_rule_update_enrich"](spark, SF_SMOKE)
+    key = pane_start.strftime("%Y-%m-%d %H:%M:%S")
+    got = round(
+        sum(r["revenue"] for r in out.collect() if r["w_start"] == key), 2
+    )
+    assert got == mixed, f"straddling pane revenue {got} != mixed {mixed}"
+    assert got != pure_v1 and got != pure_v2, (
+        "straddling pane matches a pure weighting — the mid-stream "
+        "rule push was not observed"
+    )
