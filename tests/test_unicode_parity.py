@@ -1,0 +1,94 @@
+"""Cross-engine parity of the portable-hash kernels on NON-fixture
+text (round 6): the all-JVM minhash and simhash claim bit-identical
+Spark/DuckDB results for ANY input — fixtures are pure ASCII, so this
+suite feeds an adversarial corpus (CJK, emoji, combining accents,
+empty strings, single tokens, >8-char tokens, high codepoints in the
+8th position — the exact shape that overflowed int64 under ANSI mode
+before the ascii()%256 bound) through both engines and diffs cells.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from flink_large_window_spark.registry import ORACLES, REGISTRY
+from flink_large_window_spark.scratch import scratch_dir
+
+# Deterministic adversarial corpus. Each entry is one document's text.
+_TEXTS = [
+    "",  # empty document
+    " ",  # single space -> two empty tokens
+    "solo",  # one token, shorter than the 8-char hash window
+    "abcdefghij",  # one token, longer than the window
+    "abcdefg中 token",  # U+4E2D in position 8: the ANSI overflow shape
+    "中文 文本 处理 中文",  # CJK tokens, repeats
+    "café café café",  # precomposed vs combining accent
+    "\U0001f600 \U0001f680 rocket \U0001f680",  # emoji (non-BMP) tokens
+    "mixed ASCII and 中文 and \U0001f600 in one doc",
+    "a b c a b c a b c",  # heavy token repetition (tf weighting)
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy dog",  # exact duplicate
+    "the quick brown fox jumps over a lazy dog",  # near duplicate
+    "ALLCAPS Text With MIXED case TOKENS",
+    "punct! punct? punct. punct, punct;",
+    "ßæø łñü high-latin",
+    "tab\tseparated stays one-token-with-tab",
+    "ten shingles needs at least twelve tokens to be interesting here",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_sf(spark):
+    """A scratch sf_dir holding a documents.parquet with the
+    adversarial corpus in the fixture schema."""
+    d = scratch_dir("flws_unicode_sf_")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(_TEXTS)), pa.int64()),
+            "text": pa.array(_TEXTS, pa.string()),
+            "lang": pa.array(["en"] * len(_TEXTS), pa.string()),
+            "source": pa.array(["synthetic"] * len(_TEXTS), pa.string()),
+            "n_chars": pa.array([len(t) for t in _TEXTS], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.mark.parametrize("key", ["dedup_simhash", "dedup_near_minhash"])
+def test_portable_hash_kernels_match_duckdb_on_unicode(
+    spark, unicode_sf, key
+):
+    sdf = (
+        REGISTRY[key](spark, unicode_sf)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{unicode_sf}/documents.parquet')"
+    )
+    odf = (
+        con.execute(ORACLES[key])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(sdf.columns) == list(odf.columns)
+    diffs = []
+    for col in sdf.columns:
+        for i in range(len(sdf)):
+            a, b = sdf[col][i], odf[col][i]
+            if a != b:
+                diffs.append((col, int(sdf["doc_id"][i]), a, b))
+    assert not diffs, (
+        f"{key} diverges from DuckDB on unicode input: {diffs[:5]} "
+        f"(text: {[_TEXTS[d[1]] for d in diffs[:5]]})"
+    )
