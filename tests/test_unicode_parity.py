@@ -1,10 +1,15 @@
-"""Cross-engine parity of the portable-hash kernels on NON-fixture
-text (round 6): the all-JVM minhash and simhash claim bit-identical
+"""Cross-engine parity of the text/dedup kernels on NON-fixture text
+(round 6): the all-JVM minhash and simhash claim bit-identical
 Spark/DuckDB results for ANY input — fixtures are pure ASCII, so this
 suite feeds an adversarial corpus (CJK, emoji, combining accents,
 empty strings, single tokens, >8-char tokens, high codepoints in the
 8th position — the exact shape that overflowed int64 under ANSI mode
 before the ascii()%256 bound) through both engines and diffs cells.
+Also covers the keys whose parity rests on engine-shared STRING
+semantics rather than portable hashes: lower()/trim() (dedup_exact),
+char-based substr trigrams (text_langid_ngram), token splitting
+(text_tokenize_wordcount), and shingle set algebra
+(dedup_ngram_jaccard) — all six match exactly on this corpus.
 """
 
 from __future__ import annotations
@@ -60,16 +65,23 @@ def unicode_sf(spark):
     return d
 
 
-@pytest.mark.parametrize("key", ["dedup_simhash", "dedup_near_minhash"])
+@pytest.mark.parametrize(
+    "key",
+    [
+        "dedup_simhash",
+        "dedup_near_minhash",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "text_langid_ngram",
+        "text_tokenize_wordcount",
+    ],
+)
 def test_portable_hash_kernels_match_duckdb_on_unicode(
     spark, unicode_sf, key
 ):
-    sdf = (
-        REGISTRY[key](spark, unicode_sf)
-        .toPandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
+    sdf = REGISTRY[key](spark, unicode_sf).toPandas()
+    sort_cols = list(sdf.columns)
+    sdf = sdf.sort_values(sort_cols).reset_index(drop=True)
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW documents AS SELECT * FROM "
@@ -78,7 +90,7 @@ def test_portable_hash_kernels_match_duckdb_on_unicode(
     odf = (
         con.execute(ORACLES[key])
         .fetchdf()
-        .sort_values("doc_id")
+        .sort_values(sort_cols)
         .reset_index(drop=True)
     )
     assert list(sdf.columns) == list(odf.columns)
@@ -87,8 +99,7 @@ def test_portable_hash_kernels_match_duckdb_on_unicode(
         for i in range(len(sdf)):
             a, b = sdf[col][i], odf[col][i]
             if a != b:
-                diffs.append((col, int(sdf["doc_id"][i]), a, b))
+                diffs.append((col, i, a, b))
     assert not diffs, (
-        f"{key} diverges from DuckDB on unicode input: {diffs[:5]} "
-        f"(text: {[_TEXTS[d[1]] for d in diffs[:5]]})"
+        f"{key} diverges from DuckDB on unicode input: {diffs[:5]}"
     )
