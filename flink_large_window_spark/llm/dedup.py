@@ -57,7 +57,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # conv() can produce it directly), mod-Mersenne universal hashes (all
 # intermediates < 2^63 so BIGINT never overflows), and per-band XOR
 # folds (bit_xor == Spark's ^ fold; mins < 2^31 so the 0x9E3779B1
-# product stays under 2^62). Jaccard is verified on DISTINCT hash sets
+# product maxes at (2^31−2)·2654435761 ≈ 5.7e18 < 2^63 — above 2^62,
+# but still inside signed-BIGINT range, which is the bound that
+# matters under ANSI mode). Jaccard is verified on DISTINCT hash sets
 # — identical to Spark's array_intersect/array_union set semantics.
 _MINHASH_ORACLE = f"""
     WITH toks AS (

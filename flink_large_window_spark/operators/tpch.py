@@ -6,8 +6,12 @@ has no phone) — so each query keeps its *plan shape* (the thing that
 matters for the engine: correlated EXISTS → semi join, scalar subquery
 → broadcast join, OR-of-ANDs pushdown, CASE-conditional aggregates,
 outer-join histograms) while mapping predicates onto the columns that
-exist. Q2/Q11/Q16/Q20 need partsupp and are documented out of scope in
-SURVEY §2 (no fixture table to run them against).
+exist. Q2/Q11/Q16/Q20 need partsupp, which the fixtures do not ship —
+since round 6 they run against a DERIVED partsupp relation rebuilt
+deterministically from the public TPC-H dbgen assignment rule (spec
+§4.2.3, adapted to the fixtures' 0-based keys: supplier i∈0..3 of part
+p is (p + i·(S div 4 + p div S)) mod S), with an identical CTE on the
+oracle side — see ``derived_partsupp`` below and tests/test_partsupp.py.
 
 Scale notes (100 TB):
 - every dim side (part at the brand-filtered grain, supplier, nation,

@@ -1393,6 +1393,21 @@ def stream_rule_update_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type string, mult int",
         ).coalesce(1).write.mode("overwrite").parquet(rules_dir)
 
+    # Pin the state-store provider for the whole two-phase run (same
+    # snapshot/restore as stream_checkpoint_restart): without this the
+    # checkpoint uses whichever provider the session last left behind
+    # (RocksDB after any run_to_memory key, HDFS-backed otherwise),
+    # which would make this key's state layout depend on session order.
+    try:
+        prev_provider = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass"
+        )
+    except Exception:
+        prev_provider = None
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
@@ -1447,6 +1462,15 @@ def stream_rule_update_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_phase()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if prev_provider is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                prev_provider,
+            )
 
     return spark.read.parquet(out).select(
         "w_start", "event_type", F.col("revenue").cast("double").alias("revenue")

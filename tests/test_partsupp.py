@@ -34,10 +34,41 @@ def test_partsupp_primary_key_and_ranges(spark):
 
 
 def test_partsupp_fanout_four_suppliers_per_part(spark):
-    # At S >= 100 the dbgen step formula never wraps to a collision, so
-    # every part gets exactly 4 distinct suppliers (sf0.01: S=100). At
-    # the degenerate sf0.001 (S=10) DISTINCT legally dedupes — only the
-    # >= 1 lower bound holds there.
+    # The step s(p) = S//4 + p//S collides two of the four i·s(p) mod S
+    # offsets iff d·s(p) ≡ 0 (mod S) for some d in 1..3 — at S=100 that
+    # means s(p) ≡ 0 (mod 50), i.e. p//100 ≡ 25 (mod 50) (p in
+    # [2500,2599] + k·5000). Exact-4 fan-out is therefore NOT a property
+    # of S alone ("S >= 100" is insufficient): it holds only while no
+    # part falls in a wrap band, so derive that precondition from the
+    # fixture's actual part-key range before asserting on it.
+    from flink_large_window_spark.tables import table
+
+    bounds = (
+        table(spark, SF_ORACLE, "part")
+        .join(
+            table(spark, SF_ORACLE, "supplier").agg(
+                F.count(F.lit(1)).alias("s")
+            )
+        )
+        .select(
+            # the four offsets i·s(p) mod S (i=0..3) are pairwise
+            # distinct iff d·s(p) mod S ≠ 0 for every difference
+            # d in 1..3 — assert no part violates that, exactly.
+            F.max(
+                F.expr(
+                    "CASE WHEN ((s div 4 + p_partkey div s) % s = 0)"
+                    " OR (2 * (s div 4 + p_partkey div s) % s = 0)"
+                    " OR (3 * (s div 4 + p_partkey div s) % s = 0)"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("any_wrap")
+        )
+        .collect()[0]
+    )
+    assert bounds.any_wrap == 0, (
+        "fixture regen put a part in a dbgen wrap band; the exact-4 "
+        "assertion below no longer applies — re-derive the expectation"
+    )
     ps = derived_partsupp(spark, SF_ORACLE)
     fan = (
         ps.groupBy("ps_partkey")

@@ -533,6 +533,26 @@ def test_no_fixture_pane_end_on_skew_watermark():
             "sits exactly on it; the skew oracle's strict-< boundary "
             "no longer matches Spark's <= eviction"
         )
+        # The oracle also assumes the global-min watermark IS the
+        # odd-user (lagging) frontier. That ordering is a fixture
+        # property, not a law: if a regen made every event after
+        # max−48h odd-user, the EVEN branch would become the laggard
+        # and the min-policy frontier the oracle encodes would flip.
+        # Pin max(even ts) ≥ max(odd ts ≤ cutoff) = slow frontier.
+        (fast_max_us,) = con.execute(
+            f"""
+            SELECT MAX(epoch_us(ts))
+            FROM read_parquet('{sf_dir}/events.parquet')
+            WHERE user_id % 2 = 0
+            """
+        ).fetchone()
+        slow_frontier_us = slow_wm_us + 600_000_000  # undo the −10min
+        assert fast_max_us >= slow_frontier_us, (
+            f"{sf_dir}: even-user (fast) partition frontier "
+            f"{fast_max_us} < odd-user lagging frontier "
+            f"{slow_frontier_us}; the skew oracle's min-policy "
+            "assumption no longer holds for this fixture"
+        )
 
 
 def test_rule_update_straddling_pane_mixes_both_rule_versions(spark):

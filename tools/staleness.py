@@ -61,8 +61,13 @@ def evidence_rounds() -> dict[str, int]:
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         n = int(re.search(r"r(\d+)\.json$", path).group(1))
         for key, row in json.load(open(path)).items():
+            # rows-only evidence means the key RAN under the driver (a
+            # legitimate 0-row result still counts — `is not None`, not
+            # truthiness); "verified" for those keys lives in their
+            # compensating pytests, not here.
             ok = row.get("hash_match") or (
-                row.get("err") == "no_oracle" and row.get("spark_rows")
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
             )
             if ok:
                 ev[key] = max(ev.get(key, 0), n)
