@@ -74,6 +74,19 @@ HEADLINE = [
     "pattern_detect_cep",
     "q3_shipping_priority",
     "q5_local_supplier",
+    # Round-7 additions (VERDICT r6 item 4): the partsupp quartet had no
+    # bench entries, so a perf regression there was invisible. They are
+    # NOT in the frozen round-1 BENCH.json; their governing baseline is
+    # their first recorded medians (BASELINE.md addendum), and they are
+    # excluded from the cross-round headline total (see main()). The two
+    # round-6 streaming contracts (checkpoint-restart, rule-update) stay
+    # off the wall-clock list entirely: their cost is trigger/checkpoint
+    # dominated (two availableNow queries + RocksDB state restore per
+    # run), which measures the streaming harness, not the operators.
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_variety",
+    "q20_excess_stock",
 ]
 
 
@@ -94,7 +107,7 @@ WATCH_LIST_RUNS = {
 }
 
 
-def bench_one(spark, fn, sf_dir: str, runs: int = 3) -> dict:
+def bench_one(spark, fn, sf_dir: str, runs: int = 3, warmups: int = 2) -> dict:
     def run() -> float:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -106,8 +119,13 @@ def bench_one(spark, fn, sf_dir: str, runs: int = 3) -> dict:
     # warm-up medians recorded the compiler, not the query (measured:
     # dedup_embed_cosine runs [3.24, 2.49, 0.77] → median 2.49 where
     # steady state is 0.77; q5 decayed 4.45 → 1.00 the same way).
-    run()
-    run()
+    # Watch-list keys get FOUR (round 7): the two LSH plans pair ~6 AQE
+    # stages with the suite's largest generated classes (64/62 unrolled
+    # aggregate columns), and their measured run trajectory still
+    # decays through run 5 (1.82 → 1.31 s) — a 2-warm-up median there
+    # records C2 tier-up, not the query.
+    for _ in range(warmups):
+        run()
     times = [run() for _ in range(runs)]
     return {"median_s": round(statistics.median(times), 4), "runs": [round(t, 4) for t in times]}
 
@@ -122,11 +140,29 @@ def main() -> None:
     results: dict[str, dict] = {}
     for key in HEADLINE:
         results[key] = bench_one(
-            spark, qs[key], sf_dir, runs=WATCH_LIST_RUNS.get(key, 3)
+            spark,
+            qs[key],
+            sf_dir,
+            runs=WATCH_LIST_RUNS.get(key, 3),
+            warmups=4 if key in WATCH_LIST_RUNS else 2,
         )
         print(f"# {key}: {results[key]['median_s']}s", file=sys.stderr)
 
-    total = round(sum(r["median_s"] for r in results.values()), 4)
+    # "value" stays comparable across rounds: it sums ONLY the keys
+    # present in the frozen round-1 BENCH.json, so the headline total
+    # can be read directly against BASELINE.md's 23.24 s. Keys added to
+    # HEADLINE later (the round-7 partsupp quartet) are measured and
+    # recorded per-key plus as new_keys_total_s, with their governing
+    # baseline documented in BASELINE.md.
+    with open(os.path.join(_REPO_ROOT, "BENCH.json")) as f:
+        frozen_keys = set(json.load(f)["queries"])
+    total = round(
+        sum(r["median_s"] for k, r in results.items() if k in frozen_keys), 4
+    )
+    new_total = round(
+        sum(r["median_s"] for k, r in results.items() if k not in frozen_keys),
+        4,
+    )
     env = {
         "spark": spark.version,
         "cpus": os.cpu_count(),
@@ -134,7 +170,16 @@ def main() -> None:
         "sf_dir": sf_dir,
     }
     with open(os.path.join(_REPO_ROOT, "BENCH_LAST.json"), "w") as f:
-        json.dump({"queries": results, "total_s": total, "env": env}, f, indent=2)
+        json.dump(
+            {
+                "queries": results,
+                "total_s": total,
+                "new_keys_total_s": new_total,
+                "env": env,
+            },
+            f,
+            indent=2,
+        )
 
     print(
         json.dumps(
@@ -143,6 +188,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": {k: v["median_s"] for k, v in results.items()},
+                "new_keys_total_s": new_total,
                 "sf": sf_dir,
             }
         )

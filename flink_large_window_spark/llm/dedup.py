@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import query
-from ..tables import prep, row_count, spread_small_corpus, table
+from ..tables import prep, row_count, spread_width, table, table_sql_ref
 
 N_HASHES = 64
 N_BANDS = 8  # 8 rows per band → LSH threshold ≈ (1/8)^(1/8) ≈ 0.77
@@ -49,6 +49,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("keep_id", "n_copies")
     )
 
+
+# Over-full LSH buckets are non-discriminative: a degenerate band key
+# shared by k > cap docs contributes k² candidate pairs (the one
+# super-linear term in the pipeline) and near-zero precision, so
+# production LSH drops such buckets entirely. Since round 7 BOTH
+# engines apply the cap, making it part of the operator's semantics
+# rather than a deferred "at production scale" note: the linear-time
+# claim now holds on adversarial input too. Fixture max bucket size is
+# 10 (sf0.1), so the cap never bites on driver data;
+# tests/test_llm_quality.py plants a >cap degenerate bucket and pins
+# both the drop and the survival of normal-sized buckets.
+LSH_BUCKET_CAP = 64
 
 # Full SQL mirror of the MinHash-LSH pipeline (round 6, upgraded from
 # rows-only). Portable because every stage is deterministic integer
@@ -86,10 +98,16 @@ _MINHASH_ORACLE = f"""
     ), band AS (
       SELECT doc_id, i // 8 AS band, bit_xor(mh * 2654435761) AS bh
       FROM minh GROUP BY doc_id, i // 8
+    ), bsz AS (
+      SELECT band, bh FROM band
+      GROUP BY band, bh
+      HAVING COUNT(*) BETWEEN 2 AND {LSH_BUCKET_CAP}
     ), cand AS (
       SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-      FROM band l JOIN band r
-        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+      FROM bsz s
+      JOIN band l ON l.band = s.band AND l.bh = s.bh
+      JOIN band r ON r.band = s.band AND r.bh = s.bh
+                 AND l.doc_id < r.doc_id
     ), inter AS (
       SELECT c.a, c.b, COUNT(*) AS n_int
       FROM cand c
@@ -126,207 +144,140 @@ _MINHASH_ORACLE = f"""
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection via MinHash-LSH over token 3-shingles.
 
-    ALL-JVM, zero Python (round 6b): tokens → 3-shingles → per-shingle
-    md5 base hash in one codegen'd projection, then the 64-permutation
-    MinHash h_i(x) = (a_i·x + b_i) mod 2^31−1 as ROWS — explode the
-    hash set, generate the 64 permutation indices with
-    explode(sequence(...)), integer-arithmetic projection, two-phase
-    min aggregate (partial min map-side collapses |shingles|·64 rows
-    to |docs|·64 before the shuffle), bit_xor band fold. Three earlier
-    designs motivated this one, all measured at sf0.1: (1) a
-    mapInPandas signature scan is NON-DETERMINISTIC at bench scale —
-    cold runs fork a fleet of Python workers whose numpy/pandas
-    imports dwarf the ~0.3 s of hashing (1.5–20 s for identical
-    input, tracking worker/GC churn from neighboring queries); (2) a
-    higher-order-function form (transform/aggregate/zip_with) is
-    interpreted, never codegen'd — 16.6 M boxed lambda iterations, 8 s
-    steady-state; (3) the same HOF form WITHOUT projection boundaries
-    is re-evaluated per lambda element by CollapseProject inlining —
-    222 s. Row explosion + two-phase aggregation keeps every operator
-    inside whole-stage codegen.
+    ONE ``spark.sql`` statement (round 7). The round-6b all-JVM
+    dataflow is unchanged — tokens → 3-shingles → per-shingle md5 base
+    hash, 64 permutation mins h_i(x) = (a_i·x + b_i) mod 2^31−1 as
+    UNROLLED aggregate columns over one hash-per-row explode (map-side
+    partial min collapses |shingle hashes| rows to |docs| before the
+    one signature shuffle), bit_xor band folds, capped band buckets,
+    within-bucket pair explode with exact-Jaccard verification, per-doc
+    DISTINCT-partner rollup — but the query text is now generated as a
+    single CTE chain and parsed once. Round-7 profiling (SCALING.md
+    §12) found the 2.3× bench regression lived in neither md5 nor the
+    executed plan: building this query as ~10 chained DataFrame calls
+    cost ~1.3 s of DRIVER time per build (PySpark analyzes eagerly per
+    transformation, so a deep pipeline re-analyzes a growing tree each
+    step, plus 64 F.expr parses × py4j round trips), vs ~0.95 s for the
+    whole execution. spark.sql parses and analyzes the full tree once
+    (~0.05 s); the optimized/physical plan is identical.
 
-    Downstream shuffles: the band-bucket aggregate (hash sets riding
-    once per doc via first(), never joined back — a join re-plans the
-    signature subtree as a single-task broadcast build) and the
-    per-doc DISTINCT-partner rollup that verifies exact Jaccard. Base
-    hash is md5-derived (portable, process-stable); swap in xxhash64
-    at deployment scale if oracle portability is not needed. That
-    portability is what makes the full SQL oracle above possible:
-    DuckDB reproduces every stage bit-for-bit, so signatures, band
-    keys, candidate set, and Jaccard verdicts are all hash-checked.
+    Verified non-causes, measured before this rewrite: md5+conv is NOT
+    the dominant term (signature projection with md5: 0.17 s; without:
+    0.26 s — noise-level difference at 270 k shingles), so the md5 base
+    hash STAYS — it is what makes the bit-exact DuckDB oracle above
+    possible. The round-6 findings all still bind and are preserved in
+    SQL form: LATERAL VIEW OUTER (not plain explode) keeps
+    InferFiltersFromGenerate from pushing an inferred size(hs)>0
+    filter — which inlines the whole md5 chain — below the repartition
+    hint (tests/test_plans.py pins it); the hash sets ride the
+    signature aggregate via first() and are never joined back (a join
+    re-plans the signature subtree as a single-task broadcast build);
+    the two-sided per-doc rollup uses one explode of a 2-struct array,
+    not a UNION ALL — in CTE form a UNION ALL would macro-expand the
+    whole upstream pipeline TWICE.
+
+    Buckets are capped at LSH_BUCKET_CAP (round 7): a bucket with more
+    members is non-discriminative and would contribute the pipeline's
+    only super-linear (k²) term, so both engines drop it — the
+    docstring promise "linear in corpus size" now holds on adversarial
+    input too, pinned by a degenerate-bucket pytest.
 
     Output: per-doc near-dup summary (doc_id, n_candidates,
     n_dups_080) — per-doc rows so the result is non-empty even when
     the corpus has no near-dups at a given scale.
 
     100 TB: signature generation is embarrassingly parallel and
-    pipelined with the parquet scan; bucket aggregation is linear in
-    corpus size. A degenerate hot bucket concentrates its k² pair
-    generation in one task; production LSH drops over-full buckets as
-    non-discriminative (a size cap mirrored in the oracle), not
-    needed at fixture scales.
+    pipelined with the parquet scan; band-bucket aggregation and the
+    capped pair explode are linear in corpus size. The REPARTITION
+    hint is the spread_small_corpus policy (fixture-scale only — the
+    file layout provides parallelism at production scale, and
+    spread_width returns None above 1 M rows, dropping the hint).
     """
     prep(spark)
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    doc_ids = docs.select("doc_id")
-    # HOF stages are interpreted (not codegen'd) and a small corpus is
-    # one parquet row group = one task; spread the signature projection
-    # across the cores (shared policy, see tables.spread_small_corpus).
-    # JVM tasks only — unlike the old Python scan, width costs no
-    # worker forks. Off at production scale.
-    docs = spread_small_corpus(spark, docs, sf_dir, "documents")
-
-    # CollapseProject inlines a projection used (statically) once into
-    # its consumer — and an expression inlined into a lambda body is
-    # re-evaluated PER LAMBDA ELEMENT, which turns this pipeline into
-    # O(shingles x 64) md5 calls (measured: 222 s at sf0.001). Each fat
-    # intermediate below is therefore (a) referenced at least twice so
-    # the optimizer keeps its projection boundary, or (b) consumed as a
-    # HOF *child*, which is evaluated exactly once per row.
-    #
-    # 60-bit positive base hash per distinct shingle: first 15 hex
-    # chars of md5. conv() parses hex to decimal; < 2^60 always fits
-    # the signed long cast (ANSI-safe).
-    shingled = docs.withColumn("toks", F.split("text", " ")).select(
-        "doc_id",
-        F.expr(
-            """
-            CASE WHEN size(toks) >= 3
-                 THEN transform(
-                   sequence(0, size(toks) - 3),
-                   i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
-                 ELSE array(text) END
-            """
-        ).alias("sh"),
+    docs_ref = table_sql_ref(sf_dir, "documents")
+    w = spread_width(spark, sf_dir, "documents")
+    hint = f"/*+ REPARTITION({w}) */ " if w else ""
+    perm_mins = ",\n                 ".join(
+        f"MIN((hm * {2 * i + 1} + {7919 * (i + 1)}) % {MERSENNE}) AS m{i}"
+        for i in range(N_HASHES)
     )
-    hashed = shingled.select(
-        "doc_id",
-        F.expr(
-            "array_distinct(transform(sh,"
-            " s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)))"
-        ).alias("hs"),
+    band_arr = ",\n                 ".join(
+        "(" + " ^ ".join(f"(m{b * 8 + j} * 2654435761)" for j in range(8)) + ")"
+        for b in range(N_BANDS)
     )
-    # Permutation mins as 64 UNROLLED aggregate columns over one
-    # hash-per-row explode — not lambdas, not a 64-way row explosion:
-    # higher-order-function lambdas are interpreted (no codegen; a
-    # one-pass aggregate/zip_with signature measured 8 s steady-state
-    # at sf0.1 = 16.6 M boxed iterations), and exploding the 64
-    # permutation indices to rows costs 16.6 M hash-agg probes
-    # (measured ~4 s). The wide-agg form probes the hash table once
-    # per BASE row (|shingle hashes|, 64x fewer) and runs the 64 min
-    # updates as straight-line codegen; map-side partials collapse to
-    # |docs| rows before the shuffle. The per-permutation arithmetic
-    # is identical to the oracle's minh CTE.
-    # hs rides along the explode and is re-gathered with first() —
-    # map-side partial aggregation collapses to one row per doc BEFORE
-    # the shuffle, so the fat array crosses the wire once per doc.
-    # Carrying it here (single linear consumer chain) instead of
-    # joining the signature frame back later is load-bearing: a join
-    # re-plans the hashed subtree as a broadcast build, which evaluates
-    # the whole md5 chain in ONE task (measured 4.4 s of a 5.5 s run).
-    #
-    # explode_OUTER, not explode, is equally load-bearing: a plain
-    # explode triggers InferFiltersFromGenerate, whose inferred
-    # `size(hs) > 0 AND isnotnull(hs)` predicate inlines the whole
-    # shingle+md5 HOF chain and is pushed below the repartition
-    # exchange — the single-task parquet scan then evaluates the
-    # pipeline's most expensive expression TWICE PER ROW on one core
-    # (measured ~5 s of a 5.5 s run; the inferred filter also defeats
-    # the repartition's entire purpose). hs is non-empty by
-    # construction (the ELSE branch emits array(text)), so outer ≡
-    # inner here and the rule skips outer generates.
-    hh = hashed.select("doc_id", "hs", F.explode_outer("hs").alias("h"))
-    mins_wide = hh.groupBy("doc_id").agg(
-        F.first("hs").alias("hs"),
-        *[
-            F.min(
-                F.expr(
-                    f"((h % {MERSENNE}) * {2 * i + 1} + {7919 * (i + 1)})"
-                    f" % {MERSENNE}"
-                )
-            ).alias(f"m{i}")
-            for i in range(N_HASHES)
-        ],
-    )
-    # Band key = XOR fold of its 8 permutation mins (oracle's band
-    # CTE); one projection + posexplode to slim (doc_id, band, bh).
-    def _bh(b: int):
-        x = F.col(f"m{b * 8}") * F.lit(2654435761).cast("long")
-        for j in range(1, 8):
-            x = x.bitwiseXOR(
-                F.col(f"m{b * 8 + j}") * F.lit(2654435761).cast("long")
-            )
-        return x
-
-    band_rows = mins_wide.select(
-        "doc_id",
-        "hs",
-        F.posexplode(F.array(*[_bh(b) for b in range(N_BANDS)])).alias(
-            "band", "bh"
-        ),
-    )
-    # Band buckets collect (doc_id, hs) structs; a within-bucket double
-    # explode emits candidate pairs with both hash sets already in
-    # hand — no join back to the signature frame (see above).
-    buckets = (
-        band_rows.groupBy("band", "bh")
-        .agg(F.collect_list(F.struct("doc_id", "hs")).alias("ds"))
-        .filter(F.size("ds") > 1)
-    )
-    candidates = (
-        buckets.select(F.explode("ds").alias("x"), "ds")
-        .select("x", F.explode("ds").alias("y"))
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(
-            F.col("x.doc_id").alias("a"),
-            F.col("y.doc_id").alias("b"),
-            F.col("x.hs").alias("ha"),
-            F.col("y.hs").alias("hb"),
+    return spark.sql(
+        f"""
+        WITH shingled AS (
+          SELECT {hint}doc_id,
+                 CASE WHEN size(toks) >= 3
+                      THEN transform(sequence(0, size(toks) - 3),
+                           i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
+                      ELSE array(text) END AS sh
+          FROM (SELECT doc_id, text, split(text, ' ') AS toks
+                FROM {docs_ref})
+        ), hashed AS (
+          SELECT doc_id,
+                 array_distinct(transform(sh,
+                   s -> CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)))
+                   AS hs
+          FROM shingled
+        ), hh AS (
+          -- h % M hoisted once per row; the 64 permutation mins below
+          -- then each cost one multiply-add-mod, not an extra mod
+          SELECT doc_id, hs, h % {MERSENNE} AS hm
+          FROM hashed LATERAL VIEW OUTER explode(hs) th AS h
+        ), mins AS (
+          SELECT doc_id, first(hs) AS hs,
+                 {perm_mins}
+          FROM hh GROUP BY doc_id
+        ), band_rows AS (
+          SELECT doc_id, hs, band, bh
+          FROM mins LATERAL VIEW posexplode(array(
+                 {band_arr})) tb AS band, bh
+        ), buckets AS (
+          SELECT band, bh, ds FROM (
+            SELECT band, bh,
+                   collect_list(named_struct('doc_id', doc_id, 'hs', hs)) AS ds
+            FROM band_rows GROUP BY band, bh
+          ) WHERE size(ds) BETWEEN 2 AND {LSH_BUCKET_CAP}
+        ), verified AS (
+          SELECT x.doc_id AS a, y.doc_id AS b,
+                 size(array_intersect(x.hs, y.hs))
+                   / size(array_union(x.hs, y.hs)) AS jaccard
+          FROM buckets
+          LATERAL VIEW explode(ds) tx AS x
+          LATERAL VIEW explode(ds) ty AS y
+          WHERE x.doc_id < y.doc_id
+        ), per_doc AS (
+          -- a pair surfaces once per shared band (≤ 8×) with identical
+          -- jaccard, so DISTINCT-partner counting dedups without a
+          -- dropDuplicates exchange; the 2-struct explode emits both
+          -- directions in one pass over `verified`
+          -- size(collect_set(...)) not COUNT(DISTINCT ...): two
+          -- distinct aggregates over one input plan as an Expand (2×
+          -- rows) + an extra keyed Exchange + three HashAggregate
+          -- layers; collect_set partial-aggregates map-side, so the
+          -- same rollup is ONE two-phase aggregate (partner sets are
+          -- bucket-cap-bounded, so the set state is small). collect_set
+          -- skips the NULLs the non-dup CASE branch emits, matching
+          -- COUNT DISTINCT's null handling.
+          SELECT e.doc_id AS doc_id,
+                 size(collect_set(e.partner)) AS n_candidates,
+                 size(collect_set(CASE WHEN e.jaccard >= 0.8
+                                       THEN e.partner END)) AS n_dups_080
+          FROM verified
+          LATERAL VIEW explode(array(
+            named_struct('doc_id', a, 'partner', b, 'jaccard', jaccard),
+            named_struct('doc_id', b, 'partner', a, 'jaccard', jaccard)
+          )) te AS e
+          GROUP BY e.doc_id
         )
-    )
-
-    # A pair surfaces once per shared band (up to 8x) with identical
-    # jaccard each time (ha/hb are functions of a/b), so instead of a
-    # dropDuplicates exchange the per-doc rollup counts DISTINCT
-    # partners — one shuffle fewer, same result.
-    verified = candidates.withColumn(
-        "jaccard",
-        F.size(F.array_intersect("ha", "hb"))
-        / F.size(F.array_union("ha", "hb")),
-    )
-    per_doc = (
-        verified.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("a").alias("doc_id"),
-                        F.col("b").alias("partner"),
-                        F.col("jaccard"),
-                    ),
-                    F.struct(
-                        F.col("b").alias("doc_id"),
-                        F.col("a").alias("partner"),
-                        F.col("jaccard"),
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.doc_id", "e.partner", "e.jaccard")
-        .groupBy("doc_id")
-        .agg(
-            F.count_distinct("partner").alias("n_candidates"),
-            F.count_distinct(
-                F.when(F.col("jaccard") >= 0.8, F.col("partner"))
-            ).alias("n_dups_080"),
-        )
-    )
-    return (
-        doc_ids.join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
-            F.coalesce("n_dups_080", F.lit(0)).cast("long").alias("n_dups_080"),
-        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_candidates, 0) AS BIGINT) AS n_candidates,
+               CAST(COALESCE(p.n_dups_080, 0) AS BIGINT) AS n_dups_080
+        FROM (SELECT doc_id FROM {docs_ref}) d
+        LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """
     )
 
 
@@ -386,53 +337,45 @@ _SIMHASH_ORACLE = f"""
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """62-bit SimHash per document with a full SQL oracle.
 
-    Classic Charikar scheme: each distinct token contributes ±tf to
+    Classic Charikar scheme: each token occurrence contributes ±1 to
     each bit position according to its hash's bit, and the signature
     takes the sign. Token hashes are char-polynomials (Σ ascii·131^j
-    and Σ ascii·137^j over the first 8 chars) — deliberately portable
-    integer arithmetic so BOTH engines derive bit-identical signatures
-    (xxhash64 has no DuckDB equivalent). The signature takes the low 31
-    bits of each polynomial (their well-mixed region): 62 total. Round
-    1 used a single 32-bit hash; widened so dedup_simhash_hamming's
-    bands get ~2^15–2^16 distinct values each (32-bit/8-bit banding
-    collapses to 256 bucket values — quadratic buckets at ≥10^8 docs;
-    flagged by the round-1 review).
+    and Σ ascii·137^j over the first 8 chars, codepoints bounded to a
+    byte with ``ascii(c) % 256`` so max h = 255·Σ131^j ≈ 1.7e17 < 2^63
+    under ANSI mode) — deliberately portable integer arithmetic so
+    BOTH engines derive bit-identical signatures. The signature takes
+    the low 31 bits of each polynomial: 62 total, sized so
+    dedup_simhash_hamming's pigeonhole bands get ~2^15–2^16 distinct
+    values each.
 
-    ALL-JVM (round 6b — the former Arrow/numpy mapInPandas scan had
-    non-deterministic bench cost from Python-worker fork/import churn,
-    the same pathology fixed in dedup_near_minhash): one explode to
-    per-OCCURRENCE (doc_id, token) rows, the two char-polynomials as
-    UNROLLED 8-term codegen expressions (ascii('') = 0 in both
-    engines, so short tokens need no length guard — absent positions
-    contribute exactly the oracle's least(len, 8) bound), then the 62
-    bit weights as unrolled SUM aggregate columns in one
-    groupBy(doc_id) — the same wide-agg pattern as minhash: one
-    hash-table probe per token row, 62 straight-line updates. The
-    signature reassembles in a final 62-term projection. The oracle's
-    per-(doc, token) tf grouping is skipped: Σ(±1 per occurrence) ≡
-    Σ(±tf per distinct token), so the WHOLE query is one shuffle,
-    map-side combined. Everything stays inside whole-stage codegen;
-    explode_outer keeps InferFiltersFromGenerate from pushing an
-    inferred filter below the scan. Hash math is char-based
-    substr/ascii with codepoints bounded to a byte (``ascii(c) % 256``
-    on BOTH engines — identity on the ASCII fixtures, and the bound
-    keeps max h = 255·Σ131^j ≈ 1.7e17 < 2^63 so a high-codepoint char
-    in a high-coefficient position cannot trip Spark 4's ANSI
-    overflow; the retired numpy kernel hashed utf-8 BYTES, which was
-    only ASCII-equivalent — this form matches the oracle exactly for
-    any input).
+    ONE ``spark.sql`` statement (round 7; same finding as
+    dedup_near_minhash, SCALING.md §12): the round-6b chained-
+    DataFrame build of this query cost ~0.45 s of driver time PER
+    BUILD (eager per-transformation analysis + 62 F.expr parses over
+    py4j), which bench — building fresh per run, as any real caller
+    would — paid every time; the executed plan itself runs ~0.6 s.
+    The SQL text is generated once per call and parsed/analyzed in
+    one pass (~0.03 s).
+
+    The executed dataflow is unchanged from round 6b, ONE shuffle
+    total: occurrence-level explode (no per-(doc, token) tf
+    pre-aggregate — Σ(±1 per occurrence) ≡ Σ(±tf per distinct token),
+    so the oracle's tok CTE grouping is mathematically redundant
+    here), the two 8-term unrolled polynomials in codegen, then the
+    62 bit-weights as unrolled SUM columns in one groupBy(doc_id).
+    Round 7 also strength-reduces the per-row bit test: the old form
+    summed CASE WHEN (h div 2^b) % 2 = 1 THEN 1 ELSE -1 END; the new
+    form sums the raw bit ``shiftright(h, b) & 1`` (shift+mask,
+    branchless) and recovers the signed weight in the final
+    projection as w_b = 2·s_b − n > 0 ⇔ bit set — identical output
+    for every input including NULL tokens (a NULL row is skipped by
+    SUM but counted by n, contributing exactly the −1 the old ELSE
+    branch produced). LATERAL VIEW OUTER keeps
+    InferFiltersFromGenerate from pushing an inferred filter below
+    the scan (round-6 rule, still pinned by plan tests).
     """
     prep(spark)
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    # NO (doc_id, token) tf pre-aggregate: summing ±1 per token
-    # OCCURRENCE equals summing ±tf per distinct token, so the tf
-    # grouping shuffle the oracle's tok CTE uses is mathematically
-    # redundant here — one occurrence-level explode feeds the wide
-    # aggregate directly and the whole query has exactly ONE shuffle.
-    tok = docs.select(
-        "doc_id",
-        F.explode_outer(F.split(F.lower("text"), " ")).alias("token"),
-    )
+    docs_ref = table_sql_ref(sf_dir, "documents")
     h1 = " + ".join(
         f"(ascii(substr(token, {j + 1}, 1)) % 256)"
         f" * CAST({_POW131[j]} AS BIGINT)"
@@ -443,26 +386,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" * CAST({_POW137[j]} AS BIGINT)"
         for j in range(8)
     )
-    hashed_tok = tok.select(
-        "doc_id", F.expr(h1).alias("h1"), F.expr(h2).alias("h2")
+    bit_sums = ",\n                 ".join(
+        f"SUM(shiftright({'h1' if b < 31 else 'h2'}, {b % 31}) & 1) AS s{b}"
+        for b in range(SIMHASH_BITS)
     )
-    weights = hashed_tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.expr(
-                    f"CASE WHEN (({'h1' if b < 31 else 'h2'} div"
-                    f" {1 << (b % 31)}) % 2) = 1 THEN 1 ELSE -1 END"
-                )
-            ).alias(f"w{b}")
-            for b in range(SIMHASH_BITS)
-        ]
-    )
-    sig = " + ".join(
-        f"(CASE WHEN w{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+    sig = "\n             + ".join(
+        f"(CASE WHEN 2 * s{b} > n THEN CAST({1 << b} AS BIGINT)"
         " ELSE CAST(0 AS BIGINT) END)"
         for b in range(SIMHASH_BITS)
     )
-    return weights.select("doc_id", F.expr(sig).alias("simhash"))
+    return spark.sql(
+        f"""
+        WITH tok AS (
+          SELECT doc_id, token
+          FROM {docs_ref}
+          LATERAL VIEW OUTER explode(split(lower(text), ' ')) tt AS token
+        ), hashed AS (
+          SELECT doc_id, {h1} AS h1,
+                 {h2} AS h2
+          FROM tok
+        ), wsum AS (
+          SELECT doc_id, COUNT(1) AS n,
+                 {bit_sums}
+          FROM hashed GROUP BY doc_id
+        )
+        SELECT doc_id,
+               {sig} AS simhash
+        FROM wsum
+        """
+    )
 
 
 @query(

@@ -100,6 +100,30 @@ def row_count(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def table_sql_ref(sf_dir: str, name: str) -> str:
+    """FROM-able SQL reference for a fixture table (``parquet.`path```).
+
+    For single-``spark.sql``-statement queries (SCALING.md §12): a
+    ``table()`` + ``createOrReplaceTempView`` round trip costs ~0.19 s
+    of driver time per call (spark.read schema inference + py4j), which
+    the wide generated-SQL queries pay on every build; referencing the
+    parquet path directly resolves the schema inside the statement's
+    one analysis pass. Layout knowledge stays in this module: when the
+    fixtures become partitioned datasets, this function changes with
+    ``table()``. Only valid for tables that ``table()`` returns
+    unmodified (NOT ``events``, whose ns-timestamp column needs the
+    conversion in ``table()``).
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    if name == "events":
+        raise ValueError(
+            "events needs table()'s ns->us timestamp conversion; "
+            "register a view instead"
+        )
+    return f"parquet.`{os.path.join(sf_dir, f'{name}.parquet')}`"
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all fixture tables as temp views for spark.sql queries."""
     for name in TABLE_NAMES:
@@ -123,8 +147,17 @@ def spread_small_corpus(
     shared by every small-corpus caller (minhash, langid), so a
     threshold change cannot drift between them.
     """
+    w = spread_width(spark, sf_dir, name)
+    return df if w is None else df.repartition(w)
+
+
+def spread_width(spark: SparkSession, sf_dir: str, name: str) -> int | None:
+    """The :func:`spread_small_corpus` width as a number (None = no-op
+    above 1 M rows) — for single-SQL queries that apply it as a
+    ``/*+ REPARTITION(n) */`` hint instead of ``df.repartition``. One
+    policy, two application forms."""
     n = row_count(sf_dir, name)
     if n > 1_000_000:
-        return df
+        return None
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(max(4, min(width, n // 150)))
+    return max(4, min(width, n // 150))

@@ -240,3 +240,77 @@ def test_decode_image_stub_raises_without_codec():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_minhash_hot_bucket_cap_drops_degenerate_buckets(spark):
+    """LSH_BUCKET_CAP (round 7): a band bucket with more than CAP
+    members is dropped as non-discriminative, which is what keeps
+    candidate generation linear on adversarial input — a planted
+    corpus of CAP+6 identical docs would otherwise contribute
+    ~(CAP+6)²/2 pairs from every band. The capped corpus must yield
+    ZERO candidates for the degenerate group while a normal-sized
+    near-dup pair in the same corpus still surfaces; and because the
+    cap is mirrored in the DuckDB oracle, both engines must agree
+    cell-for-cell on this input."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark.llm.dedup import LSH_BUCKET_CAP
+    from flink_large_window_spark.registry import ORACLES, REGISTRY
+    from flink_large_window_spark.scratch import scratch_dir
+
+    degenerate = "spam spam wonderful spam lovely spam baked beans and spam"
+    # 41-token docs differing only in the last token: 3-shingle Jaccard
+    # 38/40 = 0.95, high enough that the (deterministic) band hashes
+    # collide — verified against the oracle when this test was written,
+    # and pinned below by the exact (1, 1) expectation.
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four "
+        "five six seven eight nine ten eleven twelve thirteen"
+    )
+    near_a = base + " dog"
+    near_b = base + " cat"
+    texts = [degenerate] * (LSH_BUCKET_CAP + 6) + [near_a, near_b]
+    d = scratch_dir("flws_hotbucket_sf_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["synthetic"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    rows = {
+        r["doc_id"]: (r["n_candidates"], r["n_dups_080"])
+        for r in REGISTRY["dedup_near_minhash"](spark, d).collect()
+    }
+    n_deg = LSH_BUCKET_CAP + 6
+    for i in range(n_deg):
+        assert rows[i] == (0, 0), (
+            f"doc {i} of the degenerate bucket produced candidates "
+            f"{rows[i]} — the hot-bucket cap is not applied"
+        )
+    assert rows[n_deg] == (1, 1) and rows[n_deg + 1] == (1, 1), (
+        f"normal near-dup pair lost: {rows[n_deg]}, {rows[n_deg + 1]}"
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    oracle = {
+        int(r[0]): (int(r[1]), int(r[2]))
+        for r in con.execute(ORACLES["dedup_near_minhash"]).fetchall()
+    }
+    assert oracle == rows, "Spark and DuckDB disagree on the capped corpus"

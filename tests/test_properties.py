@@ -151,9 +151,12 @@ def test_mapinpandas_kernels_survive_empty_partitions(spark):
     # table`), so the wrapper must be patched into EACH consuming module —
     # round 1 patched flink_large_window_spark.tables.table, which none of
     # the kernels resolve at call time, making the test vacuous (ADVICE r1).
+    # dedup_simhash left this list in round 7: it has been all-JVM
+    # since round 6b (no Arrow kernel to starve of batches) and now
+    # builds as one spark.sql statement over a parquet ref, so the
+    # table() seam no longer exists there by design (SCALING.md §12).
     cases = {
         "dedup_embed_cosine": dedup_mod,
-        "dedup_simhash": dedup_mod,
         "multimodal_embed_quantize": mm_mod,
         "text_fingerprint_rolling": text_mod,
     }
