@@ -9,8 +9,12 @@ JSON line to stdout:
    "queries": {key: sec, ...}, "sf": "<dir>"}
 
 and writes BENCH_LAST.json with per-run detail + env. BENCH.json is
-the FROZEN round-1 baseline (BASELINE.md) and is never rewritten here
-— later rounds must stay within 2× of it.
+the FROZEN baseline (BASELINE.md) and is never rewritten here — later
+rounds must stay within 2× of it per query. All entries are the
+round-1 freeze except dedup_near_minhash and dedup_simhash, formally
+re-frozen in round 7 (the round-1 numbers measured a retired
+non-deterministic kernel's lucky mode on a faster VM — full record in
+BASELINE.md "Round-7 RE-FREEZE").
 
 Known measurement hazards (round 6): (1) CacheManager substitutes
 cached data by canonical plan, so a key that persists without
