@@ -108,6 +108,10 @@ WATCH_LIST_RUNS = {
     "sample_hash_bernoulli": 5,
     "dedup_simhash": 5,
     "dedup_near_minhash": 5,
+    # r7: the numpy GEMM key topped the post-re-freeze ratio board
+    # (1.74x in a hot session, 1.3x typical) — the documented
+    # Python-worker-churn sensitivity; median over 5.
+    "dedup_embed_cosine": 5,
 }
 
 
@@ -153,8 +157,9 @@ def main() -> None:
         print(f"# {key}: {results[key]['median_s']}s", file=sys.stderr)
 
     # "value" stays comparable across rounds: it sums ONLY the keys
-    # present in the frozen round-1 BENCH.json, so the headline total
-    # can be read directly against BASELINE.md's 23.24 s. Keys added to
+    # present in the frozen BENCH.json, so the headline total can be
+    # read directly against its total_s (24.62 s after the round-7
+    # LSH re-freeze — BASELINE.md). Keys added to
     # HEADLINE later (the round-7 partsupp quartet) are measured and
     # recorded per-key plus as new_keys_total_s, with their governing
     # baseline documented in BASELINE.md.
