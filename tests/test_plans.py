@@ -304,3 +304,26 @@ def test_minhash_all_jvm_no_cache_no_inferred_filter_pushdown(spark):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         "dedup_near_minhash left a CacheManager entry behind"
     )
+    # Round-7 hazard (SCALING.md §12): /*+ REPARTITION */ attaches
+    # ABOVE the query block it annotates, so a hint on the wrong CTE
+    # SELECT parks the whole shingle+md5 projection BELOW the exchange
+    # on the single-task scan — the exact pathology the spread exists
+    # to prevent. In explain's tree format a parent prints before its
+    # child, so the md5 Project must appear on an EARLIER line than
+    # the RoundRobin exchange it consumes.
+    lines = plan.splitlines()
+    md5_ln = next(
+        (i for i, ln in enumerate(lines) if "Project" in ln and "md5" in ln),
+        None,
+    )
+    rr_ln = next(
+        (i for i, ln in enumerate(lines) if "RoundRobinPartitioning" in ln),
+        None,
+    )
+    assert md5_ln is not None and rr_ln is not None, (
+        "plan lost its md5 projection or its repartition exchange"
+    )
+    assert md5_ln < rr_ln, (
+        "the signature projection planned BELOW the repartition "
+        "exchange — the REPARTITION hint moved off the innermost SELECT"
+    )
