@@ -194,7 +194,7 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread_width returns None above 1 M rows, dropping the hint).
     """
     prep(spark)
-    docs_ref = table_sql_ref(sf_dir, "documents")
+    docs_ref = table_sql_ref(spark, sf_dir, "documents")
     w = spread_width(spark, sf_dir, "documents")
     hint = f"/*+ REPARTITION({w}) */ " if w else ""
     perm_mins = ",\n                 ".join(
@@ -375,7 +375,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan (round-6 rule, still pinned by plan tests).
     """
     prep(spark)
-    docs_ref = table_sql_ref(sf_dir, "documents")
+    docs_ref = table_sql_ref(spark, sf_dir, "documents")
     h1 = " + ".join(
         f"(ascii(substr(token, {j + 1}, 1)) % 256)"
         f" * CAST({_POW131[j]} AS BIGINT)"

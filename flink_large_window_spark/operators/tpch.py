@@ -37,7 +37,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import query
-from ..tables import prep, table
+from ..tables import prep, table, table_sql_ref
 
 
 @query(
@@ -771,19 +771,44 @@ def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _supp_region(spark: SparkSession, sf_dir: str, r_name: str) -> DataFrame:
-    """Suppliers restricted to one region, with their nation name —
-    a ≤|supplier|-row dimension, always broadcast by callers."""
-    n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region").filter(F.col("r_name") == r_name)
-    return (
-        table(spark, sf_dir, "supplier")
-        .join(
-            F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
+def _partsupp_spark_cte(spark: SparkSession, sf_dir: str) -> str:
+    """Spark-dialect twin of the DuckDB ``_PARTSUPP_SQL`` CTE and the
+    ``derived_partsupp`` DataFrame — the THIRD rendering of the same
+    formula, added in round 7 when the quartet moved to single-SQL
+    bodies (their chained-DataFrame builds cost 0.4–0.8 s of driver
+    time each, SCALING.md §12). Drift between the three forms is
+    pinned by tests/test_partsupp.py's exact-equivalence test."""
+    sup = table_sql_ref(spark, sf_dir, "supplier")
+    part = table_sql_ref(spark, sf_dir, "part")
+    return f"""sc AS (SELECT COUNT(*) AS cnt FROM {sup}),
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             (ps_partkey * 37 + ps_suppkey * 71) % 9999 + 1 AS ps_availqty,
+             (ps_partkey * 7919 + ps_suppkey * 104729) % 99901 + 100
+               AS ps_cost_cents
+      FROM (
+        SELECT DISTINCT p_partkey AS ps_partkey,
+               (p_partkey + i * (cnt div 4 + p_partkey div cnt)) % cnt
+                 AS ps_suppkey
+        FROM (SELECT /*+ BROADCAST(sc) */ p_partkey, cnt
+              FROM {part} CROSS JOIN sc)
+        LATERAL VIEW explode(array(0, 1, 2, 3)) tf AS i
+      )
+    )"""
+
+
+def _supp_region_sql(spark: SparkSession, sf_dir: str, r_name: str) -> str:
+    """Spark-SQL subquery: suppliers restricted to one region, with
+    their nation name — a ≤|supplier|-row dimension; callers hint it
+    broadcast at the consuming join."""
+    return f"""(SELECT /*+ BROADCAST(n, r) */ s_suppkey, s_name,
+               s_acctbal, n_name
+        FROM {table_sql_ref(spark, sf_dir, "supplier")} s
+        JOIN {table_sql_ref(spark, sf_dir, "nation")} n
+          ON s_nationkey = n_nationkey
+        JOIN {table_sql_ref(spark, sf_dir, "region")} r
+          ON n_regionkey = r_regionkey
+        WHERE r_name = '{r_name}')"""
 
 
 @query(
@@ -825,36 +850,37 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan); the region-restricted supplier dim (~S/5 rows) is
     broadcast; the only shuffles are the two per-part aggregates, both
     keyed on p_partkey so AQE reuses the exchange.
+
+    Single ``spark.sql`` statement since round 7: the chained-DataFrame
+    build cost 0.64 s of driver time per call — 79%% of the query's
+    0.81 s bench median at fixture scale (SCALING.md §12) — for the
+    identical plan.
     """
     prep(spark)
-    ps = derived_partsupp(spark, sf_dir)
-    p = (
-        table(spark, sf_dir, "part")
-        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15))
-        .select("p_partkey", "p_brand")
-    )
-    eursupp = _supp_region(spark, sf_dir, "EUROPE")
-    cand = (
-        p.join(ps, p.p_partkey == ps.ps_partkey)
-        .join(F.broadcast(eursupp), F.col("ps_suppkey") == F.col("s_suppkey"))
-        .select(
-            "p_partkey", "p_brand", "s_name", "s_acctbal", "n_name",
-            "ps_cost_cents",
+    return spark.sql(
+        f"""
+        WITH {_partsupp_spark_cte(spark, sf_dir)},
+        eursupp AS (SELECT * FROM {_supp_region_sql(spark, sf_dir, "EUROPE")}),
+        cand AS (
+          SELECT /*+ BROADCAST(eursupp) */ p_partkey, p_brand, s_name,
+                 s_acctbal, n_name, ps_cost_cents
+          FROM (SELECT p_partkey, p_brand
+                FROM {table_sql_ref(spark, sf_dir, "part")}
+                WHERE p_type = 'ECONOMY' AND p_size <= 15) p
+          JOIN partsupp ON p_partkey = ps_partkey
+          JOIN eursupp ON ps_suppkey = s_suppkey
+        ), mc AS (
+          SELECT p_partkey AS mk, MIN(ps_cost_cents) AS min_cents
+          FROM cand GROUP BY p_partkey
         )
-    )
-    mc = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
-        F.min("ps_cost_cents").alias("min_cents")
-    )
-    return (
-        cand.join(
-            mc,
-            (cand.p_partkey == mc.mk)
-            & (cand.ps_cost_cents == mc.min_cents),
-        )
-        .select(
-            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
-            F.round(F.col("min_cents") / 100.0, 2).alias("supplycost"),
-        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+               -- 100.0 alone would parse as DECIMAL(4,1) in SQL (the
+               -- DataFrame form's Python float was DOUBLE); keep the
+               -- division in doubles for bit-parity with the oracle
+               ROUND(min_cents / CAST(100.0 AS DOUBLE), 2) AS supplycost
+        FROM cand JOIN mc
+          ON p_partkey = mk AND ps_cost_cents = min_cents
+        """
     )
 
 
@@ -893,28 +919,30 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exchange reuse), never a collect.
     """
     prep(spark)
-    ps = derived_partsupp(spark, sf_dir)
-    asiasupp = _supp_region(spark, sf_dir, "ASIA").select("s_suppkey")
-    scope = (
-        ps.join(F.broadcast(asiasupp), ps.ps_suppkey == F.col("s_suppkey"))
-        .select(
-            "ps_partkey",
-            (F.col("ps_availqty") * F.col("ps_cost_cents")).alias("v"),
+    return spark.sql(
+        f"""
+        WITH {_partsupp_spark_cte(spark, sf_dir)},
+        asiasupp AS (
+          SELECT s_suppkey FROM {_supp_region_sql(spark, sf_dir, "ASIA")}
+        ),
+        scope AS (
+          SELECT /*+ BROADCAST(asiasupp) */ ps_partkey,
+                 ps_availqty * ps_cost_cents AS v
+          FROM partsupp JOIN asiasupp ON ps_suppkey = s_suppkey
+        ),
+        tot AS (
+          SELECT SUM(v) AS t, COUNT(DISTINCT ps_partkey) AS np FROM scope
+        ),
+        agg AS (
+          SELECT ps_partkey, SUM(v) AS sv FROM scope GROUP BY ps_partkey
         )
-    )
-    tot = scope.agg(
-        F.sum("v").alias("t"),
-        F.count_distinct("ps_partkey").alias("np"),
-    )
-    return (
-        scope.groupBy("ps_partkey")
-        .agg(F.sum("v").alias("sv"))
-        .join(F.broadcast(tot))
-        .filter(F.col("np") * F.col("sv") > 2 * F.col("t"))
-        .select(
-            "ps_partkey",
-            F.round(F.col("sv") / 100.0, 2).alias("stock_value"),
-        )
+        SELECT /*+ BROADCAST(tot) */ ps_partkey,
+               -- CAST keeps the division DOUBLE (bare 100.0 is DECIMAL
+               -- in SQL parsing; the DataFrame form used a double)
+               ROUND(sv / CAST(100.0 AS DOUBLE), 2) AS stock_value
+        FROM agg CROSS JOIN tot
+        WHERE np * sv > 2 * t
+        """
     )
 
 
@@ -947,30 +975,30 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, which Spark runs as the standard two-phase expand.
     """
     prep(spark)
-    ps = derived_partsupp(spark, sf_dir)
-    p = (
-        table(spark, sf_dir, "part")
-        .filter(
-            (F.col("p_brand") != "Brand#3")
-            & (F.col("p_type") != "PROMO")
-            & F.col("p_size").isin(1, 7, 9, 14, 23, 36, 45, 49)
+    return spark.sql(
+        f"""
+        WITH {_partsupp_spark_cte(spark, sf_dir)},
+        p AS (
+          SELECT p_partkey, p_brand, p_type, p_size
+          FROM {table_sql_ref(spark, sf_dir, "part")}
+          WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+            AND p_size IN (1, 7, 9, 14, 23, 36, 45, 49)
+        ),
+        flagged AS (
+          SELECT s_suppkey FROM {table_sql_ref(spark, sf_dir, "supplier")}
+          WHERE s_acctbal < 0
         )
-        .select("p_partkey", "p_brand", "p_type", "p_size")
-    )
-    flagged = (
-        table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") < 0)
-        .select("s_suppkey")
-    )
-    return (
-        ps.join(p, ps.ps_partkey == p.p_partkey)
-        .join(
-            F.broadcast(flagged),
-            ps.ps_suppkey == F.col("s_suppkey"),
-            "left_anti",
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+        FROM (
+          SELECT /*+ BROADCAST(flagged) */ ps_suppkey, p_brand, p_type,
+                 p_size
+          FROM partsupp
+          JOIN p ON ps_partkey = p_partkey
+          LEFT ANTI JOIN flagged ON ps_suppkey = s_suppkey
         )
-        .groupBy("p_brand", "p_type", "p_size")
-        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        GROUP BY p_brand, p_type, p_size
+        """
     )
 
 
@@ -1018,33 +1046,34 @@ def q20_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers is a few-hundred-row shuffle.
     """
     prep(spark)
-    ps = derived_partsupp(spark, sf_dir)
-    pp = (
-        table(spark, sf_dir, "part")
-        .filter(F.col("p_name").like("small%"))
-        .select("p_partkey")
+    return spark.sql(
+        f"""
+        WITH {_partsupp_spark_cte(spark, sf_dir)},
+        shipped AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(SUM(l_quantity) AS BIGINT) AS qty
+          FROM {table_sql_ref(spark, sf_dir, "lineitem")}
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l_partkey, l_suppkey
+        ),
+        pp AS (
+          SELECT p_partkey FROM {table_sql_ref(spark, sf_dir, "part")}
+          WHERE p_name LIKE 'small%'
+        ),
+        excess AS (
+          SELECT DISTINCT ps_suppkey
+          FROM (
+            SELECT /*+ BROADCAST(pp) */ ps_suppkey, ps_availqty, qty
+            FROM partsupp
+            JOIN pp ON ps_partkey = p_partkey
+            JOIN shipped
+              ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+          )
+          WHERE 2 * ps_availqty > qty
+        ),
+        afrisupp AS (SELECT * FROM {_supp_region_sql(spark, sf_dir, "AFRICA")})
+        SELECT /*+ BROADCAST(afrisupp) */ s_suppkey, s_name, s_acctbal
+        FROM excess JOIN afrisupp ON ps_suppkey = s_suppkey
+        """
     )
-    shipped = (
-        table(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= "1997-01-01")
-            & (F.col("l_shipdate") < "1998-01-01")
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum("l_quantity").cast("long").alias("qty"))
-    )
-    excess = (
-        ps.join(F.broadcast(pp), ps.ps_partkey == pp.p_partkey)
-        .join(
-            shipped,
-            (ps.ps_partkey == shipped.l_partkey)
-            & (ps.ps_suppkey == shipped.l_suppkey),
-        )
-        .filter(2 * F.col("ps_availqty") > F.col("qty"))
-        .select("ps_suppkey")
-        .distinct()
-    )
-    afrisupp = _supp_region(spark, sf_dir, "AFRICA")
-    return excess.join(
-        F.broadcast(afrisupp), F.col("ps_suppkey") == F.col("s_suppkey")
-    ).select("s_suppkey", "s_name", "s_acctbal")

@@ -121,3 +121,34 @@ def test_q2_broadcasts_region_supplier_dim(spark):
 def test_q16_antijoin_is_broadcast(spark):
     plan = _plan(REGISTRY["q16_supplier_variety"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_partsupp_three_forms_identical(spark):
+    """The derived-partsupp formula exists in three renderings — the
+    DuckDB oracle CTE (_PARTSUPP_SQL), the DataFrame builder
+    (derived_partsupp), and since round 7 the Spark-SQL CTE the
+    quartet's single-SQL bodies embed (_partsupp_spark_cte). Any drift
+    between them silently shifts four hash-checked keys, so pin
+    Spark-SQL ≡ DataFrame exactly (the DuckDB twin is pinned
+    transitively by the quartet's oracle hash checks)."""
+    from flink_large_window_spark.operators.tpch import _partsupp_spark_cte
+
+    sql_rows = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "WITH " + _partsupp_spark_cte(spark, SF_ORACLE)
+                + " SELECT ps_partkey, ps_suppkey, ps_availqty,"
+                " ps_cost_cents FROM partsupp"
+            ).collect(),
+        )
+    )
+    df_rows = sorted(
+        map(
+            tuple,
+            derived_partsupp(spark, SF_ORACLE)
+            .select("ps_partkey", "ps_suppkey", "ps_availqty", "ps_cost_cents")
+            .collect(),
+        )
+    )
+    assert sql_rows == df_rows
