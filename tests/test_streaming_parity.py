@@ -606,3 +606,31 @@ def test_rule_update_straddling_pane_mixes_both_rule_versions(spark):
         "straddling pane matches a pure weighting — the mid-stream "
         "rule push was not observed"
     )
+
+
+def test_two_phase_streaming_keys_restore_session_confs(spark):
+    """stream_checkpoint_restart and stream_rule_update_enrich pin the
+    RocksDB state-store provider (and a narrower shuffle width) for
+    their two-phase checkpoint runs and promise to restore BOTH confs
+    afterwards (ADVICE r6: an unpinned provider made checkpoint layout
+    depend on which key ran earlier in the session). Pin the
+    restoration: whatever the session's conf state is before the key
+    runs must be exactly the state after."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+
+    def conf_state():
+        try:
+            prov = spark.conf.get(prov_key)
+        except Exception:
+            prov = None
+        return prov, spark.conf.get("spark.sql.shuffle.partitions")
+
+    for key in ("stream_checkpoint_restart", "stream_rule_update_enrich"):
+        before = conf_state()
+        REGISTRY[key](spark, "/root/testdata/sf0.001").collect()
+        after = conf_state()
+        assert after == before, (
+            f"{key} leaked session conf state: {before} -> {after}"
+        )
