@@ -207,14 +207,24 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.sql(
         f"""
-        WITH shingled AS (
-          SELECT {hint}doc_id,
+        WITH docs AS (
+          -- the hint lives on a BARE (doc_id, text) projection so the
+          -- round-robin exchange lands directly over the scan and
+          -- EVERY downstream expression — split, shingle concat, md5
+          -- — runs above it across the spread width. A hint on the
+          -- shingled SELECT instead attaches ABOVE that whole query
+          -- block, quietly parking split+concat_ws single-task below
+          -- the exchange (caught by the round-7 review; the plan test
+          -- now pins the concat_ws projection above the exchange too).
+          SELECT {hint}doc_id, text FROM {docs_ref}
+        ), shingled AS (
+          SELECT doc_id,
                  CASE WHEN size(toks) >= 3
                       THEN transform(sequence(0, size(toks) - 3),
                            i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
                       ELSE array(text) END AS sh
           FROM (SELECT doc_id, text, split(text, ' ') AS toks
-                FROM {docs_ref})
+                FROM docs)
         ), hashed AS (
           SELECT doc_id,
                  array_distinct(transform(sh,

@@ -70,14 +70,25 @@ def prep(spark: SparkSession) -> SparkSession:
 # driver-side analogue of a catalog/metastore at 100 TB: relation
 # metadata is resolved once, not per query. DataFrames are immutable
 # plan handles, so sharing one across queries composes safely.
-_RESOLVED: dict[tuple[str, str, str], DataFrame] = {}
+_RESOLVED: dict[tuple[str, int, str, str], DataFrame] = {}
 
 
 def _resolve_key(
     spark: SparkSession, sf_dir: str, name: str
-) -> tuple[str, str, str]:
+) -> tuple[str, int, str, str]:
+    # Both the DataFrame and the temp-view registration are SESSION
+    # state, not application state (a temp view registered in one
+    # SparkSession is invisible to spark.newSession()'s catalog), so
+    # the key carries the Python session object's identity alongside
+    # the applicationId — a second session in the same app resolves
+    # fresh instead of inheriting views/frames it cannot see. id()
+    # reuse after a session is garbage-collected is guarded by the
+    # applicationId component and is harmless anyway: the dirs are
+    # immutable, so a (vanishingly unlikely) stale hit returns an
+    # identical relation.
     return (
         spark.sparkContext.applicationId,
+        id(spark),
         os.path.abspath(sf_dir),
         name,
     )
@@ -131,7 +142,7 @@ def row_count(sf_dir: str, name: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
-_VIEW_REGISTERED: dict[tuple[str, str, str], str] = {}
+_VIEW_REGISTERED: dict[tuple[str, int, str, str], str] = {}
 
 
 def table_sql_ref(spark: SparkSession, sf_dir: str, name: str) -> str:
@@ -153,7 +164,7 @@ def table_sql_ref(spark: SparkSession, sf_dir: str, name: str) -> str:
     if view is None:
         import zlib
 
-        view = f"flws_tab_{name}_{zlib.crc32(key[1].encode()):08x}"
+        view = f"flws_tab_{name}_{zlib.crc32(key[2].encode()):08x}"
         table(spark, sf_dir, name).createOrReplaceTempView(view)
         _VIEW_REGISTERED[key] = view
     return view

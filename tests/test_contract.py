@@ -136,10 +136,8 @@ def test_round7_recheck_window_shape():
     CORRECTNESS files themselves so a stale hardcoded list cannot
     drift), then the most-stale r4-evidence remainder (pinned — the
     derivation lives in tools/staleness.py)."""
-    import glob
-    import json
     import os
-    import re
+    import sys
 
     assert len(RECHECK_KEYS) == DRIVER_PREFIX_BUDGET
     assert len(set(RECHECK_KEYS)) == DRIVER_PREFIX_BUDGET
@@ -158,17 +156,19 @@ def test_round7_recheck_window_shape():
         "stream_rule_update_enrich",
     }
 
-    # evidence round per key across all recorded driver windows
-    ev: dict[str, int] = {}
-    root = os.path.join(os.path.dirname(__file__), "..")
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        n = int(re.search(r"r(\d+)\.json$", path).group(1))
-        for key, row in json.load(open(path)).items():
-            if row.get("hash_match") or (
-                row.get("err") == "no_oracle"
-                and row.get("spark_rows") is not None
-            ):
-                ev[key] = max(ev.get(key, 0), n)
+    # evidence round per key: use the SAME predicate the rotation
+    # generator uses (tools/staleness.py) instead of re-implementing
+    # it — the definition of "evidence" just changed once this round
+    # (rows-only truthiness → `is not None`, ADVICE r6) and a second
+    # divergent copy here would let the window test validate against a
+    # different staleness notion than the generator that produced
+    # RECHECK_KEYS (round-7 review finding).
+    tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    from staleness import evidence_rounds
+
+    ev = evidence_rounds()
     pre_r3_sql = {k for k, er in ev.items() if er < 3 and k in oracles}
     window = set(RECHECK_KEYS)
     missing = pre_r3_sql - window

@@ -316,14 +316,22 @@ def test_minhash_all_jvm_no_cache_no_inferred_filter_pushdown(spark):
         (i for i, ln in enumerate(lines) if "Project" in ln and "md5" in ln),
         None,
     )
+    # the shingle construction must ALSO sit above the exchange — the
+    # first round-7 form hinted the shingled SELECT, which parked
+    # split+concat_ws single-task below it while md5 stayed above
+    # (caught by the round-7 review; the hint now lives on a bare
+    # (doc_id, text) base CTE)
+    shingle_ln = next(
+        (i for i, ln in enumerate(lines) if "concat_ws" in ln), None
+    )
     rr_ln = next(
         (i for i, ln in enumerate(lines) if "RoundRobinPartitioning" in ln),
         None,
     )
-    assert md5_ln is not None and rr_ln is not None, (
-        "plan lost its md5 projection or its repartition exchange"
+    assert md5_ln is not None and shingle_ln is not None and rr_ln is not None, (
+        "plan lost its md5/shingle projection or its repartition exchange"
     )
-    assert md5_ln < rr_ln, (
-        "the signature projection planned BELOW the repartition "
-        "exchange — the REPARTITION hint moved off the innermost SELECT"
+    assert md5_ln < rr_ln and shingle_ln < rr_ln, (
+        "signature/shingle work planned BELOW the repartition exchange "
+        "— the REPARTITION hint moved off the bare base-CTE SELECT"
     )
