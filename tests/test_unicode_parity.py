@@ -103,3 +103,69 @@ def test_portable_hash_kernels_match_duckdb_on_unicode(
     assert not diffs, (
         f"{key} diverges from DuckDB on unicode input: {diffs[:5]}"
     )
+
+
+# Generative cross-engine fuzz (round 7): the fixed corpus above pins
+# known-adversarial shapes; this drives RANDOM corpora through the two
+# full LSH pipelines so structure the fixed list never thought of
+# (pathological repetition, shared prefixes, size-1/2 token docs,
+# accidental bucket collisions) still must agree cell-for-cell.
+# Examples are capped small: each one runs a real Spark query + DuckDB
+# oracle (~2 s), and shrinking re-runs them.
+import hypothesis.strategies as _st
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+
+_token = _st.text(
+    alphabet="ab中é!", min_size=0, max_size=3
+)  # tiny alphabet → heavy shingle collisions on purpose
+_doc = _st.lists(_token, min_size=0, max_size=12).map(" ".join)
+
+
+@_settings(max_examples=5, deadline=None)
+@_given(_st.lists(_doc, min_size=1, max_size=12))
+def test_minhash_parity_on_random_corpora(spark, texts):
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark.registry import ORACLES, REGISTRY
+    from flink_large_window_spark.scratch import scratch_dir
+
+    d = scratch_dir("flws_fuzz_sf_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["fuzz"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    for key in ("dedup_near_minhash", "dedup_simhash"):
+        sdf = (
+            REGISTRY[key](spark, d)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')"
+        )
+        odf = (
+            con.execute(ORACLES[key])
+            .fetchdf()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for col in sdf.columns:
+            assert list(sdf[col]) == list(odf[col]), (
+                f"{key} col {col} diverges on corpus {texts!r}"
+            )
