@@ -145,6 +145,11 @@ def main() -> None:
 
     spark = get_spark("bench")
     qs = api.queries()
+    # Read the frozen baseline BEFORE the (minutes-long) measurement
+    # loop: a missing/corrupt BENCH.json should fail fast, not after
+    # every query has run and the results are about to be discarded.
+    with open(os.path.join(_REPO_ROOT, "BENCH.json")) as f:
+        frozen_keys = set(json.load(f)["queries"])
     results: dict[str, dict] = {}
     for key in HEADLINE:
         results[key] = bench_one(
@@ -163,8 +168,6 @@ def main() -> None:
     # HEADLINE later (the round-7 partsupp quartet) are measured and
     # recorded per-key plus as new_keys_total_s, with their governing
     # baseline documented in BASELINE.md.
-    with open(os.path.join(_REPO_ROOT, "BENCH.json")) as f:
-        frozen_keys = set(json.load(f)["queries"])
     total = round(
         sum(r["median_s"] for k, r in results.items() if k in frozen_keys), 4
     )

@@ -75,7 +75,14 @@ LSH_BUCKET_CAP = 64
 # — identical to Spark's array_intersect/array_union set semantics.
 _MINHASH_ORACLE = f"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t, text FROM documents
+      -- COALESCE: a NULL text would otherwise diverge between engines
+      -- (Spark GROUP BY buckets NULL band keys together and pairs
+      -- them; DuckDB's equi-join drops NULL keys — round-7 review).
+      -- Empty-string behavior is identical in both engines and
+      -- fuzz-pinned, so NULL→'' restores total parity.
+      SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t,
+             COALESCE(text, '') AS text
+      FROM documents
     ), shing AS (
       SELECT doc_id,
              CASE WHEN len(t) >= 3
@@ -216,7 +223,9 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
           -- block, quietly parking split+concat_ws single-task below
           -- the exchange (caught by the round-7 review; the plan test
           -- now pins the concat_ws projection above the exchange too).
-          SELECT {hint}doc_id, text FROM {docs_ref}
+          -- COALESCE(text, '') mirrors the oracle's NULL policy
+          SELECT {hint}doc_id, COALESCE(text, '') AS text
+          FROM {docs_ref}
         ), shingled AS (
           SELECT doc_id,
                  CASE WHEN size(toks) >= 3
@@ -311,8 +320,12 @@ def _pow_array_sql(pows: list[int]) -> str:
 # dedup_simhash_hamming oracle.
 _SIMHASH_ORACLE = f"""
     WITH tok AS (
+      -- COALESCE: NULL text must behave as '' on both engines — the
+      -- UNNEST(NULL) path emits zero rows and drops the doc entirely,
+      -- while Spark's explode_outer keeps it (round-7 review).
       SELECT doc_id, token, COUNT(*) AS tf FROM (
-        SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS token
+        SELECT doc_id,
+               UNNEST(string_split(lower(COALESCE(text, '')), ' ')) AS token
         FROM documents
       ) GROUP BY doc_id, token
     ), hashed AS (
@@ -408,8 +421,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         WITH tok AS (
+          -- COALESCE(text, '') mirrors the oracle's NULL policy
           SELECT doc_id, token
-          FROM {docs_ref}
+          FROM (SELECT doc_id, COALESCE(text, '') AS text
+                FROM {docs_ref})
           LATERAL VIEW OUTER explode(split(lower(text), ' ')) tt AS token
         ), hashed AS (
           SELECT doc_id, {h1} AS h1,

@@ -73,6 +73,16 @@ def prep(spark: SparkSession) -> SparkSession:
 _RESOLVED: dict[tuple[str, int, str, str], DataFrame] = {}
 
 
+# Soft cap on cache entries: a long-lived process resolving many
+# scratch sf_dirs (fuzz corpora, per-test scratch fixtures) would
+# otherwise accumulate one metadata-sized DataFrame per (session, dir,
+# table) forever. A full clear on overflow is crude but sound — the
+# next call simply re-resolves — and avoids a WeakKeyDictionary on the
+# session, which would never collect anyway (cached DataFrames hold a
+# strong reference back to their session).
+_CACHE_CAP = 512
+
+
 def _resolve_key(
     spark: SparkSession, sf_dir: str, name: str
 ) -> tuple[str, int, str, str]:
@@ -82,10 +92,10 @@ def _resolve_key(
     # the key carries the Python session object's identity alongside
     # the applicationId — a second session in the same app resolves
     # fresh instead of inheriting views/frames it cannot see. id()
-    # reuse after a session is garbage-collected is guarded by the
-    # applicationId component and is harmless anyway: the dirs are
-    # immutable, so a (vanishingly unlikely) stale hit returns an
-    # identical relation.
+    # reuse after a dead session is NOT fully harmless for the view
+    # cache (a stale hit would name a view only the dead session's
+    # catalog ever held), which is why table_sql_ref revalidates
+    # catalog visibility on every cache hit.
     return (
         spark.sparkContext.applicationId,
         id(spark),
@@ -104,6 +114,8 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _RESOLVED.get(key)
     if df is not None:
         return df
+    if len(_RESOLVED) >= _CACHE_CAP:
+        _RESOLVED.clear()
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ns-long → µs-floored timestamp (`div` = integer division; a
@@ -161,12 +173,20 @@ def table_sql_ref(spark: SparkSession, sf_dir: str, name: str) -> str:
     """
     key = _resolve_key(spark, sf_dir, name)
     view = _VIEW_REGISTERED.get(key)
-    if view is None:
-        import zlib
+    # Revalidate catalog visibility even on a hit: the id()-keyed
+    # entry could (pathologically) have been registered by a dead
+    # session whose id() was reused, and the temp view lives in THAT
+    # session's catalog. One cheap catalog lookup per build removes
+    # the whole failure mode.
+    if view is not None and spark.catalog.tableExists(view):
+        return view
+    if len(_VIEW_REGISTERED) >= _CACHE_CAP:
+        _VIEW_REGISTERED.clear()
+    import zlib
 
-        view = f"flws_tab_{name}_{zlib.crc32(key[2].encode()):08x}"
-        table(spark, sf_dir, name).createOrReplaceTempView(view)
-        _VIEW_REGISTERED[key] = view
+    view = f"flws_tab_{name}_{zlib.crc32(key[2].encode()):08x}"
+    table(spark, sf_dir, name).createOrReplaceTempView(view)
+    _VIEW_REGISTERED[key] = view
     return view
 
 

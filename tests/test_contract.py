@@ -168,7 +168,12 @@ def test_round7_recheck_window_shape():
         sys.path.insert(0, tools_dir)
     from staleness import evidence_rounds
 
-    ev = evidence_rounds()
+    # capped at round 6: this window was DERIVED from r01..r06
+    # evidence, and the r7 sweep it pins will itself write
+    # CORRECTNESS_r07.json — uncapped evidence would then read round 7
+    # for every window key and fail the freshness assertion below
+    # (round-7 review finding, verified by simulation).
+    ev = evidence_rounds(upto=6)
     pre_r3_sql = {k for k, er in ev.items() if er < 3 and k in oracles}
     window = set(RECHECK_KEYS)
     missing = pre_r3_sql - window

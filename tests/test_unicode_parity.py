@@ -119,7 +119,13 @@ from hypothesis import settings as _settings
 _token = _st.text(
     alphabet="ab中é!", min_size=0, max_size=3
 )  # tiny alphabet → heavy shingle collisions on purpose
-_doc = _st.lists(_token, min_size=0, max_size=12).map(" ".join)
+# NULL docs included deliberately: both kernels COALESCE(text, '')
+# at the source since the round-7 review found NULL band keys pair in
+# Spark's GROUP BY but drop in DuckDB's equi-join — this strategy
+# keeps that parity pinned.
+_doc = _st.one_of(
+    _st.none(), _st.lists(_token, min_size=0, max_size=12).map(" ".join)
+)
 
 
 @_settings(max_examples=5, deadline=None)
@@ -142,7 +148,10 @@ def test_minhash_parity_on_random_corpora(spark, texts):
                 "text": pa.array(texts, pa.string()),
                 "lang": pa.array(["en"] * len(texts), pa.string()),
                 "source": pa.array(["fuzz"] * len(texts), pa.string()),
-                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                "n_chars": pa.array(
+                    [len(t) if t is not None else 0 for t in texts],
+                    pa.int64(),
+                ),
             }
         ),
         os.path.join(d, "documents.parquet"),

@@ -56,10 +56,18 @@ def round_boundaries() -> list[tuple[int, str]]:
     return sorted(bounds)
 
 
-def evidence_rounds() -> dict[str, int]:
+def evidence_rounds(upto: int | None = None) -> dict[str, int]:
+    """Per-key max evidence round. ``upto`` caps the rounds considered
+    — pass the round a rotation was DERIVED from so a later driver
+    window landing (CORRECTNESS_r{N+1}.json) cannot retroactively
+    change what that rotation's inputs were (round-7 review: the
+    window-shape test validated against live evidence and would have
+    failed the moment the very sweep it pins produced its file)."""
     ev: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         n = int(re.search(r"r(\d+)\.json$", path).group(1))
+        if upto is not None and n > upto:
+            continue
         for key, row in json.load(open(path)).items():
             # rows-only evidence means the key RAN under the driver (a
             # legitimate 0-row result still counts — `is not None`, not
