@@ -888,7 +888,10 @@ def dedup_embed_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix fits one task. Approximate by construction: a pair whose
     members quantize to different cells is missed (multi-probe assign
     lowers that risk at deployment; exact duplicates always share a
-    cell because identical vectors share a nearest centroid).
+    cell because identical vectors share a nearest centroid). The
+    deterministic first-16 quantizer's degenerate-head failure mode
+    and its deployment routing are documented at N_IVF_CENTROIDS
+    (similarity.py) — measured in the round-7 scale probe.
     tests/test_llm_quality.py pins (a) per-vector counts never exceed
     the exact operator's, and (b) planted duplicate clusters are fully
     recovered.

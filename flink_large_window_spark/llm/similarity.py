@@ -131,6 +131,15 @@ def sim_knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Coarse centroids = the first 16 vec_ids. Deterministic so the DuckDB
+# oracles can mirror cell assignment exactly; correct on the fixtures
+# because their head is diverse (pinned by the recall pytests). NOT a
+# production sampling strategy: a round-7 scale probe measured what
+# happens when the head is degenerate (16 copies of one vector →
+# every row lands in ONE cell → the "IVF" pass ran one-task O(N²), 5×
+# slower than brute force at 40 k vectors; SCALING.md §12 postscript).
+# At deployment, sample centroids hash-spread over DISTINCT vectors
+# (or k-means++), and grow C ~ √N so per-cell work stays bounded.
 N_IVF_CENTROIDS = 16
 
 
