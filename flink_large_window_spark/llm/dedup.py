@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import query
 from ..tables import prep, row_count, spread_width, table, table_sql_ref
+from .similarity import IVF_CENTS_SQL
 
 N_HASHES = 64
 N_BANDS = 8  # 8 rows per band → LSH threshold ≈ (1/8)^(1/8) ≈ 0.77
@@ -851,11 +852,8 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embed_cosine_ivf",
-    oracle="""
-    WITH cents AS (
-      SELECT vec_id AS cent_id, embedding AS c_vec
-      FROM embeddings WHERE vec_id < 16
-    ),
+    oracle=f"""
+    WITH {IVF_CENTS_SQL},
     assigned AS (
       SELECT vec_id, embedding, cent_id FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,
@@ -882,16 +880,15 @@ def dedup_embed_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact blocked GEMM (round-1 review asked for exactly this shape).
 
     Dataflow: assign every vector to its nearest coarse centroid (the
-    deterministic first-16 quantizer shared with sim_ann_ivf_topk; one
+    deterministic distinct-vector hash-spread quantizer shared with
+    sim_ann_ivf_topk — similarity.ivf_centroids, the round-8 fix for
+    the duplicate-head one-cell collapse a round-7 probe measured; one
     broadcast join, linear), then GEMM ONLY within each inverted list
     via applyInPandas — O(N²/C) work instead of O(N²), and each cell's
     matrix fits one task. Approximate by construction: a pair whose
     members quantize to different cells is missed (multi-probe assign
     lowers that risk at deployment; exact duplicates always share a
-    cell because identical vectors share a nearest centroid). The
-    deterministic first-16 quantizer's degenerate-head failure mode
-    and its deployment routing are documented at N_IVF_CENTROIDS
-    (similarity.py) — measured in the round-7 scale probe.
+    cell because identical vectors share a nearest centroid).
     tests/test_llm_quality.py pins (a) per-vector counts never exceed
     the exact operator's, and (b) planted duplicate clusters are fully
     recovered.
@@ -899,14 +896,10 @@ def dedup_embed_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     import numpy as np
 
-    from .similarity import N_IVF_CENTROIDS, _dot, _with_norm
+    from .similarity import _dot, _with_norm, ivf_centroids
 
     emb = _with_norm(table(spark, sf_dir, "embeddings"))
-    cents = emb.filter(F.col("vec_id") < N_IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("vec_d").alias("c_vec"),
-        F.col("norm").alias("c_norm"),
-    )
+    cents = ivf_centroids(table(spark, sf_dir, "embeddings"))
     w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cent_id").asc())
     assigned = (
         emb.crossJoin(F.broadcast(cents))

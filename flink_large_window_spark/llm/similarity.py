@@ -131,25 +131,76 @@ def sim_knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Coarse centroids = the first 16 vec_ids. Deterministic so the DuckDB
-# oracles can mirror cell assignment exactly; correct on the fixtures
-# because their head is diverse (pinned by the recall pytests). NOT a
-# production sampling strategy: a round-7 scale probe measured what
-# happens when the head is degenerate (16 copies of one vector →
-# every row lands in ONE cell → the "IVF" pass ran one-task O(N²), 5×
-# slower than brute force at 40 k vectors; SCALING.md §12 postscript).
-# At deployment, sample centroids hash-spread over DISTINCT vectors
-# (or k-means++), and grow C ~ √N so per-cell work stays bounded.
+# Coarse quantizer (shared by sim_ann_ivf_topk, sim_ann_ivf_multiprobe
+# and dedup_embed_cosine_ivf): 16 centroids = a hash-spread sample over
+# the corpus's DISTINCT vectors. Until round 7 this was "the first 16
+# vec_ids", and a scale probe measured the failure mode head-of-table
+# sampling invites (SCALING.md §13): 16 copies of one vector → 16
+# identical centroids → EVERY row quantizes to one cell and the "IVF"
+# pass runs one-task O(N²) — 45 s at 40 k vectors, 5× worse than brute
+# force. Round-8 fix (VERDICT r7 item 2): group by the raw embedding
+# (duplicates collapse to one candidate, keyed by MIN(vec_id)), then
+# take the 16 representatives that sort first under a Knuth
+# multiplicative hash of the representative id — a deterministic
+# pseudo-random spread over distinct vectors, so duplicate-heavy or
+# sorted data cannot concentrate the centroid set. Still fully
+# DuckDB-mirrorable (the IVF_CENTS_SQL CTE below is the op-for-op
+# oracle twin). The hash stays in exact int64 range for ids < 2³¹
+# (true for the synthetic corpora and every probe; production would
+# swap in xxhash64). Remaining deployment deltas, documented not
+# implemented: grow C ~ √N so per-cell work stays bounded, and
+# k-means++-refine the sample when cell *balance* (not just
+# distinctness) matters.
 N_IVF_CENTROIDS = 16
+_KNUTH = 2654435761  # 2^32 / golden ratio, the classic multiplicative hash
+_HMOD = 2147483648  # 2^31: (id % 2^31) * KNUTH < 2^63 — ANSI-safe
+
+# DuckDB CTE body for the same quantizer (f-string target for the three
+# IVF oracles; `cents` exposes cent_id + c_vec exactly like the old
+# first-16 CTE did, so downstream assignment SQL is unchanged).
+IVF_CENTS_SQL = f"""cents AS (
+      SELECT cent_id, c_vec FROM (
+        SELECT rep_id AS cent_id, c_vec,
+               ROW_NUMBER() OVER (
+                 ORDER BY ((rep_id % {_HMOD}) * {_KNUTH}) % {_HMOD} ASC,
+                          rep_id ASC
+               ) AS cr
+        FROM (SELECT embedding AS c_vec, MIN(vec_id) AS rep_id
+              FROM embeddings GROUP BY embedding)
+      ) WHERE cr <= {N_IVF_CENTROIDS}
+    )"""
+
+
+def ivf_centroids(emb_raw: DataFrame) -> DataFrame:
+    """Spark twin of IVF_CENTS_SQL: (cent_id, c_vec, c_norm).
+
+    One agg keyed by the raw embedding (distinct vectors; MIN(vec_id)
+    as the canonical representative), then a distributed top-16 by the
+    Knuth hash — `orderBy().limit()` compiles to TakeOrderedAndProject,
+    so centroid selection never funnels through a single task (the
+    global-window alternative would). The group-by ships whole vectors
+    through one shuffle; at 100 TB the key becomes a vector digest with
+    the representative row joined back — same semantics, narrow rows.
+    """
+    reps = emb_raw.groupBy("embedding").agg(F.min("vec_id").alias("rep_id"))
+    h = F.pmod(F.pmod(F.col("rep_id"), F.lit(_HMOD)) * F.lit(_KNUTH), F.lit(_HMOD))
+    d = F.col("embedding").cast("array<double>")
+    sumsq = F.aggregate(d, F.lit(0.0), lambda a, x: a + x * x)
+    return (
+        reps.orderBy(h.asc(), F.col("rep_id").asc())
+        .limit(N_IVF_CENTROIDS)
+        .select(
+            F.col("rep_id").alias("cent_id"),
+            d.alias("c_vec"),
+            F.sqrt(sumsq).alias("c_norm"),
+        )
+    )
 
 
 @query(
     "sim_ann_ivf_topk",
-    oracle="""
-    WITH cents AS (
-      SELECT vec_id AS cent_id, embedding AS c_vec
-      FROM embeddings WHERE vec_id < 16
-    ),
+    oracle=f"""
+    WITH {IVF_CENTS_SQL},
     assigned AS (
       SELECT vec_id, embedding, cent_id FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,
@@ -180,8 +231,10 @@ N_IVF_CENTROIDS = 16
 def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-5 — the >10⁶-vector scale path.
 
-    Coarse quantizer: the first 16 corpus vectors serve as
-    deterministic centroids (a real deployment k-means-samples them).
+    Coarse quantizer: 16 deterministic centroids hash-spread over the
+    corpus's DISTINCT vectors (ivf_centroids above — the round-8
+    replacement for first-16 head sampling, whose duplicate-head
+    one-cell collapse a round-7 probe measured; SCALING.md §13).
     Every vector is assigned to its nearest centroid (one broadcast
     join — linear); a query searches ONLY its own centroid's inverted
     list, turning O(Q·N) brute force into O(Q·N/C). Recall vs the
@@ -192,11 +245,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     emb = _with_norm(table(spark, sf_dir, "embeddings"))
-    cents = emb.filter(F.col("vec_id") < N_IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("vec_d").alias("c_vec"),
-        F.col("norm").alias("c_norm"),
-    )
+    cents = ivf_centroids(table(spark, sf_dir, "embeddings"))
 
     def assign(df: DataFrame, id_col: str) -> DataFrame:
         w = Window.partitionBy(id_col).orderBy(
@@ -244,11 +293,8 @@ N_IVF_PROBES = 2
 
 @query(
     "sim_ann_ivf_multiprobe",
-    oracle="""
-    WITH cents AS (
-      SELECT vec_id AS cent_id, embedding AS c_vec
-      FROM embeddings WHERE vec_id < 16
-    ),
+    oracle=f"""
+    WITH {IVF_CENTS_SQL},
     ranked AS (
       SELECT e.vec_id, e.embedding, c.cent_id,
              ROW_NUMBER() OVER (
@@ -292,11 +338,7 @@ def sim_ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     prep(spark)
     emb = _with_norm(table(spark, sf_dir, "embeddings"))
-    cents = emb.filter(F.col("vec_id") < N_IVF_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("vec_d").alias("c_vec"),
-        F.col("norm").alias("c_norm"),
-    )
+    cents = ivf_centroids(table(spark, sf_dir, "embeddings"))
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("c_cos").desc(), F.col("cent_id").asc()
     )

@@ -314,3 +314,81 @@ def test_minhash_hot_bucket_cap_drops_degenerate_buckets(spark):
         for r in con.execute(ORACLES["dedup_near_minhash"]).fetchall()
     }
     assert oracle == rows, "Spark and DuckDB disagree on the capped corpus"
+
+
+def test_ivf_quantizer_degenerate_head(spark, tmp_path_factory):
+    """Round-8 regression pin for the quantizer's measured failure mode
+    (SCALING.md §13): a corpus whose low vec_ids are all copies of ONE
+    vector must still yield min(16, n_distinct) DISTINCT centroids —
+    under the old first-16 sampling it yielded 16 identical ones, every
+    row quantized to a single cell, and the "IVF" pass ran one-task
+    O(N²). Also pins the Spark quantizer against its DuckDB oracle twin
+    (IVF_CENTS_SQL) on the same degenerate corpus."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from flink_large_window_spark.llm.similarity import (
+        IVF_CENTS_SQL,
+        N_IVF_CENTROIDS,
+        ivf_centroids,
+    )
+    from flink_large_window_spark.tables import table
+
+    rng = np.random.default_rng(8)
+    distinct = rng.normal(size=(40, 64)).astype(np.float32)
+    # vec_ids 0..99 are ALL copies of distinct[0] (the adversarial head
+    # the round-7 probe hit via its vec_id*K+k remap); the 39 other
+    # distinct vectors are replicated 5x each after it.
+    mat = np.vstack([np.tile(distinct[0], (100, 1)), np.repeat(distinct[1:], 5, axis=0)])
+    d = str(tmp_path_factory.mktemp("ivf_degenerate"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(mat)), pa.int64()),
+                "embedding": pa.array([list(r) for r in mat], pa.list_(pa.float32())),
+                "label": pa.array([0] * len(mat), pa.int64()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+
+    cents = ivf_centroids(table(spark, d, "embeddings")).collect()
+    assert len(cents) == N_IVF_CENTROIDS
+    as_tuples = {tuple(r["c_vec"]) for r in cents}
+    assert len(as_tuples) == N_IVF_CENTROIDS, (
+        f"only {len(as_tuples)} distinct centroid vectors of {len(cents)}"
+    )
+
+    # oracle twin picks the identical (cent_id, vector) set
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    oracle = {
+        int(r[0]): tuple(round(float(x), 5) for x in r[1])
+        for r in con.execute(
+            f"WITH {IVF_CENTS_SQL} SELECT cent_id, c_vec FROM cents"
+        ).fetchall()
+    }
+    ours = {
+        int(r["cent_id"]): tuple(round(float(x), 5) for x in r["c_vec"])
+        for r in cents
+    }
+    assert oracle == ours, "Spark and DuckDB quantizers disagree"
+
+    # and the full operator still runs end-to-end on the degenerate corpus
+    from flink_large_window_spark.registry import REGISTRY
+
+    counts = (
+        REGISTRY["dedup_embed_cosine_ivf"](spark, d)
+        .groupBy()
+        .count()
+        .collect()
+    )
+    assert counts[0]["count"] == len(mat)  # one row per vector survives
