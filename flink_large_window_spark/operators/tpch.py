@@ -215,43 +215,54 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part/supplier/nation/region all broadcast; lineitem⋈orders is the
     only fact-fact shuffle. The share is a single-pass conditional
     aggregate (no self-join): SUM(CASE)/SUM over the same rows.
+
+    Single ``spark.sql`` statement since round 8 (VERDICT r7 item 3):
+    the widest remaining chained-DataFrame build (0.12 s of driver
+    time per call even with the relation cache warm — the largest in
+    the suite) collapses to one analysis pass for the identical plan.
+    Float parity notes: ``0D``/``0.5D`` double literals, never bare
+    decimals (Spark parses ``0.0`` as DECIMAL; SCALING.md §12).
     """
     prep(spark)
-    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
-    s = table(spark, sf_dir, "supplier")
-    n2 = table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("nation")
-    )
-    n1 = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
-    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
-    cust_in_region = (
-        table(spark, sf_dir, "customer")
-        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("c_custkey")
-    )
-    o = table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
-    )
-    li = table(spark, sf_dir, "lineitem")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    joined = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s.join(F.broadcast(n2), "s_nationkey")),
-              li["l_suppkey"] == F.col("s_suppkey"))
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(cust_in_region), o["o_custkey"] == F.col("c_custkey"), "left_semi")
-    )
-    return (
-        joined.withColumn("o_year", F.year("o_orderdate").cast("long"))
-        .groupBy("o_year")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(0.0))
-                / F.sum(vol),
-                4,
-            ).alias("mkt_share")
+    return spark.sql(
+        f"""
+        WITH cust_am AS (
+          SELECT /*+ BROADCAST(n1), BROADCAST(r) */ c_custkey
+          FROM {table_sql_ref(spark, sf_dir, "customer")} c
+          JOIN {table_sql_ref(spark, sf_dir, "nation")} n1
+            ON c.c_nationkey = n1.n_nationkey
+          JOIN {table_sql_ref(spark, sf_dir, "region")} r
+            ON n1.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'AMERICA'
+        ),
+        supnat AS (
+          SELECT /*+ BROADCAST(n2) */ s_suppkey, n2.n_name AS nation
+          FROM {table_sql_ref(spark, sf_dir, "supplier")} s
+          JOIN {table_sql_ref(spark, sf_dir, "nation")} n2
+            ON s.s_nationkey = n2.n_nationkey
+        ),
+        vol AS (
+          SELECT /*+ BROADCAST(p), BROADCAST(sn), BROADCAST(cust_am) */
+                 CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 sn.nation
+          FROM {table_sql_ref(spark, sf_dir, "lineitem")} l
+          JOIN (SELECT p_partkey FROM {table_sql_ref(spark, sf_dir, "part")}
+                WHERE p_type = 'ECONOMY') p
+            ON l.l_partkey = p.p_partkey
+          JOIN supnat sn ON l.l_suppkey = sn.s_suppkey
+          JOIN (SELECT o_orderkey, o_custkey, o_orderdate
+                FROM {table_sql_ref(spark, sf_dir, "orders")}
+                WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1998-01-01') o
+            ON l.l_orderkey = o.o_orderkey
+          LEFT SEMI JOIN cust_am ON o.o_custkey = cust_am.c_custkey
         )
+        SELECT o_year,
+               ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume
+                              ELSE 0D END) / SUM(volume), 4) AS mkt_share
+        FROM vol GROUP BY o_year
+        """
     )
 
 
@@ -290,30 +301,41 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical — then divide once. ROUND(SUM(double), 2) was a
     summation-order lottery: at sf0.1 one group's sum landed within
     1e-3 of a half-cent and the engines split (…936.61 vs .62).
+
+    Single ``spark.sql`` statement since round 8 (VERDICT r7 item 3) —
+    same plan, one analysis pass; the ``0.1D``/``10000D`` suffixes keep
+    every constant a DOUBLE (a bare ``0.1`` parses as DECIMAL(1,1) and
+    would silently move the amount arithmetic into decimal).
     """
     prep(spark)
-    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
-    s = table(spark, sf_dir, "supplier")
-    n = table(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("nation")
-    )
-    o = table(spark, sf_dir, "orders")
-    li = table(spark, sf_dir, "lineitem")
-    amount = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
-    )
-    return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s.join(F.broadcast(n), "s_nationkey")),
-              li["l_suppkey"] == F.col("s_suppkey"))
-        .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .withColumn("o_year", F.year("o_orderdate").cast("long"))
-        .groupBy("nation", "o_year")
-        .agg(
-            (F.sum(F.round(amount * 10000, 0).cast("long")) / F.lit(10000.0))
-            .alias("sum_profit")
+    return spark.sql(
+        f"""
+        WITH supnat AS (
+          SELECT /*+ BROADCAST(n) */ s_suppkey, n.n_name AS nation
+          FROM {table_sql_ref(spark, sf_dir, "supplier")} s
+          JOIN {table_sql_ref(spark, sf_dir, "nation")} n
+            ON s.s_nationkey = n.n_nationkey
+        ),
+        amounts AS (
+          SELECT /*+ BROADCAST(p), BROADCAST(sn) */
+                 sn.nation,
+                 CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount)
+                   - 0.1D * p.p_retailprice * l.l_quantity AS amount
+          FROM {table_sql_ref(spark, sf_dir, "lineitem")} l
+          JOIN (SELECT p_partkey, p_retailprice
+                FROM {table_sql_ref(spark, sf_dir, "part")}
+                WHERE p_name LIKE '%gear%') p
+            ON l.l_partkey = p.p_partkey
+          JOIN supnat sn ON l.l_suppkey = sn.s_suppkey
+          JOIN {table_sql_ref(spark, sf_dir, "orders")} o
+            ON l.l_orderkey = o.o_orderkey
         )
+        SELECT nation, o_year,
+               SUM(CAST(ROUND(amount * 10000, 0) AS BIGINT)) / 10000D
+                 AS sum_profit
+        FROM amounts GROUP BY nation, o_year
+        """
     )
 
 
