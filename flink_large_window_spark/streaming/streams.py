@@ -1249,12 +1249,14 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     # provider set session-wide by design for the twins; this key
     # restores it so its RocksDB choice cannot make a mixed-key
     # session order-dependent).
-    try:
-        prev_provider = spark.conf.get(
-            "spark.sql.streaming.stateStore.providerClass"
-        )
-    except Exception:
-        prev_provider = None
+    # conf.get on a registered conf never raises — when unset it
+    # returns the built-in default (HDFSBackedStateStoreProvider) — so
+    # there is no unset→unset round-trip to preserve (ADVICE r7: the
+    # former except/unset branch was dead code). Restoring by
+    # re-setting prev_provider explicitly is behaviorally identical.
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -1301,15 +1303,10 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_phase()  # restart: resumes offsets/watermark/window state
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if prev_provider is None:
-            spark.conf.unset(
-                "spark.sql.streaming.stateStore.providerClass"
-            )
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass",
-                prev_provider,
-            )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            prev_provider,
+        )
 
     return spark.read.parquet(out).select(
         "w_start", F.col("n").cast("long").alias("n")
@@ -1398,12 +1395,14 @@ def stream_rule_update_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint uses whichever provider the session last left behind
     # (RocksDB after any run_to_memory key, HDFS-backed otherwise),
     # which would make this key's state layout depend on session order.
-    try:
-        prev_provider = spark.conf.get(
-            "spark.sql.streaming.stateStore.providerClass"
-        )
-    except Exception:
-        prev_provider = None
+    # conf.get on a registered conf never raises — when unset it
+    # returns the built-in default (HDFSBackedStateStoreProvider) — so
+    # there is no unset→unset round-trip to preserve (ADVICE r7: the
+    # former except/unset branch was dead code). Restoring by
+    # re-setting prev_provider explicitly is behaviorally identical.
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
@@ -1462,15 +1461,10 @@ def stream_rule_update_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_phase()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        if prev_provider is None:
-            spark.conf.unset(
-                "spark.sql.streaming.stateStore.providerClass"
-            )
-        else:
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass",
-                prev_provider,
-            )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            prev_provider,
+        )
 
     return spark.read.parquet(out).select(
         "w_start", "event_type", F.col("revenue").cast("double").alias("revenue")

@@ -70,6 +70,13 @@ def prep(spark: SparkSession) -> SparkSession:
 # driver-side analogue of a catalog/metastore at 100 TB: relation
 # metadata is resolved once, not per query. DataFrames are immutable
 # plan handles, so sharing one across queries composes safely.
+#
+# The immutability assumption is a CONTRACT, not an enforced check
+# (ADVICE r7): a caller that rewrites a table file in-place in a dir
+# this process has already read would get stale listings — silently
+# wrong rows, or FileNotFound at scan. Writers must use fresh mkdtemp
+# dirs (every scratch caller does), or call ``invalidate(sf_dir)``
+# below before re-reading a rewritten dir.
 _RESOLVED: dict[tuple[str, int, str, str], DataFrame] = {}
 
 
@@ -128,6 +135,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def invalidate(sf_dir: str) -> None:
+    """Drop every cached resolved relation and temp-view registration
+    for ``sf_dir`` (all sessions), so the next ``table()`` /
+    ``table_sql_ref()`` call re-lists files and re-reads footers.
+
+    The escape hatch for the immutable-dir contract above: call this
+    after rewriting a table file in-place in a dir this process has
+    already read. Existing DataFrame handles returned earlier still
+    hold the stale file index — re-obtain them through ``table()``.
+    """
+    ab = os.path.abspath(sf_dir)
+    for cache in (_RESOLVED, _VIEW_REGISTERED):
+        for key in [k for k in cache if k[2] == ab]:
+            del cache[key]
+
+
 def row_count(sf_dir: str, name: str) -> int:
     """Exact row count of a fixture table from parquet FOOTER metadata —
     O(footer bytes) on the driver, zero Spark jobs, zero data scanned.
@@ -182,9 +205,14 @@ def table_sql_ref(spark: SparkSession, sf_dir: str, name: str) -> str:
         return view
     if len(_VIEW_REGISTERED) >= _CACHE_CAP:
         _VIEW_REGISTERED.clear()
-    import zlib
+    import hashlib
 
-    view = f"flws_tab_{name}_{zlib.crc32(key[2].encode()):08x}"
+    # 64 bits of md5 over the abspath (ADVICE r7): the former 32-bit
+    # crc32 made a silent cross-dir view collision merely improbable;
+    # a collision here rebinds the shared view name to another dir's
+    # data and tableExists revalidation cannot see it. 16 hex digits
+    # puts a birthday collision past ~10^9 distinct dirs.
+    view = f"flws_tab_{name}_{hashlib.md5(key[2].encode()).hexdigest()[:16]}"
     table(spark, sf_dir, name).createOrReplaceTempView(view)
     _VIEW_REGISTERED[key] = view
     return view

@@ -240,3 +240,41 @@ def test_operators_unchanged_on_partitioned_directory_layout(spark):
         assert base == part, (
             f"{key} diverges on the partitioned-directory layout"
         )
+
+
+def test_invalidate_refreshes_rewritten_dir(spark, tmp_path_factory):
+    """tables.invalidate(sf_dir) is the escape hatch for the
+    immutable-dir contract of the resolved-relation cache (ADVICE r7):
+    after rewriting a table file in-place, invalidate + re-table()
+    must observe the new data (and refresh the table_sql_ref view)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark import tables
+
+    d = str(tmp_path_factory.mktemp("invalidate"))
+    path = os.path.join(d, "region.parquet")
+
+    def write(n):
+        pq.write_table(
+            pa.table(
+                {
+                    "r_regionkey": pa.array(range(n), pa.int64()),
+                    "r_name": pa.array([f"R{i}" for i in range(n)]),
+                }
+            ),
+            path,
+        )
+
+    write(3)
+    assert tables.table(spark, d, "region").count() == 3
+    view = tables.table_sql_ref(spark, d, "region")
+    assert spark.sql(f"SELECT COUNT(*) c FROM {view}").collect()[0]["c"] == 3
+
+    write(5)  # in-place rewrite: caches are now stale by contract
+    tables.invalidate(d)
+    assert tables.table(spark, d, "region").count() == 5
+    view2 = tables.table_sql_ref(spark, d, "region")
+    assert spark.sql(f"SELECT COUNT(*) c FROM {view2}").collect()[0]["c"] == 5
