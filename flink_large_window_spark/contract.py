@@ -203,82 +203,82 @@ DRIVER_CHECKED: frozenset[str] = (
     | _R06_EXTRAS
 )
 
-# Round 7: the window's job stays RECENCY (see round-6 note in git
-# history). These 50 keys fill the whole budget: first the 4 keys whose
-# implementation changed this round (the two LSH kernels rewritten as
-# single-SQL statements + the hot-bucket cap, the hamming variant that
-# builds on simhash's signatures, and stream_rule_update_enrich's
-# state-store-provider pinning), then ALL 31 keys whose latest driver
-# evidence predates round 3 (VERDICT r6 item 2's completion criterion —
-# the aggregations/sort_set/scalars/join families green since r1/r2 but
-# touched by suite-wide registry conventions since), then the
-# most-stale remainder (tpch battery + ivf dedup: evidence r4, file
-# churned since) and dedup_cluster_cc (same rewritten file,
-# conf-sensitive iterative kernel). Generated with tools/staleness.py;
-# ordering pinned by tests/test_contract.py.
+# Round 8 (VERDICT r7 item 1): the window's job stays RECENCY. 50
+# keys: first the 5 whose implementation changed this round (the three
+# IVF keys sharing the rewritten distinct-vector hash-spread quantizer
+# and its new oracle CTE, plus q8/q9 rewritten as single-SQL CTE
+# chains), then ALL 25 SQL-oracle keys whose latest driver evidence is
+# round 3 — the §2.9 batch windowing core, the scalar/UDF families,
+# q10/q18 and the corpus trio; the engine's identity rows, whose
+# evidence should not age past half the project's lifetime
+# (agg_hll_sketch_merge shares that evidence age but is rows-only by
+# design — sketch estimates are implementation-defined, its accuracy
+# lives in pytests — so it takes no hash-window slot, same as the two
+# approx-sketch keys). The remaining 20 slots go to the r4-evidence
+# tier: the five whose implementation files churned since (pattern_
+# detect_followedby and the four r5 winfn additions sharing
+# window_functions.py), then alphabetical r4 keys. Generated with
+# tools/staleness.py (evidence capped at r7 — the round this rotation
+# was derived from); ordering pinned by tests/test_contract.py.
+# (Historical correction, ADVICE r7: the round-7 comment said "31 keys
+# whose evidence predates round 3"; the listed pre-r3 block actually
+# held 29 — 31 was the raw staleness count before the two rows-only
+# sketch keys were excluded.)
 RECHECK_KEYS: tuple[str, ...] = (
     # implementation changed this round
-    "dedup_near_minhash",
-    "dedup_simhash",
-    "dedup_simhash_hamming",
-    "stream_rule_update_enrich",
-    # evidence predates r3 — every SQL-oracle key in that set (the two
-    # rows-only approx-sketch keys, agg_approx_percentile r1 and
-    # agg_approx_count_distinct r2, are excluded by design: the window
-    # exists to record HASH evidence, and their accuracy evidence is
-    # their error-bound pytests, not a driver row count)
-    "agg_bool",
-    "agg_corr_covar",
-    "agg_grouping_id",
-    "agg_histogram_fixed",
-    "agg_mode_per_group",
-    "agg_string_agg",
-    "agg_collect",
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_hash_global",
-    "agg_hash_grouped",
-    "agg_partial_final",
-    "agg_percentile",
-    "agg_rollup",
-    "agg_stats",
-    "join_asof",
-    "join_interval",
-    "join_window_tumbling",
-    "limit_topk",
-    "scalar_datetime",
-    "scalar_math",
-    "scalar_regexp",
-    "scalar_string",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "set_union_distinct",
-    "sort_multi_key",
-    # most-stale remainder (evidence r4, implementation file changed
-    # since): the tpch battery sharing tpch.py with the round-6/7
-    # edits, and the ivf dedup sharing dedup.py with the LSH rewrite
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_class",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    "q22_global_sales",
-    "dedup_embed_cosine_ivf",
-    "dedup_cluster_cc",
     "sim_ann_ivf_topk",
     "sim_ann_ivf_multiprobe",
-    # (the r5/r6-green streaming twins and the remaining r6-green llm
-    # keys — stale by at most file-granularity over-approximation —
-    # yield their slots to the 31-key pre-r3 sweep; budget stays 50.)
+    "dedup_embed_cosine_ivf",
+    "q8_market_share",
+    "q9_product_profit",
+    # evidence at round 3 — every SQL-oracle key in that set
+    "corpus_contamination_check",
+    "corpus_mix_rebalance",
+    "corpus_pack_chunks",
+    "late_data_split",
+    "q10_returned_items",
+    "q18_large_volume",
+    "scalar_array",
+    "scalar_conditional",
+    "scalar_explode",
+    "scalar_json",
+    "stateful_count_session",
+    "ts_anomaly_zscore",
+    "udaf_grouped_agg",
+    "udf_scalar_pandas",
+    "udtf_split",
+    "watermark_dedup",
+    "window_cascading_rollup",
+    "window_early_fire",
+    "window_large_day",
+    "window_session_agg",
+    "window_session_dynamic_gap",
+    "window_sliding_agg",
+    "window_sliding_agg_prebucket",
+    "window_topn",
+    "window_tumbling_agg",
+    # evidence at round 4, implementation file churned since
+    "pattern_detect_followedby",
+    "winfn_first_ignore_nulls",
+    "winfn_moving_stddev",
+    "winfn_nth_value",
+    "winfn_percent_rank_cume",
+    # evidence at round 4, alphabetical fill to the 50-key budget
+    "agg_bitwise_flags",
+    "agg_distinct_multi",
+    "agg_regression",
+    "agg_skew_kurtosis_pinned",
+    "join_asof_nearest",
+    "pivot_event_counts",
+    "sample_hash_bernoulli",
+    "sample_reservoir_hash",
+    "sample_stratified_hash",
+    "scalar_bitwise",
+    "scalar_hash",
+    "scalar_interval_arith",
+    "scalar_json_struct",
+    "scalar_try_arith",
+    "set_except_all",
 )
 
 # Round-5 priority: after the r4 window, 27 registered keys still

@@ -128,14 +128,16 @@ def test_no_contract_key_lost_overall():
     assert len(q) >= 182
 
 
-def test_round7_recheck_window_shape():
-    """The round-7 window is all-recheck: 50 unique SQL-oracle keys —
-    the 4 keys whose implementation changed this round first, then ALL
-    SQL-oracle keys whose latest driver evidence predates round 3
-    (VERDICT r6 item 2's completion criterion, computed here from the
-    CORRECTNESS files themselves so a stale hardcoded list cannot
-    drift), then the most-stale r4-evidence remainder (pinned — the
-    derivation lives in tools/staleness.py)."""
+def test_round8_recheck_window_shape():
+    """The round-8 window (VERDICT r7 item 1): 50 unique SQL-oracle
+    keys — the 5 whose implementation changed this round first (the
+    three IVF keys on the rewritten quantizer, q8/q9 single-SQL), then
+    ALL SQL-oracle keys whose latest driver evidence predates round 4
+    (the §2.9 batch core + scalars/UDFs, completion criterion: after
+    the r8 sweep no SQL-oracle key's evidence predates r4), then
+    r4-evidence fill. Derivation lives in tools/staleness.py; evidence
+    is computed from the CORRECTNESS files themselves so a stale
+    hardcoded list cannot drift."""
     import os
     import sys
 
@@ -145,50 +147,40 @@ def test_round7_recheck_window_shape():
     oracles = api.oracle_sql()
     assert all(k in q and k in oracles for k in RECHECK_KEYS)
 
-    assert set(RECHECK_KEYS[:4]) == {
-        # single-SQL rewrite + hot-bucket cap
-        "dedup_near_minhash",
-        # single-SQL rewrite + shiftright bit test
-        "dedup_simhash",
-        # consumes dedup_simhash signatures
-        "dedup_simhash_hamming",
-        # state-store provider pinning
-        "stream_rule_update_enrich",
+    assert set(RECHECK_KEYS[:5]) == {
+        # distinct-vector hash-spread quantizer + new oracle CTE
+        "sim_ann_ivf_topk",
+        "sim_ann_ivf_multiprobe",
+        "dedup_embed_cosine_ivf",
+        # single-SQL CTE rewrites
+        "q8_market_share",
+        "q9_product_profit",
     }
 
-    # evidence round per key: use the SAME predicate the rotation
-    # generator uses (tools/staleness.py) instead of re-implementing
-    # it — the definition of "evidence" just changed once this round
-    # (rows-only truthiness → `is not None`, ADVICE r6) and a second
-    # divergent copy here would let the window test validate against a
-    # different staleness notion than the generator that produced
-    # RECHECK_KEYS (round-7 review finding).
     tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
     if tools_dir not in sys.path:
         sys.path.insert(0, tools_dir)
     from staleness import evidence_rounds
 
-    # capped at round 6: this window was DERIVED from r01..r06
-    # evidence, and the r7 sweep it pins will itself write
-    # CORRECTNESS_r07.json — uncapped evidence would then read round 7
-    # for every window key and fail the freshness assertion below
-    # (round-7 review finding, verified by simulation).
-    ev = evidence_rounds(upto=6)
-    pre_r3_sql = {k for k, er in ev.items() if er < 3 and k in oracles}
+    # capped at round 7: this window was DERIVED from r01..r07
+    # evidence; the r8 sweep it pins will write CORRECTNESS_r08.json,
+    # and uncapped evidence would then fail the freshness assertions
+    # (round-7 review finding — a rotation test must cap evidence at
+    # the rounds the rotation was derived from).
+    ev = evidence_rounds(upto=7)
+
+    # completion criterion: every SQL-oracle key whose evidence
+    # predates round 4 is inside the window, so the r8 sweep leaves no
+    # SQL-oracle evidence older than r4.
+    pre_r4_sql = {k for k, er in ev.items() if er < 4 and k in oracles}
     window = set(RECHECK_KEYS)
-    missing = pre_r3_sql - window
+    missing = pre_r4_sql - window
     assert not missing, (
-        f"SQL-oracle keys with pre-r3 evidence left out of the window: "
+        f"SQL-oracle keys with pre-r4 evidence left out of the window: "
         f"{sorted(missing)}"
     )
 
     # the tail burns no slot on fresh evidence: everything beyond the
-    # 4 changed keys has evidence from r4 or earlier, except the two
-    # same-file iterative/ivf kernels justified by the dedup.py rewrite
-    file_justified = {"dedup_cluster_cc", "dedup_embed_cosine_ivf"}
-    too_fresh = [
-        k
-        for k in RECHECK_KEYS[4:]
-        if ev.get(k, 0) > 4 and k not in file_justified
-    ]
+    # 5 changed keys has evidence from r4 or earlier.
+    too_fresh = [k for k in RECHECK_KEYS[5:] if ev.get(k, 0) > 4]
     assert not too_fresh, f"recheck slots burned on fresh evidence: {too_fresh}"
