@@ -899,7 +899,7 @@ def dedup_embed_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _dot, _with_norm, ivf_centroids
 
     emb = _with_norm(table(spark, sf_dir, "embeddings"))
-    cents = ivf_centroids(table(spark, sf_dir, "embeddings"))
+    cents = ivf_centroids(spark, sf_dir)
     w = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("cent_id").asc())
     assigned = (
         emb.crossJoin(F.broadcast(cents))

@@ -135,6 +135,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Modules that keep their own per-dir derived caches (e.g. the trained
+# IVF quantizer in llm/similarity.py) register a callback here so
+# ``invalidate`` clears them too, without this module importing them
+# (they import tables — a direct reference would be a cycle). Each hook
+# receives the ABSPATH of the invalidated dir.
+_INVALIDATION_HOOKS: list = []
+
+
+def register_invalidation_hook(fn) -> None:
+    """Register ``fn(abspath)`` to run whenever :func:`invalidate`
+    drops a dir — for derived-data caches owned by other modules."""
+    _INVALIDATION_HOOKS.append(fn)
+
+
 def invalidate(sf_dir: str) -> None:
     """Drop every cached resolved relation and temp-view registration
     for ``sf_dir`` (all sessions), so the next ``table()`` /
@@ -144,11 +158,15 @@ def invalidate(sf_dir: str) -> None:
     after rewriting a table file in-place in a dir this process has
     already read. Existing DataFrame handles returned earlier still
     hold the stale file index — re-obtain them through ``table()``.
+    Registered invalidation hooks (derived-data caches in other
+    modules) run for the same dir.
     """
     ab = os.path.abspath(sf_dir)
     for cache in (_RESOLVED, _VIEW_REGISTERED):
         for key in [k for k in cache if k[2] == ab]:
             del cache[key]
+    for fn in _INVALIDATION_HOOKS:
+        fn(ab)
 
 
 def row_count(sf_dir: str, name: str) -> int:

@@ -337,7 +337,6 @@ def test_ivf_quantizer_degenerate_head(spark, tmp_path_factory):
         N_IVF_CENTROIDS,
         ivf_centroids,
     )
-    from flink_large_window_spark.tables import table
 
     rng = np.random.default_rng(8)
     distinct = rng.normal(size=(40, 64)).astype(np.float32)
@@ -357,7 +356,7 @@ def test_ivf_quantizer_degenerate_head(spark, tmp_path_factory):
         os.path.join(d, "embeddings.parquet"),
     )
 
-    cents = ivf_centroids(table(spark, d, "embeddings")).collect()
+    cents = ivf_centroids(spark, d).collect()
     assert len(cents) == N_IVF_CENTROIDS
     as_tuples = {tuple(r["c_vec"]) for r in cents}
     assert len(as_tuples) == N_IVF_CENTROIDS, (

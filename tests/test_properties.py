@@ -278,3 +278,50 @@ def test_invalidate_refreshes_rewritten_dir(spark, tmp_path_factory):
     assert tables.table(spark, d, "region").count() == 5
     view2 = tables.table_sql_ref(spark, d, "region")
     assert spark.sql(f"SELECT COUNT(*) c FROM {view2}").collect()[0]["c"] == 5
+
+
+def test_invalidate_evicts_trained_quantizer(spark, tmp_path_factory):
+    """The IVF quantizer memo (similarity._TRAINED_CENTROIDS) is a
+    derived-data cache over the same immutable-dir contract, evicted
+    through the tables.invalidate hook: after an in-place corpus
+    rewrite + invalidate, the quantizer must retrain on the new data."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark import tables
+    from flink_large_window_spark.llm.similarity import ivf_centroids
+
+    d = str(tmp_path_factory.mktemp("quantizer_evict"))
+    path = os.path.join(d, "embeddings.parquet")
+    rng = np.random.default_rng(11)
+
+    def write(n, seed_shift):
+        mat = rng.normal(size=(n, 64)).astype(np.float32) + seed_shift
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(
+                        [list(r) for r in mat], pa.list_(pa.float32())
+                    ),
+                    "label": pa.array([0] * n, pa.int64()),
+                }
+            ),
+            path,
+        )
+
+    write(40, 0.0)
+    first = {r["cent_id"]: tuple(r["c_vec"]) for r in ivf_centroids(spark, d).collect()}
+    # memo hit: same object semantics, same centroids
+    again = {r["cent_id"]: tuple(r["c_vec"]) for r in ivf_centroids(spark, d).collect()}
+    assert first == again
+
+    write(40, 5.0)  # rewrite in place with different vectors
+    tables.invalidate(d)
+    retrained = {
+        r["cent_id"]: tuple(r["c_vec"]) for r in ivf_centroids(spark, d).collect()
+    }
+    assert retrained != first, "quantizer served stale centroids after invalidate"
