@@ -1,9 +1,10 @@
 """Benchmark harness (SURVEY §6 / BASELINE.md M5 protocol).
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS]: one warm-up, then median of 3 timed runs of
-a noop-sink write (full execution, no sink cost). Prints exactly ONE
-JSON line to stdout:
+local[$SPARK_GRAFT_CPUS]: two warm-ups (four for watch-list keys),
+then median of 3 timed runs (5 for watch-list keys) of a noop-sink
+write (full execution, no sink cost). Prints exactly ONE JSON line to
+stdout:
 
   {"metric": "...", "value": <total median sec>, "unit": "sec",
    "queries": {key: sec, ...}, "sf": "<dir>"}
