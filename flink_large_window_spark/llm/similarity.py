@@ -147,9 +147,12 @@ def sim_knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pseudo-random spread over distinct vectors, so duplicate-heavy or
 # sorted data cannot concentrate the centroid set. Still fully
 # DuckDB-mirrorable (the IVF_CENTS_SQL CTE below is the op-for-op
-# oracle twin). The hash stays in exact int64 range for ids < 2³¹
+# oracle twin). The hash stays in exact int64 range for |id| < 2³¹
 # (true for the synthetic corpora and every probe; production would
-# swap in xxhash64). Remaining deployment deltas, documented not
+# swap in xxhash64), and both twins reduce ids to the SAME
+# non-negative residue first (Spark pmod ≡ DuckDB (x%H+H)%H), so
+# negative ids cannot split the engines. Remaining deployment
+# deltas, documented not
 # implemented: grow C ~ √N so per-cell work stays bounded, and
 # k-means++-refine the sample when cell *balance* (not just
 # distinctness) matters.
@@ -160,11 +163,17 @@ _HMOD = 2147483648  # 2^31: (id % 2^31) * KNUTH < 2^63 — ANSI-safe
 # DuckDB CTE body for the same quantizer (f-string target for the three
 # IVF oracles; `cents` exposes cent_id + c_vec exactly like the old
 # first-16 CTE did, so downstream assignment SQL is unchanged).
+# The double-% ( (x % H + H) % H ) folds DuckDB's sign-preserving %
+# onto Spark's always-non-negative pmod, so the twins agree even on
+# negative vec_ids (review r8: a plain % would sort negative
+# remainders first in DuckDB only, silently picking different
+# centroid sets). No-op on the (non-negative-id) fixtures.
 IVF_CENTS_SQL = f"""cents AS (
       SELECT cent_id, c_vec FROM (
         SELECT rep_id AS cent_id, c_vec,
                ROW_NUMBER() OVER (
-                 ORDER BY ((rep_id % {_HMOD}) * {_KNUTH}) % {_HMOD} ASC,
+                 ORDER BY (((rep_id % {_HMOD}) + {_HMOD}) % {_HMOD}
+                           * {_KNUTH}) % {_HMOD} ASC,
                           rep_id ASC
                ) AS cr
         FROM (SELECT embedding AS c_vec, MIN(vec_id) AS rep_id
@@ -187,6 +196,13 @@ IVF_CENTS_SQL = f"""cents AS (
 # tables._RESOLVED (same immutable-dir contract);
 # tables.invalidate() evicts via the registered hook below.
 _TRAINED_CENTROIDS: dict[tuple[str, int, str], DataFrame] = {}
+
+# Same soft cap rationale as tables._CACHE_CAP: a long-lived process
+# training on many fresh scratch corpora (fuzz loops, per-test dirs —
+# which by contract never call invalidate) would otherwise accumulate
+# one 16-row DataFrame per dir forever, each pinning its SparkSession.
+# Clear-on-overflow is sound: the next call simply retrains.
+_CENTROID_CACHE_CAP = 128
 
 
 def _evict_centroids(ab: str) -> None:
@@ -263,6 +279,8 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set(arrow_key, prev)
+    if len(_TRAINED_CENTROIDS) >= _CENTROID_CACHE_CAP:
+        _TRAINED_CENTROIDS.clear()
     _TRAINED_CENTROIDS[key] = cents
     return cents
 

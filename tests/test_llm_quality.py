@@ -348,7 +348,11 @@ def test_ivf_quantizer_degenerate_head(spark, tmp_path_factory):
     pq.write_table(
         pa.table(
             {
-                "vec_id": pa.array(range(len(mat)), pa.int64()),
+                # ids start NEGATIVE: the quantizer hash must reduce
+                # negative ids to the same non-negative residue in both
+                # engines (Spark pmod vs DuckDB sign-preserving % —
+                # review r8); the oracle-parity assertion below pins it.
+                "vec_id": pa.array(range(-30, len(mat) - 30), pa.int64()),
                 "embedding": pa.array([list(r) for r in mat], pa.list_(pa.float32())),
                 "label": pa.array([0] * len(mat), pa.int64()),
             }
