@@ -35,7 +35,6 @@ medians, never single runs.
 from __future__ import annotations
 
 import json
-import math
 import os
 import statistics
 import sys
@@ -185,6 +184,17 @@ def main() -> None:
     # keys BENCH.json does not know (review r8).
     governing = dict(NEW_KEY_BASELINES)
     governing.update({k: v["median_s"] for k, v in frozen.items()})
+    # Fail fast BEFORE the minutes-long measurement loop: every
+    # headline key must have a governing baseline, or its 2x gate is
+    # silently unreported (review r8 — the exact blind spot the
+    # quartet baselines were created to close).
+    unbaselined = [k for k in HEADLINE if k not in governing]
+    if unbaselined:
+        raise RuntimeError(
+            f"HEADLINE keys without a governing baseline: {unbaselined}; "
+            "freeze them into BENCH.json or add NEW_KEY_BASELINES "
+            "entries (and the BASELINE.md table row)"
+        )
     results: dict[str, dict] = {}
     for key in HEADLINE:
         results[key] = bench_one(
@@ -213,11 +223,8 @@ def main() -> None:
     # Probe normalization (see PROBE_KEYS above): geometric mean keeps
     # one noisy probe from dominating, and factor 1.0 == baseline VM.
     probe_factor = round(
-        math.exp(
-            statistics.mean(
-                math.log(results[k]["median_s"] / governing[k])
-                for k in PROBE_KEYS
-            )
+        statistics.geometric_mean(
+            results[k]["median_s"] / governing[k] for k in PROBE_KEYS
         ),
         4,
     )
@@ -229,7 +236,6 @@ def main() -> None:
             ),
         }
         for k in HEADLINE
-        if k in governing
     }
     env = {
         "spark": spark.version,

@@ -245,17 +245,20 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.pmod(
         F.pmod(F.col("rep_id"), F.lit(_HMOD)) * F.lit(_KNUTH), F.lit(_HMOD)
     )
-    d = F.col("embedding").cast("array<double>")
-    sumsq = F.aggregate(d, F.lit(0.0), lambda a, x: a + x * x)
+    # _with_norm is the single source of the double-cast + norm fold:
+    # the quantizer's c_norm must stay expression-identical to the
+    # row-side norm it is divided against (review r8 — an inline copy
+    # could silently desynchronize if the fold ever changes).
     rows = [
         (int(r["cent_id"]), list(r["c_vec"]), float(r["c_norm"]))
         for r in (
-            reps.orderBy(h.asc(), F.col("rep_id").asc())
+            _with_norm(reps)
+            .orderBy(h.asc(), F.col("rep_id").asc())
             .limit(N_IVF_CENTROIDS)
             .select(
                 F.col("rep_id").alias("cent_id"),
-                d.alias("c_vec"),
-                F.sqrt(sumsq).alias("c_norm"),
+                F.col("vec_d").alias("c_vec"),
+                F.col("norm").alias("c_norm"),
             )
             .collect()  # ≤16 rows — the trained quantizer, not data
         )
@@ -264,8 +267,13 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "cent_id bigint, c_vec array<double>, c_norm double"
     arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
-    prev = spark.conf.get(arrow_key)
+    # Fallback OFF (review r8): the default silent-fallback path would
+    # hand back the Python-backed scan this memo exists to avoid — a
+    # conversion failure must be an error, not a quiet 4x slowdown.
+    fb_key = "spark.sql.execution.arrow.pyspark.fallback.enabled"
+    prev, prev_fb = spark.conf.get(arrow_key), spark.conf.get(fb_key)
     spark.conf.set(arrow_key, "true")
+    spark.conf.set(fb_key, "false")
     try:
         cents = spark.createDataFrame(
             pd.DataFrame(
@@ -279,6 +287,7 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set(arrow_key, prev)
+        spark.conf.set(fb_key, prev_fb)
     if len(_TRAINED_CENTROIDS) >= _CENTROID_CACHE_CAP:
         _TRAINED_CENTROIDS.clear()
     _TRAINED_CENTROIDS[key] = cents
