@@ -327,3 +327,76 @@ def test_invalidate_evicts_trained_quantizer(spark, tmp_path_factory):
         r["cent_id"]: tuple(r["c_vec"]) for r in ivf_centroids(spark, d).collect()
     }
     assert retrained != first, "quantizer served stale centroids after invalidate"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),  # which base vector
+            st.integers(min_value=1, max_value=6),  # how many copies
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(min_value=-40, max_value=40),  # vec_id offset (sign mix)
+)
+def test_quantizer_engine_parity_fuzz(spark, tmp_path_factory, groups, id_offset):
+    """Property: on ANY duplicate pattern (random copy counts over a
+    small base set, ids possibly negative), the Spark quantizer and its
+    DuckDB CTE twin select the identical (cent_id, vector) set, and the
+    centroid count is min(16, n_distinct) — generalizes the single
+    planted degenerate-head regression test."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark.llm.similarity import (
+        IVF_CENTS_SQL,
+        N_IVF_CENTROIDS,
+        ivf_centroids,
+    )
+
+    rng = np.random.default_rng(13)
+    base = rng.normal(size=(8, 64)).astype(np.float32)
+    mat = np.vstack([np.tile(base[b], (n, 1)) for b, n in groups])
+    n_distinct = len({b for b, _ in groups})
+    d = str(tmp_path_factory.mktemp("quantizer_fuzz"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(
+                    range(id_offset, id_offset + len(mat)), pa.int64()
+                ),
+                "embedding": pa.array(
+                    [list(r) for r in mat], pa.list_(pa.float32())
+                ),
+                "label": pa.array([0] * len(mat), pa.int64()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+
+    cents = ivf_centroids(spark, d).collect()
+    assert len(cents) == min(N_IVF_CENTROIDS, n_distinct)
+    assert len({tuple(r["c_vec"]) for r in cents}) == len(cents)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{d}/embeddings.parquet')"
+    )
+    oracle = {
+        int(r[0]): tuple(round(float(x), 5) for x in r[1])
+        for r in con.execute(
+            f"WITH {IVF_CENTS_SQL} SELECT cent_id, c_vec FROM cents"
+        ).fetchall()
+    }
+    ours = {
+        int(r["cent_id"]): tuple(round(float(x), 5) for x in r["c_vec"])
+        for r in cents
+    }
+    assert oracle == ours
