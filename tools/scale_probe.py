@@ -1,0 +1,216 @@
+"""Result-correctness probes beyond fixture scale (SCALING.md §13).
+
+Replicates one fixture axis K× along the dimension that stresses a
+family, then runs the driver-style Spark-vs-DuckDB value comparison on
+the replicated dir:
+
+    python tools/scale_probe.py --family tpch --k 10
+    python tools/scale_probe.py --family tpch --k 100 --keys q9_product_profit
+    python tools/scale_probe.py --family window --k 10
+    python tools/scale_probe.py --family text --k 10
+    python tools/scale_probe.py --family similarity --k 10
+
+Replication protocols (each preserves cross-engine comparability):
+- tpch: orders o_orderkey·K+k remap; lineitem rows duplicated with
+  matching l_orderkey; dims unchanged → K× the fact volume.
+- window: events user_id·K+k and event_id·K+k remaps, ts unchanged →
+  K× the KEY CARDINALITY (state per key), identical temporal patterns.
+- text: documents doc_id·K+k, same text → duplicate-heavy corpus
+  (every doc gains K exact copies) — adversarial for the dedup family.
+- similarity: embeddings vec_id·K+k, same vectors → duplicate-heavy,
+  the shape the distinct-vector IVF quantizer hardens against.
+
+Gotchas baked in (learned the hard way, round 8):
+- prep() runs BEFORE the source read, else events.ts is written as
+  TIMESTAMP_NTZ into the copy and timestamp keys break downstream.
+- DuckDB gets a bounded temp_directory + memory_limit; an oracle that
+  still exhausts it (dedup_near_minhash's doc×shingle×64 unpivot at
+  ≥4×) is an ORACLE-side limit to record, not an engine divergence.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+FAMILIES = {
+    "tpch": {
+        "replicated": ("orders", "lineitem"),
+        "keys": lambda REG: sorted(
+            k for k in REG if k.startswith("q") and k[1].isdigit()
+        ),
+    },
+    "window": {
+        "replicated": ("events",),
+        "keys": lambda REG: [
+            "window_tumbling_agg", "window_sliding_agg", "window_session_agg",
+            "window_large_day", "window_early_fire", "watermark_dedup",
+            "late_data_split", "stateful_count_session", "window_topn",
+            "window_cascading_rollup", "window_session_dynamic_gap",
+            "window_sliding_agg_prebucket", "window_count_tumbling",
+            "window_count_sliding", "window_tumbling_offset",
+            "winfn_row_number_topk", "winfn_running_sum",
+            "winfn_moving_avg_range", "ts_anomaly_zscore", "ts_ewma_daily",
+            "ts_ohlc_bars", "ts_resample_gapfill", "ts_funnel_conversion",
+            "ts_retention_cohort", "pivot_event_counts",
+            "pattern_detect_followedby", "pattern_detect_cep",
+        ],
+    },
+    "text": {
+        "replicated": ("documents",),
+        "keys": lambda REG: [
+            "dedup_exact", "dedup_near_minhash", "dedup_simhash",
+            "dedup_simhash_hamming", "text_tokenize_wordcount", "text_ngrams",
+            "text_tfidf_topterms", "text_lang_stats", "text_quality_score",
+            "text_token_count_bpe", "text_fingerprint_rolling",
+            "text_langid_ngram", "corpus_contamination_check",
+            "corpus_mix_rebalance", "corpus_pack_chunks",
+            "multimodal_doc_join", "llm_corpus_pipeline",
+        ],
+    },
+    "similarity": {
+        "replicated": ("embeddings",),
+        "keys": lambda REG: [
+            "sim_cosine_topk", "sim_knn_join_label", "sim_ann_ivf_topk",
+            "sim_ann_ivf_multiprobe", "dedup_embed_cosine_ivf",
+            "emb_kmeans_assign", "multimodal_vec_stats",
+            "multimodal_embed_quantize",
+        ],
+    },
+}
+
+
+def replicate(spark, F, table, src: str, family: str, k: int) -> str:
+    d = tempfile.mkdtemp(prefix=f"probe_{family}_{k}x_")
+    spec = FAMILIES[family]
+    for t in ALL_TABLES:
+        if t in spec["replicated"]:
+            continue
+        shutil.copy(os.path.join(src, f"{t}.parquet"), os.path.join(d, f"{t}.parquet"))
+    kr = spark.range(k).select(F.col("id").alias("k"))
+
+    def remap(name: str, id_cols: tuple[str, ...]):
+        df = table(spark, src, name)
+        out = df.crossJoin(kr).select(
+            *[
+                (F.col(c) * k + F.col("k")).alias(c) if c in id_cols else F.col(c)
+                for c in df.columns
+            ]
+        )
+        out.write.parquet(os.path.join(d, f"{name}.parquet"))
+
+    if family == "tpch":
+        remap("orders", ("o_orderkey",))
+        remap("lineitem", ("l_orderkey",))
+    elif family == "window":
+        remap("events", ("event_id", "user_id"))
+    elif family == "text":
+        remap("documents", ("doc_id",))
+    elif family == "similarity":
+        remap("embeddings", ("vec_id",))
+    return d
+
+
+def canon(v) -> str:
+    if v is None:
+        return "nan"
+    s = str(v)
+    if s in ("None", "NaT", "<NA>", "nan"):
+        return "nan"
+    try:
+        f = float(s)
+        if f != f:
+            return "nan"
+        if f == int(f) and abs(f) < 1e15:
+            return str(int(f))
+        return repr(round(f, 6))
+    except (ValueError, TypeError):
+        return s
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--family", required=True, choices=sorted(FAMILIES))
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--keys", nargs="*", help="subset of the family's keys")
+    args = ap.parse_args()
+
+    import duckdb
+    import pyspark.sql.functions as F
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count()}]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import flink_large_window_spark.api as api
+    from flink_large_window_spark.registry import REGISTRY
+    from flink_large_window_spark.tables import prep, table
+
+    prep(spark)  # BEFORE any source read — see module docstring
+    d = replicate(spark, F, table, args.sf, args.family, args.k)
+    print(f"replicated {args.family} x{args.k} at {d}", flush=True)
+
+    con = duckdb.connect()
+    tmp = tempfile.mkdtemp(prefix="probe_duck_tmp_")
+    con.execute(f"SET temp_directory='{tmp}'; SET memory_limit='40GB';")
+    for t in ALL_TABLES:
+        p = os.path.join(d, f"{t}.parquet")
+        pat = p + "/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+
+    oracles = api.oracle_sql()
+    keys = args.keys or FAMILIES[args.family]["keys"](REGISTRY)
+    n_ok = n_run = 0
+    for key in keys:
+        if key not in oracles:
+            print(f"[SKIP ] {key} (rows-only)", flush=True)
+            continue
+        n_run += 1
+        t0 = time.time()
+        try:
+            sdf = REGISTRY[key](spark, d)
+            cols = sorted(sdf.columns)
+            srows = sorted(tuple(canon(r[c]) for c in cols) for r in sdf.collect())
+            cur = con.execute(oracles[key])
+            ocols = sorted(c[0] for c in cur.description)
+            odf = cur.fetch_df()
+            orows = sorted(
+                tuple(canon(odf.iloc[i][c]) for c in ocols)
+                for i in range(len(odf))
+            )
+            ok = cols == ocols and srows == orows
+            print(
+                f"[{'MATCH' if ok else 'DIVERGE'}] {key}: "
+                f"{len(srows)}/{len(orows)} rows  {time.time() - t0:.1f}s",
+                flush=True,
+            )
+            if not ok and srows != orows:
+                print("   ", [(a, b) for a, b in zip(srows, orows) if a != b][:2])
+            n_ok += ok
+        except Exception as e:  # an oracle-side resource limit is a result too
+            print(f"[ERROR] {key}: {type(e).__name__}: {str(e)[:140]}", flush=True)
+    print(f"total: {n_ok}/{n_run} match", flush=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
