@@ -1,0 +1,60 @@
+"""Invariants of the bench harness itself (no Spark session needed):
+the gate machinery must be structurally sound before any measurement
+runs — a misconfigured HEADLINE/baseline pairing silently weakens the
+2x gate (review r8)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import bench
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _governing() -> dict[str, float]:
+    with open(os.path.join(_REPO, "BENCH.json")) as f:
+        frozen = json.load(f)["queries"]
+    g = dict(bench.NEW_KEY_BASELINES)
+    g.update({k: v["median_s"] for k, v in frozen.items()})
+    return g
+
+
+def test_every_headline_key_has_a_governing_baseline():
+    g = _governing()
+    missing = [k for k in bench.HEADLINE if k not in g]
+    assert not missing, f"headline keys without baseline: {missing}"
+
+
+def test_probe_keys_are_headline_and_baselined():
+    g = _governing()
+    for k in bench.PROBE_KEYS:
+        assert k in bench.HEADLINE, k
+        assert k in g, k
+
+
+def test_new_key_baselines_do_not_shadow_frozen():
+    """If a NEW_KEY_BASELINES key is ever frozen into BENCH.json, the
+    frozen value governs (dict build order) — and the hardcoded copy
+    should then be deleted; this assertion makes that state visible."""
+    with open(os.path.join(_REPO, "BENCH.json")) as f:
+        frozen = set(json.load(f)["queries"])
+    overlap = frozen & set(bench.NEW_KEY_BASELINES)
+    assert not overlap, (
+        f"{sorted(overlap)} are frozen now — remove them from "
+        "NEW_KEY_BASELINES (BENCH.json governs)"
+    )
+
+
+def test_headline_keys_are_registered():
+    import flink_large_window_spark.api as api
+
+    qs = api.queries()
+    missing = [k for k in bench.HEADLINE if k not in qs]
+    assert not missing, f"headline keys not in registry: {missing}"
+
+
+def test_watch_list_is_headline_subset():
+    extra = [k for k in bench.WATCH_LIST_RUNS if k not in bench.HEADLINE]
+    assert not extra, f"watch-list keys outside HEADLINE: {extra}"
