@@ -74,6 +74,37 @@ LSH_BUCKET_CAP = 64
 # but still inside signed-BIGINT range, which is the bound that
 # matters under ANSI mode). Jaccard is verified on DISTINCT hash sets
 # — identical to Spark's array_intersect/array_union set semantics.
+#
+# Round 8: the 64 permutation minima are WIDE aggregate columns over
+# one pass of hh (mirroring the Spark form, which has been unrolled
+# since round 6b) instead of a ×64 generate_series expansion — the
+# old shape materialized |doc×shingle|·64 rows in DuckDB and
+# exhausted container temp disk at ≥4× fixture scale (~10⁹ rows),
+# making the oracle the scalability bottleneck of its own check.
+# Same values (MIN per (doc, i); XOR chain == bit_xor aggregate,
+# both order-free), 64× smaller intermediate: the oracle now verifies
+# the 10× duplicate-heavy battery corpus it previously could not.
+
+
+def _mh_col(i: int) -> str:
+    return (
+        f"MIN(((h % {MERSENNE}) * {2 * i + 1} + {7919 * (i + 1)})"
+        f" % {MERSENNE}) AS mh{i}"
+    )
+
+
+def _band_row(b: int) -> str:
+    expr = f"(mh{8 * b} * 2654435761)"
+    for i in range(8 * b + 1, 8 * b + 8):
+        expr = f"xor({expr}, (mh{i} * 2654435761))"
+    return f"SELECT doc_id, {b} AS band, {expr} AS bh FROM minh"
+
+
+_MINH_COLS = ",\n             ".join(_mh_col(i) for i in range(N_HASHES))
+_BAND_ROWS = "\n      UNION ALL\n      ".join(
+    _band_row(b) for b in range(N_BANDS)
+)
+
 _MINHASH_ORACLE = f"""
     WITH toks AS (
       -- COALESCE: a NULL text would otherwise diverge between engines
@@ -98,14 +129,10 @@ _MINHASH_ORACLE = f"""
                   AS BIGINT) AS h
       FROM shing, UNNEST(shingles) AS u(s)
     ), minh AS (
-      SELECT doc_id, g.i AS i,
-             MIN(((h % {MERSENNE}) * (2 * g.i + 1) + 7919 * (g.i + 1))
-                 % {MERSENNE}) AS mh
-      FROM hh, (SELECT UNNEST(generate_series(0, {N_HASHES - 1})) AS i) g
-      GROUP BY doc_id, g.i
+      SELECT doc_id, {_MINH_COLS}
+      FROM hh GROUP BY doc_id
     ), band AS (
-      SELECT doc_id, i // 8 AS band, bit_xor(mh * 2654435761) AS bh
-      FROM minh GROUP BY doc_id, i // 8
+      {_BAND_ROWS}
     ), bsz AS (
       SELECT band, bh FROM band
       GROUP BY band, bh
