@@ -335,3 +335,32 @@ def test_minhash_all_jvm_no_cache_no_inferred_filter_pushdown(spark):
         "signature/shingle work planned BELOW the repartition exchange "
         "— the REPARTITION hint moved off the bare base-CTE SELECT"
     )
+
+
+def test_ivf_centroids_broadcast_is_jvm_local(spark):
+    """The memoized trained quantizer must materialize as a JVM
+    LocalTableScan: the plain-tuple createDataFrame alternative
+    compiles to a Python-backed `Scan ExistingRDD` that forks a Python
+    worker on EVERY downstream execution (~0.2 s/run — measured,
+    round 8). Pins both the memo's own plan and its shape inside a
+    consuming query's broadcast subtree."""
+    from flink_large_window_spark.llm.similarity import ivf_centroids
+    from flink_large_window_spark.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    cents_plan = (
+        ivf_centroids(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LocalTableScan" in cents_plan, cents_plan
+    assert "ExistingRDD" not in cents_plan, cents_plan
+
+    q_plan = (
+        REGISTRY["sim_ann_ivf_topk"](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LocalTableScan" in q_plan, "centroid side lost its local relation"
+    assert "ExistingRDD" not in q_plan, (
+        "Python-backed centroid scan leaked into the query plan"
+    )
