@@ -142,6 +142,19 @@ NEW_KEY_BASELINES = {
 }
 
 
+def governing_baselines() -> tuple[dict[str, float], set[str]]:
+    """(per-key 2x-gate table, frozen-key set) — the ONE construction
+    of the governing baselines, shared by main() and the invariant
+    tests (review r8: a mirrored copy in the tests could drift from
+    the harness it pins). Frozen BENCH.json entries overlay the
+    NEW_KEY_BASELINES fallback, so a future re-freeze governs."""
+    with open(os.path.join(_REPO_ROOT, "BENCH.json")) as f:
+        frozen = json.load(f)["queries"]
+    governing = dict(NEW_KEY_BASELINES)
+    governing.update({k: v["median_s"] for k, v in frozen.items()})
+    return governing, set(frozen)
+
+
 def bench_one(spark, fn, sf_dir: str, runs: int = 3, warmups: int = 2) -> dict:
     def run() -> float:
         t0 = time.perf_counter()
@@ -175,15 +188,7 @@ def main() -> None:
     # Read the frozen baseline BEFORE the (minutes-long) measurement
     # loop: a missing/corrupt BENCH.json should fail fast, not after
     # every query has run and the results are about to be discarded.
-    with open(os.path.join(_REPO_ROOT, "BENCH.json")) as f:
-        frozen = json.load(f)["queries"]
-    frozen_keys = set(frozen)
-    # Frozen entries take precedence: if a NEW_KEY_BASELINES key is
-    # ever formally (re-)frozen into BENCH.json, the frozen file must
-    # govern — the hardcoded first-medians are only the fallback for
-    # keys BENCH.json does not know (review r8).
-    governing = dict(NEW_KEY_BASELINES)
-    governing.update({k: v["median_s"] for k, v in frozen.items()})
+    governing, frozen_keys = governing_baselines()
     # Fail fast BEFORE the minutes-long measurement loop: every
     # headline key must have a governing baseline, or its 2x gate is
     # silently unreported (review r8 — the exact blind spot the

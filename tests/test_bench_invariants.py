@@ -5,30 +5,17 @@ runs — a misconfigured HEADLINE/baseline pairing silently weakens the
 
 from __future__ import annotations
 
-import json
-import os
-
 import bench
-
-_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
-
-def _governing() -> dict[str, float]:
-    with open(os.path.join(_REPO, "BENCH.json")) as f:
-        frozen = json.load(f)["queries"]
-    g = dict(bench.NEW_KEY_BASELINES)
-    g.update({k: v["median_s"] for k, v in frozen.items()})
-    return g
 
 
 def test_every_headline_key_has_a_governing_baseline():
-    g = _governing()
+    g, _ = bench.governing_baselines()
     missing = [k for k in bench.HEADLINE if k not in g]
     assert not missing, f"headline keys without baseline: {missing}"
 
 
 def test_probe_keys_are_headline_and_baselined():
-    g = _governing()
+    g, _ = bench.governing_baselines()
     for k in bench.PROBE_KEYS:
         assert k in bench.HEADLINE, k
         assert k in g, k
@@ -38,8 +25,7 @@ def test_new_key_baselines_do_not_shadow_frozen():
     """If a NEW_KEY_BASELINES key is ever frozen into BENCH.json, the
     frozen value governs (dict build order) — and the hardcoded copy
     should then be deleted; this assertion makes that state visible."""
-    with open(os.path.join(_REPO, "BENCH.json")) as f:
-        frozen = set(json.load(f)["queries"])
+    _, frozen = bench.governing_baselines()
     overlap = frozen & set(bench.NEW_KEY_BASELINES)
     assert not overlap, (
         f"{sorted(overlap)} are frozen now — remove them from "

@@ -41,10 +41,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-ALL_TABLES = (
-    "region nation customer supplier part orders lineitem events "
-    "documents embeddings"
-).split()
+from flink_large_window_spark.tables import TABLE_NAMES as ALL_TABLES
 
 FAMILIES = {
     "tpch": {
@@ -130,10 +127,18 @@ def canon(v) -> str:
     s = str(v)
     if s in ("None", "NaT", "<NA>", "nan"):
         return "nan"
+    # Pure integers compare VERBATIM — never through float (review r8:
+    # float64 carries ~15.95 significant digits, so 62-bit simhash
+    # signatures differing in the low ~10 bits would canonicalize
+    # identically and a real engine divergence would read as MATCH).
+    if s.lstrip("-").isdigit():
+        return s
     try:
         f = float(s)
         if f != f:
             return "nan"
+        if f in (float("inf"), float("-inf")):
+            return s  # comparable verbatim; int(f) would overflow
         if f == int(f) and abs(f) < 1e15:
             return str(int(f))
         return repr(round(f, 6))
@@ -168,48 +173,61 @@ def main() -> None:
     d = replicate(spark, F, table, args.sf, args.family, args.k)
     print(f"replicated {args.family} x{args.k} at {d}", flush=True)
 
-    con = duckdb.connect()
     tmp = tempfile.mkdtemp(prefix="probe_duck_tmp_")
-    con.execute(f"SET temp_directory='{tmp}'; SET memory_limit='40GB';")
-    for t in ALL_TABLES:
-        p = os.path.join(d, f"{t}.parquet")
-        pat = p + "/*.parquet" if os.path.isdir(p) else p
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
+    try:  # scratch (a --k 100 replica is multi-GB) must not outlive a crash
+        con = duckdb.connect()
+        con.execute(f"SET temp_directory='{tmp}'; SET memory_limit='40GB';")
+        for t in ALL_TABLES:
+            p = os.path.join(d, f"{t}.parquet")
+            pat = p + "/*.parquet" if os.path.isdir(p) else p
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')")
 
-    oracles = api.oracle_sql()
-    keys = args.keys or FAMILIES[args.family]["keys"](REGISTRY)
-    n_ok = n_run = 0
-    for key in keys:
-        if key not in oracles:
-            print(f"[SKIP ] {key} (rows-only)", flush=True)
-            continue
-        n_run += 1
-        t0 = time.time()
-        try:
-            sdf = REGISTRY[key](spark, d)
-            cols = sorted(sdf.columns)
-            srows = sorted(tuple(canon(r[c]) for c in cols) for r in sdf.collect())
-            cur = con.execute(oracles[key])
-            ocols = sorted(c[0] for c in cur.description)
-            odf = cur.fetch_df()
-            orows = sorted(
-                tuple(canon(odf.iloc[i][c]) for c in ocols)
-                for i in range(len(odf))
-            )
-            ok = cols == ocols and srows == orows
-            print(
-                f"[{'MATCH' if ok else 'DIVERGE'}] {key}: "
-                f"{len(srows)}/{len(orows)} rows  {time.time() - t0:.1f}s",
-                flush=True,
-            )
-            if not ok and srows != orows:
-                print("   ", [(a, b) for a, b in zip(srows, orows) if a != b][:2])
-            n_ok += ok
-        except Exception as e:  # an oracle-side resource limit is a result too
-            print(f"[ERROR] {key}: {type(e).__name__}: {str(e)[:140]}", flush=True)
-    print(f"total: {n_ok}/{n_run} match", flush=True)
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(d, ignore_errors=True)
+        oracles = api.oracle_sql()
+        keys = args.keys or FAMILIES[args.family]["keys"](REGISTRY)
+        unknown = [k for k in keys if k not in REGISTRY]
+        if unknown:  # a typo must not read as a skipped-but-covered key
+            raise SystemExit(f"keys not in the registry: {unknown}")
+        n_ok = n_run = 0
+        for key in keys:
+            if key not in oracles:
+                print(f"[SKIP ] {key} (rows-only)", flush=True)
+                continue
+            n_run += 1
+            t0 = time.time()
+            try:
+                sdf = REGISTRY[key](spark, d)
+                cols = sorted(sdf.columns)
+                srows = sorted(
+                    tuple(canon(r[c]) for c in cols) for r in sdf.collect()
+                )
+                cur = con.execute(oracles[key])
+                ocols = sorted(c[0] for c in cur.description)
+                odf = cur.fetch_df()[ocols]  # column-sorted once...
+                orows = sorted(  # ...then itertuples, not per-cell iloc
+                    tuple(canon(v) for v in row)
+                    for row in odf.itertuples(index=False, name=None)
+                )
+                ok = cols == ocols and srows == orows
+                print(
+                    f"[{'MATCH' if ok else 'DIVERGE'}] {key}: "
+                    f"{len(srows)}/{len(orows)} rows  {time.time() - t0:.1f}s",
+                    flush=True,
+                )
+                if not ok and srows != orows:
+                    print(
+                        "   ",
+                        [(a, b) for a, b in zip(srows, orows) if a != b][:2],
+                    )
+                n_ok += ok
+            except Exception as e:  # oracle resource limits are results too
+                print(
+                    f"[ERROR] {key}: {type(e).__name__}: {str(e)[:140]}",
+                    flush=True,
+                )
+        print(f"total: {n_ok}/{n_run} match", flush=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)
 
 
 if __name__ == "__main__":
