@@ -117,19 +117,54 @@ WATCH_LIST_RUNS = {
     # 1.22-1.24x r6→r7 on unchanged plans (VM drift); n=5 medians plus
     # the probe normalization below keep noise out of their ratios.
     "emb_kmeans_assign": 5,
+    # r9 (ADVICE r8): every probe key runs n=5 — probe-key noise
+    # multiplies directly into every norm ratio, so the normalizer
+    # must be at least as stable as the keys it corrects.
+    "dedup_exact": 5,
+    "agg_hash_grouped": 5,
+    "join_sortmerge_large": 5,
+    "dedup_simhash_hamming": 5,
 }
 
-# Environment probes (VERDICT r7 item 5): two light, plan-stable keys
-# whose cross-round swings have always tracked VM drift, never code
-# (verify notes r6/r7: dedup_exact ran 0.53 s vs a 0.26 s baseline on
-# identical code). The session's probe_factor — the geometric mean of
-# (same-session median / governing baseline) over these keys — scales
-# the normalized ratios reported next to the raw ones, so a hot-VM
-# round can't read as a real regression on the drift-sensitive
-# iterative keys (dedup_cluster_cc, emb_kmeans_assign) and a real
-# regression can't hide as noise. Raw ratios remain the 2x gate; the
-# normalized column is diagnostic context.
-PROBE_KEYS = ("dedup_exact", "agg_hash_grouped")
+# Environment probes, two CLASSES since round 9 (VERDICT r8 item 4).
+# r7/r8 measured that VM drift is key-class-dependent: sustained
+# multi-core multi-stage keys ran 10-20% slower in throttled sessions
+# while light keys stayed normal, and conversely a fast-probe session
+# (r8 probe_factor 0.62) made the single light-probe normalizer
+# OVER-correct the heavy keys. Each class probes with two plan-stable
+# keys whose swings have always tracked VM drift, never code:
+# - light: dedup_exact (verify notes r6: 0.53 s vs 0.26 s baseline on
+#   identical code), agg_hash_grouped (the flagship, single-exchange).
+# - heavy: join_sortmerge_large (two sorted exchanges, steady
+#   multi-core), dedup_simhash_hamming (the suite's widest unrolled
+#   codegen + band-join — the shape the r7 throttling hit hardest).
+# The per-class probe_factor — geometric mean of (same-session median
+# / governing baseline) over the class's probes — normalizes the keys
+# ASSIGNED to that class (HEAVY_NORM_KEYS below; everything else is
+# light). Raw ratios remain the 2x gate; norm is diagnostic context
+# that now works in both drift directions.
+PROBE_CLASSES = {
+    "light": ("dedup_exact", "agg_hash_grouped"),
+    "heavy": ("join_sortmerge_large", "dedup_simhash_hamming"),
+}
+
+# Keys whose measured drift tracks the heavy class: the iterative /
+# multi-stage / sustained-multi-core keys (the watch-list cohort plus
+# the heavy probes themselves — a probe's own norm is self-referential
+# by construction, same as the light probes always were).
+HEAVY_NORM_KEYS = frozenset(
+    {
+        "dedup_cluster_cc",
+        "emb_kmeans_assign",
+        "dedup_embed_cosine",
+        "dedup_simhash",
+        "dedup_near_minhash",
+        "dedup_simhash_hamming",
+        "join_sortmerge_large",
+        "join_bucketed_noshuffle",
+        "llm_corpus_pipeline",
+    }
+)
 
 # Governing baseline for keys NOT in the frozen round-1 BENCH.json:
 # the partsupp quartet's first recorded medians (BENCH_r07; BASELINE.md
@@ -225,19 +260,31 @@ def main() -> None:
         sum(r["median_s"] for k, r in results.items() if k not in frozen_keys),
         4,
     )
-    # Probe normalization (see PROBE_KEYS above): geometric mean keeps
-    # one noisy probe from dominating, and factor 1.0 == baseline VM.
-    probe_factor = round(
-        statistics.geometric_mean(
-            results[k]["median_s"] / governing[k] for k in PROBE_KEYS
-        ),
-        4,
-    )
+    # Probe normalization (see PROBE_CLASSES above): geometric mean
+    # keeps one noisy probe from dominating, and factor 1.0 ==
+    # baseline VM. Each key normalizes by ITS class's factor.
+    probe_factors = {
+        cls: round(
+            statistics.geometric_mean(
+                results[k]["median_s"] / governing[k] for k in probes
+            ),
+            4,
+        )
+        for cls, probes in PROBE_CLASSES.items()
+    }
+    # kept for cross-round comparability with BENCH_r08 (= old single
+    # light-class factor)
+    probe_factor = probe_factors["light"]
     ratios = {
         k: {
             "raw": round(results[k]["median_s"] / governing[k], 3),
             "norm": round(
-                results[k]["median_s"] / governing[k] / probe_factor, 3
+                results[k]["median_s"]
+                / governing[k]
+                / probe_factors[
+                    "heavy" if k in HEAVY_NORM_KEYS else "light"
+                ],
+                3,
             ),
         }
         for k in HEADLINE
@@ -255,6 +302,7 @@ def main() -> None:
                 "total_s": total,
                 "new_keys_total_s": new_total,
                 "probe_factor": probe_factor,
+                "probe_factors": probe_factors,
                 "ratios": ratios,
                 "env": env,
             },
@@ -271,6 +319,7 @@ def main() -> None:
                 "queries": {k: v["median_s"] for k, v in results.items()},
                 "new_keys_total_s": new_total,
                 "probe_factor": probe_factor,
+                "probe_factors": probe_factors,
                 "ratios": ratios,
                 "sf": sf_dir,
             }

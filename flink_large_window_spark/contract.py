@@ -203,82 +203,90 @@ DRIVER_CHECKED: frozenset[str] = (
     | _R06_EXTRAS
 )
 
-# Round 8 (VERDICT r7 item 1): the window's job stays RECENCY. 50
-# keys: first the 5 whose implementation changed this round (the three
-# IVF keys sharing the rewritten distinct-vector hash-spread quantizer
-# and its new oracle CTE, plus q8/q9 rewritten as single-SQL CTE
-# chains), then ALL 25 SQL-oracle keys whose latest driver evidence is
-# round 3 — the §2.9 batch windowing core, the scalar/UDF families,
-# q10/q18 and the corpus trio; the engine's identity rows, whose
-# evidence should not age past half the project's lifetime
-# (agg_hll_sketch_merge shares that evidence age but is rows-only by
-# design — sketch estimates are implementation-defined, its accuracy
-# lives in pytests — so it takes no hash-window slot, same as the two
-# approx-sketch keys). The remaining 20 slots go to the r4-evidence
-# tier: the five whose implementation files churned since (pattern_
-# detect_followedby and the four r5 winfn additions sharing
-# window_functions.py), then alphabetical r4 keys. Generated with
-# tools/staleness.py (evidence capped at r7 — the round this rotation
-# was derived from); ordering pinned by tests/test_contract.py.
-# (Historical correction, ADVICE r7: the round-7 comment said "31 keys
-# whose evidence predates round 3"; the listed pre-r3 block actually
-# held 29 — 31 was the raw staleness count before the two rows-only
-# sketch keys were excluded.)
+# Round 9 (VERDICT r8 item 1): the window's job stays RECENCY, and
+# this round it leads with the keys whose SHIPPED text the driver has
+# never stamped — the r8 commits landed AFTER the r8 window was fixed,
+# so their driver evidence is for older code/oracle text:
+# dedup_near_minhash (oracle restructured to wide permutation
+# aggregates in r8 commit c21dc59; driver evidence r7 checked the old
+# ×64-expansion oracle), stream_checkpoint_restart /
+# stream_rule_update_enrich (streams.py conf-restore cleanups, r8;
+# evidence r6/r7), and dedup_exact / dedup_simhash /
+# dedup_simhash_hamming (dedup.py churned in r8; evidence r6/r7).
+# Then ALL 13 keys whose evidence is round 4 — the oldest SQL-oracle
+# cohort; after this sweep no SQL-oracle key's evidence predates r5
+# (the round-9 completion criterion). The remaining 31 slots go to the
+# r5-evidence tier: the 18 §2.1–2.3 contract-core keys (scan / filter
+# / join — the engine's graded identity rows, called out by VERDICT r8
+# as the largest stale cohort), then the 13 SQL-oracle streaming twins
+# (streams.py churned in r8, staleness=3 — the highest file-granular
+# staleness on the board; the other two twins, window_large_day_stream
+# and stream_late_drop, are rows-only by design and take no hash-window
+# slot). Deferred to round 10: the 11 r5-evidence non-contract extras
+# with unchanged implementation files (join_asof_tolerance,
+# join_bucketed_noshuffle, join_skew_salted, scan_schema_evolution,
+# the three source round-trips, the three pattern_detect variants,
+# multimodal_frame_sample). Generated with tools/staleness.py
+# (evidence capped at r8 — the round this rotation was derived from);
+# ordering pinned by tests/test_contract.py.
 RECHECK_KEYS: tuple[str, ...] = (
-    # implementation changed this round
-    "sim_ann_ivf_topk",
-    "sim_ann_ivf_multiprobe",
-    "dedup_embed_cosine_ivf",
-    "q8_market_share",
-    "q9_product_profit",
-    # evidence at round 3 — every SQL-oracle key in that set
-    "corpus_contamination_check",
-    "corpus_mix_rebalance",
-    "corpus_pack_chunks",
-    "late_data_split",
-    "q10_returned_items",
-    "q18_large_volume",
-    "scalar_array",
-    "scalar_conditional",
-    "scalar_explode",
-    "scalar_json",
-    "stateful_count_session",
-    "ts_anomaly_zscore",
-    "udaf_grouped_agg",
-    "udf_scalar_pandas",
-    "udtf_split",
-    "watermark_dedup",
-    "window_cascading_rollup",
-    "window_early_fire",
-    "window_large_day",
-    "window_session_agg",
-    "window_session_dynamic_gap",
-    "window_sliding_agg",
-    "window_sliding_agg_prebucket",
-    "window_topn",
-    "window_tumbling_agg",
-    # evidence at round 4, implementation file churned since
-    "pattern_detect_followedby",
-    "winfn_first_ignore_nulls",
-    "winfn_moving_stddev",
-    "winfn_nth_value",
-    "winfn_percent_rank_cume",
-    # evidence at round 4, alphabetical fill to the 50-key budget
-    "agg_bitwise_flags",
-    "agg_distinct_multi",
-    "agg_regression",
-    "agg_skew_kurtosis_pinned",
-    "join_asof_nearest",
-    "pivot_event_counts",
-    "sample_hash_bernoulli",
-    "sample_reservoir_hash",
-    "sample_stratified_hash",
-    "scalar_bitwise",
-    "scalar_hash",
-    "scalar_interval_arith",
-    "scalar_json_struct",
-    "scalar_try_arith",
-    "set_except_all",
+    # shipped text never driver-stamped (code/oracle changed in r8
+    # after the r8 window was fixed)
+    "dedup_near_minhash",
+    "stream_checkpoint_restart",
+    "stream_rule_update_enrich",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    # evidence at round 4 — the oldest SQL-oracle cohort, all of it
+    "set_intersect_all",
+    "sort_within_partitions",
+    "ts_ewma_daily",
+    "ts_funnel_conversion",
+    "ts_ohlc_bars",
+    "ts_resample_gapfill",
+    "ts_retention_cohort",
+    "udf_group_map_zscore",
+    "udtf_python_chunks",
+    "unpivot_part_metrics",
+    "window_count_sliding",
+    "window_count_tumbling",
+    "window_tumbling_offset",
+    # evidence at round 5: §2.1–2.3 contract core (scan/filter/join)
+    "scan_parquet",
+    "scan_projection_pushdown",
+    "scan_predicate_pushdown",
+    "sink_parquet",
+    "project_arith",
+    "filter_conjunctive",
+    "filter_disjunctive_in",
+    "filter_like",
+    "filter_null_handling",
+    "join_inner_equi",
+    "join_sortmerge_large",
+    "join_left_outer",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_semi",
+    "join_left_anti",
+    "join_cross",
+    "join_theta_range",
+    # evidence at round 5: SQL-oracle streaming twins (streams.py
+    # churned in r8 — behavior-equivalent conf cleanups, but the
+    # driver should stamp the shipped text)
+    "join_interval_stream",
+    "join_window_tumbling_stream",
+    "stateful_count_session_stream",
+    "stateful_session_timeout_stream",
+    "stream_foreachbatch_upsert",
+    "stream_static_enrich",
+    "stream_stream_full_outer",
+    "stream_stream_left_outer",
+    "watermark_dedup_stream",
+    "window_early_fire_stream",
+    "window_session_agg_stream",
+    "window_sliding_agg_stream",
+    "window_tumbling_agg_stream",
 )
 
 # Round-5 priority: after the r4 window, 27 registered keys still

@@ -272,9 +272,14 @@ def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conversion failure must be an error, not a quiet 4x slowdown.
     fb_key = "spark.sql.execution.arrow.pyspark.fallback.enabled"
     prev, prev_fb = spark.conf.get(arrow_key), spark.conf.get(fb_key)
-    spark.conf.set(arrow_key, "true")
-    spark.conf.set(fb_key, "false")
+    # Both sets INSIDE the try (ADVICE r8): if the second set failed,
+    # the finally still restores the first; note the window is not
+    # thread-safe — a concurrent createDataFrame on the same session
+    # would see Arrow-with-fallback-off, matching the memo's session-
+    # keyed (single-threaded builder) contract.
     try:
+        spark.conf.set(arrow_key, "true")
+        spark.conf.set(fb_key, "false")
         cents = spark.createDataFrame(
             pd.DataFrame(
                 {

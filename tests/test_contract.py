@@ -128,16 +128,17 @@ def test_no_contract_key_lost_overall():
     assert len(q) >= 182
 
 
-def test_round8_recheck_window_shape():
-    """The round-8 window (VERDICT r7 item 1): 50 unique SQL-oracle
-    keys — the 5 whose implementation changed this round first (the
-    three IVF keys on the rewritten quantizer, q8/q9 single-SQL), then
-    ALL SQL-oracle keys whose latest driver evidence predates round 4
-    (the §2.9 batch core + scalars/UDFs, completion criterion: after
-    the r8 sweep no SQL-oracle key's evidence predates r4), then
-    r4-evidence fill. Derivation lives in tools/staleness.py; evidence
-    is computed from the CORRECTNESS files themselves so a stale
-    hardcoded list cannot drift."""
+def test_round9_recheck_window_shape():
+    """The round-9 window (VERDICT r8 item 1): 50 unique SQL-oracle
+    keys — the 6 whose SHIPPED text the driver never stamped first
+    (r8 commits landed after the r8 window was fixed: the restructured
+    minhash oracle, the two streams.py contract keys, the dedup.py
+    trio), then ALL 13 keys with r4 evidence (completion criterion:
+    after the r9 sweep no SQL-oracle key's evidence predates r5), then
+    r5-evidence fill (the §2.1–2.3 contract core + the SQL-oracle
+    streaming twins whose shared file churned in r8). Derivation lives
+    in tools/staleness.py; evidence is computed from the CORRECTNESS
+    files themselves so a stale hardcoded list cannot drift."""
     import os
     import sys
 
@@ -147,14 +148,17 @@ def test_round8_recheck_window_shape():
     oracles = api.oracle_sql()
     assert all(k in q and k in oracles for k in RECHECK_KEYS)
 
-    assert set(RECHECK_KEYS[:5]) == {
-        # distinct-vector hash-spread quantizer + new oracle CTE
-        "sim_ann_ivf_topk",
-        "sim_ann_ivf_multiprobe",
-        "dedup_embed_cosine_ivf",
-        # single-SQL CTE rewrites
-        "q8_market_share",
-        "q9_product_profit",
+    assert set(RECHECK_KEYS[:6]) == {
+        # oracle restructured in r8 (c21dc59) after the r8 window was
+        # fixed — driver evidence r7 checked the old oracle text
+        "dedup_near_minhash",
+        # streams.py conf-restore cleanups in r8, evidence r6/r7
+        "stream_checkpoint_restart",
+        "stream_rule_update_enrich",
+        # dedup.py churned in r8, evidence r6/r7
+        "dedup_exact",
+        "dedup_simhash",
+        "dedup_simhash_hamming",
     }
 
     tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
@@ -162,25 +166,25 @@ def test_round8_recheck_window_shape():
         sys.path.insert(0, tools_dir)
     from staleness import evidence_rounds
 
-    # capped at round 7: this window was DERIVED from r01..r07
-    # evidence; the r8 sweep it pins will write CORRECTNESS_r08.json,
+    # capped at round 8: this window was DERIVED from r01..r08
+    # evidence; the r9 sweep it pins will write CORRECTNESS_r09.json,
     # and uncapped evidence would then fail the freshness assertions
     # (round-7 review finding — a rotation test must cap evidence at
     # the rounds the rotation was derived from).
-    ev = evidence_rounds(upto=7)
+    ev = evidence_rounds(upto=8)
 
     # completion criterion: every SQL-oracle key whose evidence
-    # predates round 4 is inside the window, so the r8 sweep leaves no
-    # SQL-oracle evidence older than r4.
-    pre_r4_sql = {k for k, er in ev.items() if er < 4 and k in oracles}
+    # predates round 5 is inside the window, so the r9 sweep leaves no
+    # SQL-oracle evidence older than r5.
+    pre_r5_sql = {k for k, er in ev.items() if er < 5 and k in oracles}
     window = set(RECHECK_KEYS)
-    missing = pre_r4_sql - window
+    missing = pre_r5_sql - window
     assert not missing, (
-        f"SQL-oracle keys with pre-r4 evidence left out of the window: "
+        f"SQL-oracle keys with pre-r5 evidence left out of the window: "
         f"{sorted(missing)}"
     )
 
     # the tail burns no slot on fresh evidence: everything beyond the
-    # 5 changed keys has evidence from r4 or earlier.
-    too_fresh = [k for k in RECHECK_KEYS[5:] if ev.get(k, 0) > 4]
+    # 6 changed-after-stamp keys has evidence from r5 or earlier.
+    too_fresh = [k for k in RECHECK_KEYS[6:] if ev.get(k, 0) > 5]
     assert not too_fresh, f"recheck slots burned on fresh evidence: {too_fresh}"

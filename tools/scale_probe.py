@@ -121,6 +121,29 @@ def replicate(spark, F, table, src: str, family: str, k: int) -> str:
     return d
 
 
+# Known, theoretically-derived cross-engine divergences that a scale
+# probe must report as EXPECTED rather than as a regression (VERDICT r8
+# item 3). Keyed by probe key; fires only at or above min_k. The only
+# member is the ROUND(SUM(double), d) order-sensitivity wall: at 100×
+# key cardinality window_cascading_rollup's month panes sum ~2 M
+# doubles to ~1e8 under ROUND(·, 4) — 12 significant digits, where the
+# engines' summation-order walk reaches the rounding quantum (measured
+# 99,849,750 vs 99,849,749.9999). Demonstrated deterministically by
+# tests/test_float_boundary.py; boundary law + mitigation policy
+# (integer-scaled sums) in SCALING.md §13. Green at contract scale and
+# 10× — the wall needs total_magnitude × 10^d ≈ 10^12.
+EXPECTED_DIVERGENCE: dict[str, dict] = {
+    "window_cascading_rollup": {
+        "min_k": 100,
+        "reason": (
+            "ROUND(SUM(double)) order-sensitivity wall at ~1e12 "
+            "magnitude·precision — tests/test_float_boundary.py, "
+            "SCALING.md §13"
+        ),
+    },
+}
+
+
 def canon(v) -> str:
     if v is None:
         return "nan"
@@ -187,7 +210,7 @@ def main() -> None:
         unknown = [k for k in keys if k not in REGISTRY]
         if unknown:  # a typo must not read as a skipped-but-covered key
             raise SystemExit(f"keys not in the registry: {unknown}")
-        n_ok = n_run = 0
+        n_ok = n_run = n_xdiv = 0
         for key in keys:
             if key not in oracles:
                 print(f"[SKIP ] {key} (rows-only)", flush=True)
@@ -201,13 +224,32 @@ def main() -> None:
                     tuple(canon(r[c]) for c in cols) for r in sdf.collect()
                 )
                 cur = con.execute(oracles[key])
-                ocols = sorted(c[0] for c in cur.description)
-                odf = cur.fetch_df()[ocols]  # column-sorted once...
-                orows = sorted(  # ...then itertuples, not per-cell iloc
-                    tuple(canon(v) for v in row)
-                    for row in odf.itertuples(index=False, name=None)
+                # fetchall(), NOT fetch_df(): pandas coerces a nullable
+                # BIGINT column to float64, sending big ints (62-bit
+                # simhash signatures) down canon()'s lossy float path
+                # on the oracle side only — a guaranteed spurious
+                # DIVERGE on exactly the columns the verbatim-integer
+                # rule protects (ADVICE r8). fetchall preserves Python
+                # ints and None.
+                names = [c[0] for c in cur.description]
+                perm = sorted(range(len(names)), key=lambda i: names[i])
+                ocols = [names[i] for i in perm]
+                orows = sorted(
+                    tuple(canon(row[i]) for i in perm)
+                    for row in cur.fetchall()
                 )
                 ok = cols == ocols and srows == orows
+                expected = EXPECTED_DIVERGENCE.get(key)
+                if not ok and expected and args.k >= expected["min_k"]:
+                    n_xdiv += 1
+                    n_ok += 1  # known wall, not a regression
+                    print(
+                        f"[XDIV ] {key}: expected divergence at "
+                        f"k>={expected['min_k']} ({expected['reason']})  "
+                        f"{time.time() - t0:.1f}s",
+                        flush=True,
+                    )
+                    continue
                 print(
                     f"[{'MATCH' if ok else 'DIVERGE'}] {key}: "
                     f"{len(srows)}/{len(orows)} rows  {time.time() - t0:.1f}s",
@@ -224,7 +266,8 @@ def main() -> None:
                     f"[ERROR] {key}: {type(e).__name__}: {str(e)[:140]}",
                     flush=True,
                 )
-        print(f"total: {n_ok}/{n_run} match", flush=True)
+        tail = f" ({n_xdiv} expected-divergent)" if n_xdiv else ""
+        print(f"total: {n_ok}/{n_run} match{tail}", flush=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)

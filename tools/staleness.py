@@ -24,6 +24,16 @@ Method:
 File-level granularity deliberately over-approximates: a commit to
 dedup.py marks every dedup key stale even if only one function
 changed. That errs toward re-checking, which is the cheap direction.
+
+Round 9 (VERDICT r8 item 1): round-granular code_rounds() blurs
+WITHIN-round ordering — the r8 minhash oracle restructure (c21dc59)
+landed after the r8 recheck window was fixed, so the driver stamped
+the OLD oracle text while both rounds read as "8". The git-diff-aware
+column closes that gap mechanically: for each key, count the commits
+touching its implementation file SINCE the driver marker commit of
+its evidence round ("round N: verdict..." — the commit that landed
+CORRECTNESS_r0N.json). post_stamp > 0 means the shipped text was
+never driver-checked, even when code_round == evidence_round.
 """
 
 from __future__ import annotations
@@ -82,16 +92,50 @@ def evidence_rounds(upto: int | None = None) -> dict[str, int]:
     return ev
 
 
-def code_rounds() -> dict[str, int]:
-    """key -> round in which its implementation file last changed."""
+def key_files() -> dict[str, str]:
+    """key -> repo-relative implementation file (from the registry)."""
     import flink_large_window_spark.api  # noqa: F401 — populates REGISTRY
     from flink_large_window_spark.registry import REGISTRY
 
-    bounds = round_boundaries()  # round N marker ENDS round N
-    key_file = {
+    return {
         k: os.path.relpath(fn.__code__.co_filename, _REPO)
         for k, fn in REGISTRY.items()
     }
+
+
+def commits_since_stamp(
+    ev: dict[str, int], key_file: dict[str, str]
+) -> dict[str, int]:
+    """key -> number of commits touching its implementation file AFTER
+    the driver marker commit of its evidence round (git-diff-aware
+    "changed after last driver check"; 0 = shipped text is exactly
+    what the driver stamped, at file granularity). Keys with no
+    evidence map to -1 (never stamped at all)."""
+    markers = dict(round_boundaries())
+    out: dict[str, int] = {}
+    # one `git log` per (marker, file) pair, memoized — most keys
+    # share both coordinates
+    memo: dict[tuple[str, str], int] = {}
+    for k, f in key_file.items():
+        er = ev.get(k)
+        if er is None or er not in markers:
+            out[k] = -1
+            continue
+        coord = (markers[er], f)
+        if coord not in memo:
+            log = subprocess.run(
+                ["git", "log", "--format=%H", f"{coord[0]}..HEAD", "--", f],
+                capture_output=True, text=True, cwd=_REPO, check=True,
+            ).stdout.split()
+            memo[coord] = len(log)
+        out[k] = memo[coord]
+    return out
+
+
+def code_rounds() -> dict[str, int]:
+    """key -> round in which its implementation file last changed."""
+    bounds = round_boundaries()  # round N marker ENDS round N
+    key_file = key_files()
     file_round: dict[str, int] = {}
     for f in set(key_file.values()):
         # last commit touching f
@@ -125,27 +169,37 @@ def main() -> None:
 
     ev = evidence_rounds()
     code = code_rounds()
+    post = commits_since_stamp(ev, key_files())
     rows = []
     for k, cr in code.items():
         er = ev.get(k)
         stale = float("inf") if er is None else cr - er
-        rows.append((stale, cr, er, k))
-    rows.sort(key=lambda r: (-(r[0] if r[0] != float("inf") else 10**6), r[3]))
+        rows.append((stale, post.get(k, -1), cr, er, k))
+    rows.sort(key=lambda r: (
+        -(r[0] if r[0] != float("inf") else 10**6), -r[1], r[4]))
+
+    def actionable(r):
+        # stale round math OR file commits after the evidence stamp
+        return r[0] > 0 or r[1] != 0
 
     if args.tuple:
-        for stale, cr, er, k in rows:
-            if stale > 0:
-                print(f'    "{k}",')
+        for r in rows:
+            if actionable(r):
+                print(f'    "{r[4]}",')
         return
-    print(f"{'key':34s} {'code_r':>6s} {'evid_r':>6s} {'stale':>6s}")
-    for stale, cr, er, k in rows:
-        if stale <= 0:
+    print(f"{'key':34s} {'code_r':>6s} {'evid_r':>6s} {'stale':>6s} "
+          f"{'post_stamp':>10s}")
+    for stale, ps, cr, er, k in rows:
+        if not actionable((stale, ps, cr, er, k)):
             continue
         s = "NEW" if stale == float("inf") else str(int(stale))
-        print(f"{k:34s} {cr:6d} {str(er or '-'):>6s} {s:>6s}")
-    n_stale = sum(1 for r in rows if r[0] > 0)
+        p = "-" if ps < 0 else str(ps)
+        print(f"{k:34s} {cr:6d} {str(er or '-'):>6s} {s:>6s} {p:>10s}")
+    n_stale = sum(1 for r in rows if actionable(r))
+    n_post = sum(1 for r in rows if r[0] <= 0 and r[1] > 0)
     print(f"\n{n_stale} keys with evidence older than their code "
-          f"(of {len(rows)} registered)")
+          f"(of {len(rows)} registered); {n_post} of those caught ONLY "
+          f"by the git-diff-aware post_stamp column")
 
 
 if __name__ == "__main__":
