@@ -230,11 +230,28 @@ def main() -> None:
             try:
                 sdf = REGISTRY[key](spark, d)
                 if args.engine_only:
-                    n = sdf.count()
+                    # NOT sdf.count(): a bare count lets Catalyst prune
+                    # every unused column, so a pure-SQL pipeline's
+                    # expensive expressions (64 minhash permutations,
+                    # popcount chains) are optimized away and the
+                    # "engine ran at scale" claim is hollow (measured:
+                    # dedup_near_minhash "ran" in 3.9 s pruned at
+                    # 500 k docs — faster than the honest 44.7 s at
+                    # 50 k). A digest over EVERY output column
+                    # forces full evaluation while keeping the result
+                    # a single driver-side row.
+                    # bit_xor, not sum: summing 500 k signed xxhash64
+                    # values overflows int64 and ANSI mode makes that
+                    # a query-killing error; XOR is closed over int64.
+                    n, dig = sdf.agg(
+                        F.count(F.lit(1)),
+                        F.bit_xor(F.xxhash64(*[F.col(c) for c in sdf.columns])),
+                    ).first()
                     n_ok += 1
                     print(
-                        f"[RAN  ] {key}: {n} rows  "
-                        f"{time.time() - t0:.1f}s (engine-only)",
+                        f"[RAN  ] {key}: {n} rows digest={dig}  "
+                        f"{time.time() - t0:.1f}s (engine-only, all "
+                        f"columns evaluated)",
                         flush=True,
                     )
                     continue
