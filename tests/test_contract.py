@@ -164,7 +164,23 @@ def test_round9_recheck_window_shape():
     tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
     if tools_dir not in sys.path:
         sys.path.insert(0, tools_dir)
-    from staleness import evidence_rounds
+    from staleness import commits_since_stamp, evidence_rounds, key_files
+
+    # The first-6 selection criterion itself, checked mechanically
+    # (review r9: the hardcoded set above was only asserted against a
+    # copy of itself): under r01..r08 evidence, each of the six has
+    # file commits AFTER its evidence round's driver marker — i.e.
+    # the shipped text was never driver-stamped. Stable over time:
+    # commits only accumulate, and capped evidence is immutable.
+    kf = key_files()
+    post = commits_since_stamp(
+        evidence_rounds(upto=8), {k: kf[k] for k in RECHECK_KEYS[:6]}
+    )
+    not_post = [k for k in RECHECK_KEYS[:6] if post[k] <= 0]
+    assert not not_post, (
+        f"window leads claim changed-after-stamp but post_stamp<=0: "
+        f"{not_post}"
+    )
 
     # capped at round 8: this window was DERIVED from r01..r08
     # evidence; the r9 sweep it pins will write CORRECTNESS_r09.json,

@@ -106,11 +106,23 @@ def key_files() -> dict[str, str]:
 def commits_since_stamp(
     ev: dict[str, int], key_file: dict[str, str]
 ) -> dict[str, int]:
-    """key -> number of commits touching its implementation file AFTER
-    the driver marker commit of its evidence round (git-diff-aware
-    "changed after last driver check"; 0 = shipped text is exactly
-    what the driver stamped, at file granularity). Keys with no
-    evidence map to -1 (never stamped at all)."""
+    """key -> number of commits touching its implementation file at or
+    after the driver marker commit of its evidence round
+    (git-diff-aware "changed after last driver check"; 0 = shipped
+    text is exactly what the driver stamped, at file granularity).
+
+    The range is ``marker^..HEAD`` (marker INCLUDED): the round-N
+    sweep runs against the tree as of the last pre-marker commit, so
+    a file change carried by the marker commit itself was never seen
+    by that sweep. Today markers only ever land evidence/verdict files
+    (verified r1–r8), so this is a no-op guard — but if a marker ever
+    bundles uncommitted implementation work, the key flags instead of
+    silently reading as stamped.
+
+    Sentinels: -1 = never stamped at all; -2 = evidence round has no
+    marker commit yet (a fresh CORRECTNESS file in the working tree
+    mid-driver-flow — evidence is NEWER than any marker, the opposite
+    of stale; resolves once the round's marker lands)."""
     markers = dict(round_boundaries())
     out: dict[str, int] = {}
     # one `git log` per (marker, file) pair, memoized — most keys
@@ -118,13 +130,16 @@ def commits_since_stamp(
     memo: dict[tuple[str, str], int] = {}
     for k, f in key_file.items():
         er = ev.get(k)
-        if er is None or er not in markers:
+        if er is None:
             out[k] = -1
+            continue
+        if er not in markers:
+            out[k] = -2
             continue
         coord = (markers[er], f)
         if coord not in memo:
             log = subprocess.run(
-                ["git", "log", "--format=%H", f"{coord[0]}..HEAD", "--", f],
+                ["git", "log", "--format=%H", f"{coord[0]}^..HEAD", "--", f],
                 capture_output=True, text=True, cwd=_REPO, check=True,
             ).stdout.split()
             memo[coord] = len(log)
@@ -179,8 +194,13 @@ def main() -> None:
         -(r[0] if r[0] != float("inf") else 10**6), -r[1], r[4]))
 
     def actionable(r):
-        # stale round math OR file commits after the evidence stamp
-        return r[0] > 0 or r[1] != 0
+        # stale round math OR file commits after the evidence stamp.
+        # Strictly > 0: -1 (never stamped) is already caught by
+        # stale=inf, and -2 (evidence round's marker not landed yet —
+        # a just-run sweep) is the FRESHEST evidence on the board, not
+        # stale (review r9: `!= 0` flagged every freshly-swept key as
+        # a paste-ready recheck candidate mid-driver-flow).
+        return r[0] > 0 or r[1] > 0
 
     if args.tuple:
         for r in rows:
@@ -193,13 +213,13 @@ def main() -> None:
         if not actionable((stale, ps, cr, er, k)):
             continue
         s = "NEW" if stale == float("inf") else str(int(stale))
-        p = "-" if ps < 0 else str(ps)
+        p = {-1: "-", -2: "pending"}.get(ps, str(ps))
         print(f"{k:34s} {cr:6d} {str(er or '-'):>6s} {s:>6s} {p:>10s}")
     n_stale = sum(1 for r in rows if actionable(r))
     n_post = sum(1 for r in rows if r[0] <= 0 and r[1] > 0)
-    print(f"\n{n_stale} keys with evidence older than their code "
-          f"(of {len(rows)} registered); {n_post} of those caught ONLY "
-          f"by the git-diff-aware post_stamp column")
+    print(f"\n{n_stale} actionable keys (evidence older than code, or "
+          f"file commits after the stamp) of {len(rows)} registered; "
+          f"{n_post} caught ONLY by the git-diff-aware post_stamp column")
 
 
 if __name__ == "__main__":
