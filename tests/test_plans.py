@@ -364,3 +364,31 @@ def test_ivf_centroids_broadcast_is_jvm_local(spark):
     assert "ExistingRDD" not in q_plan, (
         "Python-backed centroid scan leaked into the query plan"
     )
+
+
+def test_bucketed_join_memo_serves_without_rewrite(spark):
+    """The bucketed materialization is written once per session+dir
+    (r9: bucketing is ingest-time layout); repeat calls must serve the
+    SAME catalog-backed DataFrames, tables.invalidate must evict, and
+    the retrained result must be value-identical."""
+    from flink_large_window_spark import tables
+    from flink_large_window_spark.plans import bucketing
+
+    tables.invalidate(SF_SMOKE)  # isolate from other tests' memo state
+    first = sorted(
+        map(tuple, bucketing.join_bucketed_noshuffle(spark, SF_SMOKE).collect())
+    )
+    key = [k for k in bucketing._BUCKETED if k[2] == SF_SMOKE]
+    assert len(key) == 1, "memo should hold exactly this dir's pair"
+    pair = bucketing._BUCKETED[key[0]]
+    bucketing.join_bucketed_noshuffle(spark, SF_SMOKE)
+    assert bucketing._BUCKETED[key[0]] is pair, "repeat call re-materialized"
+
+    tables.invalidate(SF_SMOKE)
+    assert not [k for k in bucketing._BUCKETED if k[2] == SF_SMOKE], (
+        "invalidation hook did not evict this dir's pair"
+    )
+    again = sorted(
+        map(tuple, bucketing.join_bucketed_noshuffle(spark, SF_SMOKE).collect())
+    )
+    assert again == first, "retrained bucketed join changed values"
