@@ -87,6 +87,23 @@ FAMILIES = {
             "multimodal_embed_quantize",
         ],
     },
+    # Event-time joins (asof / interval / windowed): same events
+    # replication as the window family — K× user cardinality with
+    # identical per-user temporal patterns, so per-key join state is
+    # constant and output grows exactly linearly. The orders-side join
+    # keys (join_theta_range, join_skew_salted — equi+range residual
+    # and salted hot-key) are probed through the tpch replication
+    # instead: `--family tpch --keys join_theta_range join_skew_salted`
+    # (orders duplicated K× against FIXED dims amplifies every
+    # customer key's fan-in K× — the skew shape salting exists for).
+    "joins": {
+        "replicated": ("events",),
+        "keys": lambda REG: [
+            "join_interval", "join_interval_banded", "join_asof",
+            "join_asof_forward", "join_asof_nearest",
+            "join_asof_tolerance", "join_window_tumbling",
+        ],
+    },
 }
 
 
@@ -112,7 +129,7 @@ def replicate(spark, F, table, src: str, family: str, k: int) -> str:
     if family == "tpch":
         remap("orders", ("o_orderkey",))
         remap("lineitem", ("l_orderkey",))
-    elif family == "window":
+    elif family in ("window", "joins"):
         remap("events", ("event_id", "user_id"))
     elif family == "text":
         remap("documents", ("doc_id",))
