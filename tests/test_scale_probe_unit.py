@@ -72,3 +72,34 @@ def test_canon_null_spellings_collapse():
     assert {canon(None), canon("None"), canon("NaT"), canon("<NA>")} == {
         "nan"
     }
+
+
+def test_every_family_key_list_is_registered_with_oracle():
+    # a family battery whose keys drifted from the registry would die
+    # at --keys validation; pin it sessionlessly here instead
+    import flink_large_window_spark.api as api
+    from scale_probe import FAMILIES
+
+    q, o = api.queries(), api.oracle_sql()
+    for fam, spec in FAMILIES.items():
+        keys = spec["keys"](q)
+        unknown = [k for k in keys if k not in q]
+        assert not unknown, f"{fam}: keys not registered: {unknown}"
+        # every battery key must carry the full value compare
+        no_oracle = [k for k in keys if k not in o]
+        assert not no_oracle, f"{fam}: keys without SQL oracle: {no_oracle}"
+
+
+def test_replicate_dispatch_covers_every_family():
+    # the FAMILIES dict and replicate()'s if/elif chain drifted in r9
+    # (new family declared, no replica written); pin the source text
+    # so the next new family must touch both places
+    import inspect
+
+    import scale_probe
+
+    src = inspect.getsource(scale_probe.replicate)
+    for fam in scale_probe.FAMILIES:
+        assert f'"{fam}"' in src, (
+            f"family {fam!r} has no branch in replicate()"
+        )

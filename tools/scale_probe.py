@@ -104,7 +104,60 @@ FAMILIES = {
             "join_asof_tolerance", "join_window_tumbling",
         ],
     },
+    # The engine's identity: REAL Structured Streaming twins (bounded
+    # replay through micro-batch execution with RocksDB-backed state),
+    # not their batch shadows — at K× key cardinality the per-key
+    # window/session/join state multiplies while per-key temporal
+    # patterns stay fixed, which is precisely the "large window state"
+    # axis. Same events replication as window/joins.
+    "streaming": {
+        "replicated": ("events",),
+        "keys": lambda REG: [
+            "window_tumbling_agg_stream", "window_sliding_agg_stream",
+            "window_session_agg_stream", "window_early_fire_stream",
+            "watermark_dedup_stream", "stateful_count_session_stream",
+            "stateful_session_timeout_stream", "join_interval_stream",
+            "join_window_tumbling_stream", "stream_stream_left_outer",
+            "stream_stream_full_outer", "stream_static_enrich",
+            "stream_foreachbatch_upsert",
+            "stream_checkpoint_restart", "stream_rule_update_enrich",
+            "stream_watermark_skew", "stream_allowed_lateness_reemit",
+        ],
+    },
 }
+
+
+def _replicate_events_arrow(src: str, d: str, k: int) -> None:
+    """events replica in the EXACT fixture layout: one pyarrow-written
+    file, schema preserved (timestamp[us], isAdjustedToUTC as shipped).
+    The streaming replay machinery depends on that layout — the file
+    source narrows to the literal file name with pathGlobFilter (a
+    Spark-written DIRECTORY matches zero part files → every stream
+    reads 0 rows), and the two-source keys re-read via pyarrow and
+    re-write scratch chunks with the source's own type annotations.
+    Copy i of row r gets id·k+i, identical to the Spark remap below;
+    pyarrow compute arithmetic is checked (overflow raises, like ANSI).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(src, "events.parquet"))
+    parts = []
+    for i in range(k):
+        t = tbl
+        for c in ("event_id", "user_id"):
+            idx = t.schema.get_field_index(c)
+            typ = t.schema.field(idx).type
+            col = pc.add(
+                pc.multiply(t[c], pa.scalar(k, type=typ)),
+                pa.scalar(i, type=typ),
+            )
+            t = t.set_column(idx, c, col)
+        parts.append(t)
+    pq.write_table(
+        pa.concat_tables(parts), os.path.join(d, "events.parquet")
+    )
 
 
 def replicate(spark, F, table, src: str, family: str, k: int) -> str:
@@ -129,12 +182,26 @@ def replicate(spark, F, table, src: str, family: str, k: int) -> str:
     if family == "tpch":
         remap("orders", ("o_orderkey",))
         remap("lineitem", ("l_orderkey",))
-    elif family in ("window", "joins"):
-        remap("events", ("event_id", "user_id"))
+    elif family in ("window", "joins", "streaming"):
+        _replicate_events_arrow(src, d, k)
     elif family == "text":
         remap("documents", ("doc_id",))
     elif family == "similarity":
         remap("embeddings", ("vec_id",))
+    # FAMILIES and this dispatch can drift (round 9: the new
+    # `streaming` family skipped the copy loop via spec["replicated"]
+    # but the elif chain never wrote its replica) — fail here, not at
+    # the oracle's read_parquet.
+    missing = [
+        t
+        for t in spec["replicated"]
+        if not os.path.exists(os.path.join(d, f"{t}.parquet"))
+    ]
+    if missing:
+        raise SystemExit(
+            f"replicate() wrote no replica for {missing} — family "
+            f"{family!r} is declared in FAMILIES but not handled above"
+        )
     return d
 
 
@@ -238,6 +305,12 @@ def main() -> None:
         SparkSession.builder.master(f"local[{os.cpu_count()}]")
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.driver.memory", "48g")
+        # The streaming twins drain into a MEMORY sink (driver-
+        # resident by design — the bounded-replay harness, not the
+        # dataflow): a 38 M-row sliding output trips the 1 GiB
+        # maxResultSize default. Probe-session-only; a production
+        # sink (parquet/Kafka) is distributed and never collects.
+        .config("spark.driver.maxResultSize", "8g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
