@@ -91,15 +91,33 @@ def test_every_family_key_list_is_registered_with_oracle():
 
 
 def test_replicate_dispatch_covers_every_family():
-    # the FAMILIES dict and replicate()'s if/elif chain drifted in r9
-    # (new family declared, no replica written); pin the source text
-    # so the next new family must touch both places
+    # the FAMILIES dict and the replicate if/elif chain drifted in r9
+    # (new family declared, no replica written). Pin via AST: collect
+    # the string constants compared against `family` — a plain
+    # source-text grep would false-pass on a family named after any
+    # table already quoted in another branch (review r9).
+    import ast
     import inspect
 
     import scale_probe
 
-    src = inspect.getsource(scale_probe.replicate)
-    for fam in scale_probe.FAMILIES:
-        assert f'"{fam}"' in src, (
-            f"family {fam!r} has no branch in replicate()"
-        )
+    tree = ast.parse(inspect.getsource(scale_probe._replicate_into))
+    handled: set[str] = set()
+    for node in ast.walk(tree):
+        if not (
+            isinstance(node, ast.Compare)
+            and isinstance(node.left, ast.Name)
+            and node.left.id == "family"
+        ):
+            continue
+        for comp in node.comparators:
+            if isinstance(comp, ast.Constant) and isinstance(comp.value, str):
+                handled.add(comp.value)
+            elif isinstance(comp, ast.Tuple):
+                handled.update(
+                    e.value
+                    for e in comp.elts
+                    if isinstance(e, ast.Constant) and isinstance(e.value, str)
+                )
+    missing = set(scale_probe.FAMILIES) - handled
+    assert not missing, f"families with no dispatch branch: {sorted(missing)}"

@@ -135,8 +135,13 @@ def _replicate_events_arrow(src: str, d: str, k: int) -> None:
     Spark-written DIRECTORY matches zero part files → every stream
     reads 0 rows), and the two-source keys re-read via pyarrow and
     re-write scratch chunks with the source's own type annotations.
-    Copy i of row r gets id·k+i, identical to the Spark remap below;
-    pyarrow compute arithmetic is checked (overflow raises, like ANSI).
+    Copy i of row r gets id·k+i, identical to the Spark remap below.
+    The *_checked compute kernels are deliberate: bare pc.add/multiply
+    WRAP silently (review r9, verified: pc.multiply([2**62], 100) → 0
+    with no error on the installed pyarrow), which would corrupt the
+    replica's key cardinality and still report MATCH — the Spark remap
+    this replaced raised under ANSI, and the checked kernels restore
+    that property.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -144,15 +149,16 @@ def _replicate_events_arrow(src: str, d: str, k: int) -> None:
 
     tbl = pq.read_table(os.path.join(src, "events.parquet"))
     parts = []
+    base = {}  # loop-invariant id·k per column, computed once
+    for c in ("event_id", "user_id"):
+        typ = tbl.schema.field(tbl.schema.get_field_index(c)).type
+        base[c] = pc.multiply_checked(tbl[c], pa.scalar(k, type=typ))
     for i in range(k):
         t = tbl
         for c in ("event_id", "user_id"):
             idx = t.schema.get_field_index(c)
             typ = t.schema.field(idx).type
-            col = pc.add(
-                pc.multiply(t[c], pa.scalar(k, type=typ)),
-                pa.scalar(i, type=typ),
-            )
+            col = pc.add_checked(base[c], pa.scalar(i, type=typ))
             t = t.set_column(idx, c, col)
         parts.append(t)
     pq.write_table(
@@ -162,6 +168,20 @@ def _replicate_events_arrow(src: str, d: str, k: int) -> None:
 
 def replicate(spark, F, table, src: str, family: str, k: int) -> str:
     d = tempfile.mkdtemp(prefix=f"probe_{family}_{k}x_")
+    try:
+        return _replicate_into(spark, F, table, src, family, k, d)
+    except BaseException:
+        # main()'s try/finally takes ownership of d only after we
+        # return; a failure mid-build (the dispatch guard below, a
+        # partial multi-GB events write at --k 100) must not leak the
+        # half-built replica (review r9) — the tool's own hygiene rule.
+        shutil.rmtree(d, ignore_errors=True)
+        raise
+
+
+def _replicate_into(
+    spark, F, table, src: str, family: str, k: int, d: str
+) -> str:
     spec = FAMILIES[family]
     for t in ALL_TABLES:
         if t in spec["replicated"]:
