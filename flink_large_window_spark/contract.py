@@ -222,11 +222,12 @@ DRIVER_CHECKED: frozenset[str] = (
 # (streams.py churned in r8, staleness=3 — the highest file-granular
 # staleness on the board; the other two twins, window_large_day_stream
 # and stream_late_drop, are rows-only by design and take no hash-window
-# slot). Deferred to round 10: the 11 r5-evidence non-contract extras
-# with unchanged implementation files (join_asof_tolerance,
-# join_bucketed_noshuffle, join_skew_salted, scan_schema_evolution,
-# the three source round-trips, the three pattern_detect variants,
-# multimodal_frame_sample). Generated with tools/staleness.py
+# slot). Deferred to round 10: the r5-evidence extras with unchanged
+# implementation files (join_asof_tolerance, join_skew_salted,
+# scan_schema_evolution, the three source round-trips, the three
+# pattern_detect variants, multimodal_frame_sample, and — swapped out
+# mid-r9 for the memoized bucketed join, see below — join_cross).
+# Generated with tools/staleness.py
 # (evidence capped at r8 — the round this rotation was derived from);
 # ordering pinned by tests/test_contract.py.
 RECHECK_KEYS: tuple[str, ...] = (
@@ -269,7 +270,13 @@ RECHECK_KEYS: tuple[str, ...] = (
     "join_full_outer",
     "join_left_semi",
     "join_left_anti",
-    "join_cross",
+    # swapped in mid-r9 for join_cross: the bucketed-join
+    # materialization became memoized per session+dir this round
+    # (plans/bucketing.py) — a dataflow change whose shipped text the
+    # driver must stamp THIS round, not surface as a "changed after
+    # stamp" watch item next round. join_cross (trivial 125-row cross
+    # join, implementation untouched, evidence r5) defers to r10.
+    "join_bucketed_noshuffle",
     "join_theta_range",
     # evidence at round 5: SQL-oracle streaming twins (streams.py
     # churned in r8 — behavior-equivalent conf cleanups, but the
