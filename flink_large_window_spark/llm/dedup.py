@@ -944,10 +944,19 @@ def dedup_embed_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         mat = np.stack(pdf["vec_d"].to_numpy()).astype(np.float64)
         mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        hits = (mat @ mat.T >= 0.9).sum(axis=1) - 1  # minus self
-        return pd.DataFrame(
-            {"doc_id": pdf["vec_id"], "n_neardup_09": hits.astype("int64")}
-        )
+        n = mat.shape[0]
+        # Row-tiled within-cell GEMM: a duplicate-heavy corpus funnels
+        # every copy of a distinct vector into ONE cell, so cells grow
+        # ~N/C — the r9 1000× probe (2 M vectors) produced a 130 k-row
+        # cell whose untiled `mat @ mat.T` tried to allocate 126 GiB.
+        # Tile rows so each partial product stays ~64 MiB (step·n·8 B);
+        # identical arithmetic, O(n·step) memory, same O(n²/C) work.
+        step = max(1, 8_000_000 // max(n, 1))
+        hits = np.empty(n, dtype=np.int64)
+        for s in range(0, n, step):
+            e = min(n, s + step)
+            hits[s:e] = (mat[s:e] @ mat.T >= 0.9).sum(axis=1) - 1  # -self
+        return pd.DataFrame({"doc_id": pdf["vec_id"], "n_neardup_09": hits})
 
     return assigned.groupBy("cent_id").applyInPandas(
         cell, schema="doc_id long, n_neardup_09 long"
