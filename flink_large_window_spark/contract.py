@@ -215,10 +215,12 @@ DRIVER_CHECKED: frozenset[str] = (
 # dedup_simhash_hamming (dedup.py churned in r8; evidence r6/r7).
 # Then ALL 13 keys whose evidence is round 4 — the oldest SQL-oracle
 # cohort; after this sweep no SQL-oracle key's evidence predates r5
-# (the round-9 completion criterion). The remaining 31 slots go to the
-# r5-evidence tier: the 18 §2.1–2.3 contract-core keys (scan / filter
+# (the round-9 completion criterion). The remaining slots go to the
+# r5-evidence tier: the §2.1–2.3 contract-core keys (scan / filter
 # / join — the engine's graded identity rows, called out by VERDICT r8
-# as the largest stale cohort), then the 13 SQL-oracle streaming twins
+# as the largest stale cohort; join_cross and filter_like were swapped
+# out mid-r9 for the two changed-text keys noted inline, and keep
+# their r5 evidence until r10), then the 13 SQL-oracle streaming twins
 # (streams.py churned in r8, staleness=3 — the highest file-granular
 # staleness on the board; the other two twins, window_large_day_stream
 # and stream_late_drop, are rows-only by design and take no hash-window
@@ -239,6 +241,13 @@ RECHECK_KEYS: tuple[str, ...] = (
     "dedup_exact",
     "dedup_simhash",
     "dedup_simhash_hamming",
+    # added mid-r9: the within-cell GEMM was row-tiled this round
+    # after the 1000× probe caught the untiled 126 GiB allocation
+    # (llm/dedup.py cell()) — same changed-after-stamp class as the
+    # six above, so the r9 sweep stamps the shipped kernel.
+    # filter_like (trivial, implementation untouched, evidence r5)
+    # defers to r10 to keep the window at 50.
+    "dedup_embed_cosine_ivf",
     # evidence at round 4 — the oldest SQL-oracle cohort, all of it
     "set_intersect_all",
     "sort_within_partitions",
@@ -261,7 +270,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     "project_arith",
     "filter_conjunctive",
     "filter_disjunctive_in",
-    "filter_like",
     "filter_null_handling",
     "join_inner_equi",
     "join_sortmerge_large",

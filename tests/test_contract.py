@@ -130,15 +130,19 @@ def test_no_contract_key_lost_overall():
 
 def test_round9_recheck_window_shape():
     """The round-9 window (VERDICT r8 item 1): 50 unique SQL-oracle
-    keys — the 6 whose SHIPPED text the driver never stamped first
-    (r8 commits landed after the r8 window was fixed: the restructured
+    keys — the lead section (7 after the mid-r9 additions) is every
+    key whose SHIPPED text the driver never stamped: six from r8
+    commits landing after the r8 window was fixed (the restructured
     minhash oracle, the two streams.py contract keys, the dedup.py
-    trio), then ALL 13 keys with r4 evidence (completion criterion:
-    after the r9 sweep no SQL-oracle key's evidence predates r5), then
-    r5-evidence fill (the §2.1–2.3 contract core + the SQL-oracle
-    streaming twins whose shared file churned in r8). Derivation lives
-    in tools/staleness.py; evidence is computed from the CORRECTNESS
-    files themselves so a stale hardcoded list cannot drift."""
+    trio) plus the r9 row-tiled IVF dedup kernel. Then ALL 13 keys
+    with r4 evidence (completion criterion: after the r9 sweep no
+    SQL-oracle key's evidence predates r5), then r5-evidence fill
+    (the §2.1–2.3 contract core minus the two trivial keys swapped
+    out mid-r9 for changed-text keys, the memoized bucketed join, and
+    the SQL-oracle streaming twins whose shared file churned in r8).
+    Derivation lives in tools/staleness.py; evidence is computed from
+    the CORRECTNESS files themselves so a stale hardcoded list cannot
+    drift."""
     import os
     import sys
 
@@ -148,7 +152,8 @@ def test_round9_recheck_window_shape():
     oracles = api.oracle_sql()
     assert all(k in q and k in oracles for k in RECHECK_KEYS)
 
-    assert set(RECHECK_KEYS[:6]) == {
+    N_LEADS = 7
+    assert set(RECHECK_KEYS[:N_LEADS]) == {
         # oracle restructured in r8 (c21dc59) after the r8 window was
         # fixed — driver evidence r7 checked the old oracle text
         "dedup_near_minhash",
@@ -159,6 +164,10 @@ def test_round9_recheck_window_shape():
         "dedup_exact",
         "dedup_simhash",
         "dedup_simhash_hamming",
+        # added mid-r9: within-cell GEMM row-tiled after the 1000×
+        # probe caught the untiled allocation — changed after its r8
+        # stamp, so the r9 sweep must stamp the shipped kernel
+        "dedup_embed_cosine_ivf",
     }
 
     tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
@@ -166,7 +175,7 @@ def test_round9_recheck_window_shape():
         sys.path.insert(0, tools_dir)
     from staleness import commits_since_stamp, evidence_rounds, key_files
 
-    # The first-6 selection criterion itself, checked mechanically
+    # The lead-section selection criterion itself, checked mechanically
     # (review r9: the hardcoded set above was only asserted against a
     # copy of itself): under r01..r08 evidence, each of the six has
     # file commits AFTER its evidence round's driver marker — i.e.
@@ -174,9 +183,9 @@ def test_round9_recheck_window_shape():
     # commits only accumulate, and capped evidence is immutable.
     kf = key_files()
     post = commits_since_stamp(
-        evidence_rounds(upto=8), {k: kf[k] for k in RECHECK_KEYS[:6]}
+        evidence_rounds(upto=8), {k: kf[k] for k in RECHECK_KEYS[:N_LEADS]}
     )
-    not_post = [k for k in RECHECK_KEYS[:6] if post[k] <= 0]
+    not_post = [k for k in RECHECK_KEYS[:N_LEADS] if post[k] <= 0]
     assert not not_post, (
         f"window leads claim changed-after-stamp but post_stamp<=0: "
         f"{not_post}"
@@ -202,5 +211,5 @@ def test_round9_recheck_window_shape():
 
     # the tail burns no slot on fresh evidence: everything beyond the
     # 6 changed-after-stamp keys has evidence from r5 or earlier.
-    too_fresh = [k for k in RECHECK_KEYS[6:] if ev.get(k, 0) > 5]
+    too_fresh = [k for k in RECHECK_KEYS[N_LEADS:] if ev.get(k, 0) > 5]
     assert not too_fresh, f"recheck slots burned on fresh evidence: {too_fresh}"
