@@ -224,9 +224,12 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: signature generation is embarrassingly parallel and
     pipelined with the parquet scan; band-bucket aggregation and the
     capped pair explode are linear in corpus size. The REPARTITION
-    hint is the spread_small_corpus policy (fixture-scale only — the
-    file layout provides parallelism at production scale, and
-    spread_width returns None above 1 M rows, dropping the hint).
+    hint is the spread_small_corpus policy — since r9 it is gated on
+    scan_units (parquet row groups), not row count: a many-row-group
+    production layout drops the hint, while a degenerate few-row-group
+    corpus keeps it at any size (a single-row-group 5 M-doc replica
+    ran this kernel 37× slower than linear on one core — SCALING.md
+    §13).
     """
     prep(spark)
     docs_ref = table_sql_ref(spark, sf_dir, "documents")

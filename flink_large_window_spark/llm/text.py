@@ -390,8 +390,8 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group — without an explicit spread it runs in one task (measured
     # 1.8s of the round-5 3.0s total at sf0.1, single-threaded on 32
     # cores). One shared spread policy with dedup_near_minhash
-    # (tables.spread_small_corpus); off at production scale where the
-    # file layout parallelizes.
+    # (tables.spread_small_corpus); no-op only when the layout's row-
+    # group count already covers the target width (r9 policy change).
     d = spread_small_corpus(
         spark, docs.select("doc_id", "lang", "text"), sf_dir, "documents"
     )

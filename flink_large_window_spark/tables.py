@@ -242,34 +242,71 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def scan_units(sf_dir: str, name: str) -> int:
+    """Number of independently-scannable units (parquet ROW GROUPS,
+    summed across part files) for a fixture table — footer metadata
+    only, zero Spark jobs, same access pattern as :func:`row_count`.
+
+    A row group is parquet's parallelism floor: Spark assigns splits by
+    byte range, but a split smaller than a row group still decodes the
+    whole group in one task, so ``sum(num_row_groups)`` is the honest
+    upper bound on scan-stage parallelism regardless of file count or
+    ``maxPartitionBytes``. At 100 TB the same number comes from the
+    file listing / catalog manifest.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_row_groups
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_row_groups
+
+
 def spread_small_corpus(
     spark: SparkSession, df: DataFrame, sf_dir: str, name: str
 ) -> DataFrame:
-    """Repartition a SMALL table so CPU-heavy per-row stages parallelize.
+    """Repartition a table whose FILE LAYOUT under-parallelizes
+    CPU-heavy per-row stages (explodes, signature kernels).
 
-    A small fixture table arrives as one parquet row group = one scan
-    task, which serializes any expensive projection/explode chained on
-    it (measured: the langid trigram explode ran 1.8 s of a 3.0 s
-    query single-threaded on 32 cores). Width is sized from parquet
-    FOOTER metadata (zero jobs, see row_count) as
+    A table that arrives as few parquet row groups scans in that many
+    tasks, which serializes any expensive projection/explode chained on
+    it (measured twice: the langid trigram explode ran 1.8 s of a 3.0 s
+    query single-threaded on 32 cores at fixture scale; a 5 M-doc
+    probe replica written as ONE row group ran the minhash kernel 37×
+    slower than linear — r9, SCALING.md §13). Width is sized from
+    parquet FOOTER metadata (zero jobs, see row_count) as
     ``max(4, min(shuffle.partitions, rows // 150))`` — enough rows per
-    task to amortize task launch. Above 1 M rows this is a no-op: at
-    production scale the file layout provides the parallelism and a
-    blanket repartition would be a pure extra shuffle. One policy,
-    shared by every small-corpus caller (minhash, langid), so a
-    threshold change cannot drift between them.
+    task to amortize task launch.
+
+    The no-op gate is PARALLELISM, not row count (the r9 lesson: the
+    old ``rows > 1M`` gate assumed big corpora ship in many files, and
+    a single-row-group 5 M-doc replica starved on one core): when
+    :func:`scan_units` already provides >= the target width, the
+    layout parallelizes by itself and a blanket repartition would be a
+    pure extra shuffle — exactly the 100 TB case, where the corpus is
+    thousands of row groups and this stays a no-op. One policy, shared
+    by every small-corpus caller (minhash, langid), so a threshold
+    change cannot drift between them.
     """
     w = spread_width(spark, sf_dir, name)
     return df if w is None else df.repartition(w)
 
 
 def spread_width(spark: SparkSession, sf_dir: str, name: str) -> int | None:
-    """The :func:`spread_small_corpus` width as a number (None = no-op
-    above 1 M rows) — for single-SQL queries that apply it as a
-    ``/*+ REPARTITION(n) */`` hint instead of ``df.repartition``. One
-    policy, two application forms."""
+    """The :func:`spread_small_corpus` width as a number (None = the
+    layout already scans at least that wide) — for single-SQL queries
+    that apply it as a ``/*+ REPARTITION(n) */`` hint instead of
+    ``df.repartition``. One policy, two application forms."""
     n = row_count(sf_dir, name)
-    if n > 1_000_000:
-        return None
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return max(4, min(width, n // 150))
+    target = max(4, min(width, n // 150))
+    if scan_units(sf_dir, name) >= target:
+        return None
+    return target

@@ -203,6 +203,50 @@ def test_cep_family_consistency(spark):
         )
 
 
+def test_spread_width_gates_on_scan_units_not_rows(spark, tmp_path_factory):
+    """r9 policy change: the spread no-op is decided by the layout's
+    row-group count (scan parallelism), not by row count. The old
+    ``rows > 1M`` gate starved a single-row-group 5 M-doc replica on
+    one core (minhash 37× slower than linear — SCALING.md §13); the
+    new gate spreads ANY corpus whose layout scans narrower than the
+    target width, and stays a no-op exactly when the layout already
+    parallelizes (the 100 TB case)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark.tables import scan_units, spread_width
+
+    n = 1_200_000  # above the OLD gate's threshold
+    tbl = pa.table({"doc_id": pa.array(range(n), type=pa.int64())})
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # One row group, 1.2 M rows: the old policy no-op'd here; the new
+    # one must spread to the full target width.
+    d1 = str(tmp_path_factory.mktemp("spread_one_rg"))
+    pq.write_table(
+        tbl, os.path.join(d1, "documents.parquet"), row_group_size=n
+    )
+    assert scan_units(d1, "documents") == 1
+    assert spread_width(spark, d1, "documents") == max(4, min(width, n // 150))
+
+    # Same rows in many row groups: the layout parallelizes by itself
+    # and a repartition would be a pure extra shuffle — no-op.
+    d2 = str(tmp_path_factory.mktemp("spread_many_rg"))
+    pq.write_table(
+        tbl, os.path.join(d2, "documents.parquet"), row_group_size=n // width
+    )
+    assert scan_units(d2, "documents") >= width
+    assert spread_width(spark, d2, "documents") is None
+
+    # Fixture scale is untouched by the change: single row group below
+    # the width target keeps its historical rows // 150 width.
+    assert spread_width(spark, SF_SMOKE, "documents") == max(
+        4, min(width, 500 // 150)
+    )
+
+
 def test_operators_unchanged_on_partitioned_directory_layout(spark):
     """tables.py promises the fixture loaders are the single place the
     100 TB layout change lands ("these would be partitioned datasets").

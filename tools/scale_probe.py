@@ -190,6 +190,8 @@ def _replicate_into(
     kr = spark.range(k).select(F.col("id").alias("k"))
 
     def remap(name: str, id_cols: tuple[str, ...]):
+        from flink_large_window_spark.tables import row_count
+
         df = table(spark, src, name)
         out = df.crossJoin(kr).select(
             *[
@@ -197,7 +199,16 @@ def _replicate_into(
                 for c in df.columns
             ]
         )
-        out.write.parquet(os.path.join(d, f"{name}.parquet"))
+        # Repartition BEFORE writing: a 1-partition source crossJoined
+        # with a broadcast range writes ONE file with ONE row group,
+        # and a row group is parquet's parallelism floor — every
+        # scan-bound stage on such a replica runs in a single task
+        # (caught live in r9: the 5 M-doc text replica ran the minhash
+        # kernel 37× slower than linear, one core busy of 32). A real
+        # corpus at this size ships as many row groups; the replica
+        # must too, or the probe measures the layout, not the engine.
+        width = max(16, min(256, (row_count(src, name) * k) // 100_000))
+        out.repartition(width).write.parquet(os.path.join(d, f"{name}.parquet"))
 
     if family == "tpch":
         remap("orders", ("o_orderkey",))
