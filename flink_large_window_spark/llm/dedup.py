@@ -179,34 +179,50 @@ _MINHASH_ORACLE = f"""
 def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection via MinHash-LSH over token 3-shingles.
 
-    ONE ``spark.sql`` statement (round 7). The round-6b all-JVM
-    dataflow is unchanged — tokens → 3-shingles → per-shingle md5 base
-    hash, 64 permutation mins h_i(x) = (a_i·x + b_i) mod 2^31−1 as
-    UNROLLED aggregate columns over one hash-per-row explode (map-side
-    partial min collapses |shingle hashes| rows to |docs| before the
-    one signature shuffle), bit_xor band folds, capped band buckets,
-    within-bucket pair explode with exact-Jaccard verification, per-doc
-    DISTINCT-partner rollup — but the query text is now generated as a
-    single CTE chain and parsed once. Round-7 profiling (SCALING.md
-    §12) found the 2.3× bench regression lived in neither md5 nor the
-    executed plan: building this query as ~10 chained DataFrame calls
-    cost ~1.3 s of DRIVER time per build (PySpark analyzes eagerly per
-    transformation, so a deep pipeline re-analyzes a growing tree each
-    step, plus 64 F.expr parses × py4j round trips), vs ~0.95 s for the
-    whole execution. spark.sql parses and analyzes the full tree once
-    (~0.05 s); the optimized/physical plan is identical.
+    ONE ``spark.sql`` statement (round 7). All-JVM dataflow (round
+    6b): tokens → 3-shingles → per-shingle md5 base hash, 64
+    permutation mins h_i(x) = (a_i·x + b_i) mod 2^31−1, bit_xor band
+    folds, capped band buckets, within-bucket pair explode with
+    exact-Jaccard verification, per-doc DISTINCT-partner rollup. The
+    query text is generated as a single CTE chain and parsed once.
+    Round-7 profiling (SCALING.md §12) found the 2.3× bench regression
+    lived in neither md5 nor the executed plan: building this query as
+    ~10 chained DataFrame calls cost ~1.3 s of DRIVER time per build
+    (PySpark analyzes eagerly per transformation, so a deep pipeline
+    re-analyzes a growing tree each step, plus 64 F.expr parses × py4j
+    round trips), vs ~0.95 s for the whole execution. spark.sql parses
+    and analyzes the full tree once (~0.05 s); the optimized/physical
+    plan is identical.
+
+    The signature stage is a PURE MAP since r9: 64 row-local
+    ``array_min(transform(hm_arr, …))`` expressions replace the former
+    hash-per-row explode + GROUP BY doc_id. The old aggregate carried
+    the shingle-hash array for the downstream Jaccard verify via
+    ``first(hs)`` — a non-codegen object aggregate that forced the
+    whole signature aggregation SORT-BASED, sorting |shingle hashes|
+    exploded rows per partition with the full ~110-element array
+    duplicated onto every row. Measured at 500 k docs (same session,
+    identical output digests): explode+SortAggregate 19.4 s, narrow
+    explode+hash-agg+rejoin 12.1 s, row-local array_min 9.6 s — and
+    the map form also deletes the signature shuffle entirely, so the
+    first exchange in the whole plan is the band-bucket aggregation.
+    HOF lambdas are interpreted, not codegen'd (SCALING.md §11), but
+    one multiply-add-mod per element × 64 permutations is cheaper than
+    sorting 110× duplicated rows, and the arithmetic is identical.
 
     Verified non-causes, measured before this rewrite: md5+conv is NOT
     the dominant term (signature projection with md5: 0.17 s; without:
     0.26 s — noise-level difference at 270 k shingles), so the md5 base
     hash STAYS — it is what makes the bit-exact DuckDB oracle above
-    possible. The round-6 findings all still bind and are preserved in
-    SQL form: LATERAL VIEW OUTER (not plain explode) keeps
-    InferFiltersFromGenerate from pushing an inferred size(hs)>0
-    filter — which inlines the whole md5 chain — below the repartition
-    hint (tests/test_plans.py pins it); the hash sets ride the
-    signature aggregate via first() and are never joined back (a join
-    re-plans the signature subtree as a single-task broadcast build);
+    possible. The round-6 findings that still have a surface to bind
+    to are preserved in SQL form: with the r9 map-form signature stage
+    there is NO Generate in the signature path at all, so the old
+    InferFiltersFromGenerate hazard (an inferred size(hs)>0 filter
+    inlining the md5 chain below the repartition hint) has no trigger
+    left — tests/test_plans.py still scans for md5-bearing Filters as
+    a tripwire; the hash sets ride the signature row natively (no
+    first(), no join-back — a join re-plans the signature subtree as a
+    single-task broadcast build);
     the two-sided per-doc rollup uses one explode of a 2-struct array,
     not a UNION ALL — in CTE form a UNION ALL would macro-expand the
     whole upstream pipeline TWICE.
@@ -236,7 +252,8 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = spread_width(spark, sf_dir, "documents")
     hint = f"/*+ REPARTITION({w}) */ " if w else ""
     perm_mins = ",\n                 ".join(
-        f"MIN((hm * {2 * i + 1} + {7919 * (i + 1)}) % {MERSENNE}) AS m{i}"
+        f"array_min(transform(hm_arr, hm -> (hm * {2 * i + 1} + "
+        f"{7919 * (i + 1)}) % {MERSENNE})) AS m{i}"
         for i in range(N_HASHES)
     )
     band_arr = ",\n                 ".join(
@@ -272,14 +289,17 @@ def dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS hs
           FROM shingled
         ), hh AS (
-          -- h % M hoisted once per row; the 64 permutation mins below
-          -- then each cost one multiply-add-mod, not an extra mod
-          SELECT doc_id, hs, h % {MERSENNE} AS hm
-          FROM hashed LATERAL VIEW OUTER explode(hs) th AS h
+          -- h % M hoisted once per doc into hm_arr; each permutation
+          -- min below is then one multiply-add-mod per element
+          SELECT doc_id, hs, transform(hs, h -> h % {MERSENNE}) AS hm_arr
+          FROM hashed
         ), mins AS (
-          SELECT doc_id, first(hs) AS hs,
+          -- row-local array_min per permutation: no explode, no
+          -- GROUP BY, no shuffle — the signature stage is a pure map
+          -- (r9; see docstring for the SortAggregate it replaced)
+          SELECT doc_id, hs,
                  {perm_mins}
-          FROM hh GROUP BY doc_id
+          FROM hh
         ), band_rows AS (
           SELECT doc_id, hs, band, bh
           FROM mins LATERAL VIEW posexplode(array(
