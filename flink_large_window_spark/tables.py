@@ -169,16 +169,19 @@ def invalidate(sf_dir: str) -> None:
         fn(ab)
 
 
-def row_count(sf_dir: str, name: str) -> int:
-    """Exact row count of a fixture table from parquet FOOTER metadata —
-    O(footer bytes) on the driver, zero Spark jobs, zero data scanned.
+def _footer_sums(sf_dir: str, name: str) -> tuple[int, int]:
+    """(num_rows, num_row_groups) for a fixture table, summed across
+    part files, from parquet FOOTER metadata only — O(footer bytes) on
+    the driver, zero Spark jobs, zero data scanned.
 
-    This is the "read it from table stats" path: parquet files carry
-    ``num_rows`` in the footer, so sizing decisions (block counts, salt
-    fan-out) never need a pre-pass over the data. At 100 TB the same
-    number comes from the catalog (ANALYZE stats / Delta log) or a
-    parallel footer read over the file listing; either way it is
-    metadata, not a table scan.
+    The ONE footer walk behind :func:`row_count` / :func:`scan_units` /
+    :func:`spread_width` (ADVICE r9: the two public metrics used to
+    duplicate this loop verbatim, so a caller asking both questions —
+    every spread decision — opened every part-file footer twice). Both
+    numbers live in the same footer object, so they are read in one
+    pass. At 100 TB the same pair comes from the catalog (ANALYZE
+    stats / Delta log) or a parallel footer read over the file listing;
+    either way it is metadata, not a table scan.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -186,13 +189,27 @@ def row_count(sf_dir: str, name: str) -> int:
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-            for root, _, files in os.walk(path)
-            for f in files
+        files = [
+            os.path.join(root, f)
+            for root, _, fs in os.walk(path)
+            for f in fs
             if f.endswith(".parquet")
-        )
-    return pq.ParquetFile(path).metadata.num_rows
+        ]
+    else:
+        files = [path]
+    rows = groups = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rows += md.num_rows
+        groups += md.num_row_groups
+    return rows, groups
+
+
+def row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from parquet FOOTER metadata
+    (see :func:`_footer_sums`): sizing decisions (block counts, salt
+    fan-out) never need a pre-pass over the data."""
+    return _footer_sums(sf_dir, name)[0]
 
 
 _VIEW_REGISTERED: dict[tuple[str, int, str, str], str] = {}
@@ -254,19 +271,7 @@ def scan_units(sf_dir: str, name: str) -> int:
     ``maxPartitionBytes``. At 100 TB the same number comes from the
     file listing / catalog manifest.
     """
-    if name not in TABLE_NAMES:
-        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    import pyarrow.parquet as pq
-
-    path = os.path.join(sf_dir, f"{name}.parquet")
-    if os.path.isdir(path):
-        return sum(
-            pq.ParquetFile(os.path.join(root, f)).metadata.num_row_groups
-            for root, _, files in os.walk(path)
-            for f in files
-            if f.endswith(".parquet")
-        )
-    return pq.ParquetFile(path).metadata.num_row_groups
+    return _footer_sums(sf_dir, name)[1]
 
 
 def spread_small_corpus(
@@ -288,12 +293,16 @@ def spread_small_corpus(
     The no-op gate is PARALLELISM, not row count (the r9 lesson: the
     old ``rows > 1M`` gate assumed big corpora ship in many files, and
     a single-row-group 5 M-doc replica starved on one core): when
-    :func:`scan_units` already provides >= the target width, the
-    layout parallelizes by itself and a blanket repartition would be a
-    pure extra shuffle — exactly the 100 TB case, where the corpus is
-    thousands of row groups and this stays a no-op. One policy, shared
-    by every small-corpus caller (minhash, langid), so a threshold
-    change cannot drift between them.
+    :func:`scan_units` already provides at least HALF the target width,
+    the layout parallelizes well enough by itself and a full-corpus
+    repartition shuffle would buy at most a 2× task-count gain — a bad
+    trade at production scale, where shuffle.partitions can exceed the
+    row-group count by a handful and the pathology this function exists
+    for is order-of-magnitude starvation (1 row group on 32 cores, 37×
+    slow), not a marginal shortfall (ADVICE r9: the zero-slack ``>=
+    target`` gate shuffled a whole corpus for 20-row-groups-vs-32).
+    One policy, shared by every small-corpus caller (minhash, langid),
+    so a threshold change cannot drift between them.
     """
     w = spread_width(spark, sf_dir, name)
     return df if w is None else df.repartition(w)
@@ -303,10 +312,13 @@ def spread_width(spark: SparkSession, sf_dir: str, name: str) -> int | None:
     """The :func:`spread_small_corpus` width as a number (None = the
     layout already scans at least that wide) — for single-SQL queries
     that apply it as a ``/*+ REPARTITION(n) */`` hint instead of
-    ``df.repartition``. One policy, two application forms."""
-    n = row_count(sf_dir, name)
+    ``df.repartition``. One policy, two application forms.
+
+    No-op unless the layout scans at less than half the target width
+    (the slack rationale is in :func:`spread_small_corpus`)."""
+    n, units = _footer_sums(sf_dir, name)
     width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     target = max(4, min(width, n // 150))
-    if scan_units(sf_dir, name) >= target:
+    if units * 2 >= target:
         return None
     return target

@@ -208,15 +208,21 @@ def test_spread_width_gates_on_scan_units_not_rows(spark, tmp_path_factory):
     row-group count (scan parallelism), not by row count. The old
     ``rows > 1M`` gate starved a single-row-group 5 M-doc replica on
     one core (minhash 37× slower than linear — SCALING.md §13); the
-    new gate spreads ANY corpus whose layout scans narrower than the
-    target width, and stays a no-op exactly when the layout already
-    parallelizes (the 100 TB case)."""
+    new gate spreads a corpus whose layout scans at less than HALF the
+    target width, and stays a no-op when the layout already
+    parallelizes (the 100 TB case) — including near-adequate layouts
+    (ADVICE r9: a 20-row-groups-vs-32-target shortfall is not worth a
+    full-corpus shuffle)."""
     import os
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from flink_large_window_spark.tables import scan_units, spread_width
+    from flink_large_window_spark.tables import (
+        row_count,
+        scan_units,
+        spread_width,
+    )
 
     n = 1_200_000  # above the OLD gate's threshold
     tbl = pa.table({"doc_id": pa.array(range(n), type=pa.int64())})
@@ -240,10 +246,26 @@ def test_spread_width_gates_on_scan_units_not_rows(spark, tmp_path_factory):
     assert scan_units(d2, "documents") >= width
     assert spread_width(spark, d2, "documents") is None
 
+    # Near-adequate layout (half the target): the slack keeps the
+    # no-op — a repartition here would pay a full shuffle for at most
+    # a 2× task-count gain.
+    d3 = str(tmp_path_factory.mktemp("spread_half_rg"))
+    pq.write_table(
+        tbl,
+        os.path.join(d3, "documents.parquet"),
+        row_group_size=-(-n // (width // 2)),
+    )
+    assert width // 2 <= scan_units(d3, "documents") < width
+    assert spread_width(spark, d3, "documents") is None
+
     # Fixture scale is untouched by the change: single row group below
-    # the width target keeps its historical rows // 150 width.
+    # the width target keeps its historical rows // 150 width (row
+    # count derived from the footer, not hardcoded — a regenerated
+    # fixture at another size must not fail this test for an unrelated
+    # reason).
+    fixture_rows = row_count(SF_SMOKE, "documents")
     assert spread_width(spark, SF_SMOKE, "documents") == max(
-        4, min(width, 500 // 150)
+        4, min(width, fixture_rows // 150)
     )
 
 
