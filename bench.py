@@ -124,6 +124,15 @@ WATCH_LIST_RUNS = {
     "agg_hash_grouped": 5,
     "join_sortmerge_large": 5,
     "dedup_simhash_hamming": 5,
+    # r10 (VERDICT r9 item 2): q11_important_stock regressed raw
+    # 0.91 → 1.31 r8→r9 on an unchanged plan — sub-second keys with
+    # n=3 cannot separate a real regression from tiny-key variance,
+    # so the whole partsupp quartet (shared derived-partsupp CTE)
+    # moves to n=5 while the regression is under watch.
+    "q2_min_cost_supplier": 5,
+    "q11_important_stock": 5,
+    "q16_supplier_variety": 5,
+    "q20_excess_stock": 5,
 }
 
 # Environment probes, two CLASSES since round 9 (VERDICT r8 item 4).

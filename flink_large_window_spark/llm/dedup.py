@@ -798,39 +798,116 @@ def _cluster_cc_loop(
     )
 
 
+# (shift, width): 4 disjoint bands covering signature bits 0..61 —
+# shared by the engine and its SQL oracle so the bucketing semantics
+# cannot drift between them.
+HAMMING_BAND_SPEC: tuple[tuple[int, int], ...] = (
+    (0, 16),
+    (16, 15),
+    (31, 16),
+    (47, 15),
+)
+
+# Round 10 (VERDICT r9 item 3): the within-band pairwise verify gets
+# the same medicine LSH_BUCKET_CAP gave minhash in round 7. A (band,
+# value) bucket with k members contributes k² candidate pairs — the
+# one super-linear term in the pipeline — and an over-full band bucket
+# is non-discriminative by the same argument as an over-full LSH
+# bucket (it groups docs by 15-16 signature bits, so thousands of
+# members means those bits carry no near-dup signal for that corpus;
+# production SimHash dedup à la Manku/Jain/Sarma sizes bands so
+# expected bucket size stays O(1) and treats blowups as degenerate).
+# Since round 10 BOTH engines drop buckets over the cap, making the
+# cap part of the operator's semantics: candidate pairs are exactly
+# the pairs sharing at least one ≤CAP band bucket. Measured motive:
+# the duplicate-heavy 100× battery (every doc × 100 exact copies ⇒
+# every bucket a multiple of 100) spilled ~70 GB of scratch through
+# the uncapped pairwise verify; capped, those buckets drop and the
+# run is bounded. Fixture impact: sf0.001/sf0.01 max bucket is 50/43
+# (measured r10) so driver data is bit-identical with or without the
+# cap; sf0.1 has 41 over-cap buckets carrying 77% of all candidate
+# pairs (max bucket 447 — a template-doc cluster), which the capped
+# semantics deliberately skip on both sides.
+# tests/test_llm_quality.py plants a >CAP degenerate band and pins
+# both the drop and the survival of normal-sized buckets.
+HAMMING_BAND_CAP = 64
+
+
+def _hamming_band_rows_sql() -> str:
+    rows = []
+    for b, (shift, width) in enumerate(HAMMING_BAND_SPEC):
+        mask = (1 << width) - 1
+        rows.append(
+            f"SELECT doc_id, simhash, {b} AS band,"
+            f" (simhash >> {shift}) & {mask} AS val FROM sig"
+        )
+    return "\n      UNION ALL\n      ".join(rows)
+
+
 @query(
     "dedup_simhash_hamming",
+    # AS MATERIALIZED (DuckDB-only SQL — oracles never run on Spark):
+    # sig is referenced 5× (4 band branches + the final left join) and
+    # band 3× (bsz + both join sides); DuckDB inlines CTEs by default,
+    # so without the hint the token-level signature pipeline re-ran
+    # per reference and spilled >80 GB of temp at the 500 k-doc
+    # battery — the oracle-scale-budget lesson from the r8 minhash
+    # restructure, in CTE-materialization form.
     oracle=f"""
-    WITH sig AS ({_SIMHASH_ORACLE})
-    SELECT d.doc_id, COUNT(b.doc_id) AS n_hamming3
-    FROM sig d LEFT JOIN sig b
-      ON d.doc_id <> b.doc_id
-     AND bit_count(xor(d.simhash, b.simhash)) <= 3
-    GROUP BY d.doc_id
+    WITH sig AS MATERIALIZED ({_SIMHASH_ORACLE}),
+    band AS MATERIALIZED (
+      {_hamming_band_rows_sql()}
+    ), bsz AS (
+      SELECT band, val FROM band
+      GROUP BY band, val
+      HAVING COUNT(*) BETWEEN 2 AND {HAMMING_BAND_CAP}
+    ), cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+             l.simhash AS sa, r.simhash AS sb
+      FROM bsz s
+      JOIN band l ON l.band = s.band AND l.val = s.val
+      JOIN band r ON r.band = s.band AND r.val = s.val
+                 AND l.doc_id < r.doc_id
+    ), hit AS (
+      SELECT a, b FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+    ), per AS (
+      SELECT doc_id, COUNT(*) AS n FROM (
+        SELECT a AS doc_id FROM hit
+        UNION ALL
+        SELECT b AS doc_id FROM hit
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(COALESCE(p.n, 0) AS BIGINT) AS n_hamming3
+    FROM sig d LEFT JOIN per p ON p.doc_id = d.doc_id
     """,
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup neighbor counts by SimHash hamming distance ≤ 3,
-    found with band bucketing instead of the oracle's O(n²) pairwise
-    scan.
+    found with band bucketing; since round 10 over-full band buckets
+    are dropped (HAMMING_BAND_CAP) on BOTH engine and oracle sides.
 
     Pigeonhole: a 62-bit signature split into 4 disjoint bands (16+15+
     16+15 bits) can differ in ≤3 bits only if at least one band is
     bit-identical — so joining on (band, band_value) buckets generates
     a candidate superset, and the exact `bit_count(xor) ≤ 3` filter on
-    candidates returns EXACTLY the pairwise answer (which is why an
-    exact SQL oracle is possible for the linear-time algorithm). Band
-    cardinality is 2^16/2^15 ≈ 65k/32k values — at 10^9 docs an
-    average bucket holds ~15–30k docs, and real SimHash buckets are
-    far more skew-concentrated on near-dups, keeping the within-bucket
-    join near-linear (round 1 used a 32-bit signature with 8-bit
-    bands: 256 bucket values ⇒ quadratic buckets at ≥10^8 docs;
-    flagged by the round-1 review). The pairwise formulation the
-    oracle uses is quadratic and only viable at fixture scale.
+    candidates returns exactly the pairwise answer restricted to pairs
+    that share at least one ≤CAP bucket (the full pairwise answer
+    whenever no bucket exceeds the cap — true of sf0.001/sf0.01
+    driver data, measured r10). Band cardinality is 2^16/2^15 ≈
+    65k/32k values; at corpora large enough that AVERAGE buckets
+    approach the cap (~10^6-10^7 docs at these widths) the honest
+    scale path is widening the signature/bands so buckets stay
+    discriminative — the cap is the guardrail that converts a
+    degenerate band from a k² pair blowup (measured: ~70 GB of
+    scratch spill on the duplicate-heavy 100× battery) into a dropped
+    candidate source, exactly the LSH_BUCKET_CAP semantics minhash
+    adopted in round 7. Exact-duplicate mass should be collapsed with
+    dedup_exact FIRST — a corpus of k-copy groups makes every band
+    bucket a k-multiple, which is the adversarial input the cap
+    bounds.
     """
     prep(spark)
-    # (shift, width): 4 disjoint bands covering bits 0..61.
-    band_spec = [(0, 16), (16, 15), (31, 16), (47, 15)]
+    band_spec = list(HAMMING_BAND_SPEC)
     # ZERO cached state: no persist, no localCheckpoint (the round-5
     # pair left RDD blocks that only the async ContextCleaner
     # reclaimed — the hazard fixed suite-wide this round). With the
@@ -868,6 +945,21 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    # Bucket cap (round 10, mirrors the oracle's bsz CTE): size the
+    # buckets with one hash aggregate over the SAME (band, val) keys
+    # the pair join shuffles on — exchange reuse replays the shuffled
+    # band rows for the aggregate, the semi filter, and both join
+    # sides, so the cap costs one extra aggregate, not an extra pass
+    # over the corpus. BETWEEN 2 AND CAP: singleton buckets generate
+    # no pairs anyway, over-full ones are dropped as
+    # non-discriminative (rationale at HAMMING_BAND_CAP).
+    bsz = (
+        bands.groupBy("band", "val")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= HAMMING_BAND_CAP))
+        .select("band", "val")
+    )
+    bands = bands.join(bsz, ["band", "val"])
     l, r = bands.alias("l"), bands.alias("r")
     cand = (
         l.join(

@@ -316,6 +316,75 @@ def test_minhash_hot_bucket_cap_drops_degenerate_buckets(spark):
     assert oracle == rows, "Spark and DuckDB disagree on the capped corpus"
 
 
+def test_hamming_band_cap_drops_degenerate_bands(spark):
+    """HAMMING_BAND_CAP (round 10, VERDICT r9 item 3): a (band, value)
+    bucket with more than CAP members is dropped as non-discriminative
+    on BOTH engine and oracle sides — the same semantics LSH buckets
+    got in round 7. A planted group of CAP+6 byte-identical docs puts
+    every one of its 4 band buckets over the cap, so the group must
+    yield ZERO hamming neighbors (the uncapped answer would be CAP+5
+    each — the k² pair blowup that spilled ~70 GB on the
+    duplicate-heavy 100× battery); a normal-sized identical pair in
+    the same corpus must still count each other; and both engines must
+    agree cell-for-cell on this input."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark.llm.dedup import HAMMING_BAND_CAP
+    from flink_large_window_spark.registry import ORACLES, REGISTRY
+    from flink_large_window_spark.scratch import scratch_dir
+
+    degenerate = "spam spam wonderful spam lovely spam baked beans and spam"
+    pair = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    )
+    loner = "completely unrelated text about quantum chromodynamics lattice"
+    n_deg = HAMMING_BAND_CAP + 6
+    texts = [degenerate] * n_deg + [pair, pair, loner]
+    d = scratch_dir("flws_hotband_sf_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["synthetic"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    rows = {
+        r["doc_id"]: r["n_hamming3"]
+        for r in REGISTRY["dedup_simhash_hamming"](spark, d).collect()
+    }
+    for i in range(n_deg):
+        assert rows[i] == 0, (
+            f"doc {i} of the degenerate band counted {rows[i]} "
+            "neighbors — the band cap is not applied"
+        )
+    assert rows[n_deg] == 1 and rows[n_deg + 1] == 1, (
+        f"normal identical pair lost: {rows[n_deg]}, {rows[n_deg + 1]}"
+    )
+    assert rows[n_deg + 2] == 0, "loner doc gained a neighbor"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    oracle = {
+        int(r[0]): int(r[1])
+        for r in con.execute(ORACLES["dedup_simhash_hamming"]).fetchall()
+    }
+    assert oracle == rows, "Spark and DuckDB disagree on the capped corpus"
+
+
 def test_ivf_quantizer_degenerate_head(spark, tmp_path_factory):
     """Round-8 regression pin for the quantizer's measured failure mode
     (SCALING.md §13): a corpus whose low vec_ids are all copies of ONE
