@@ -203,105 +203,96 @@ DRIVER_CHECKED: frozenset[str] = (
     | _R06_EXTRAS
 )
 
-# Round 9 (VERDICT r8 item 1): the window's job stays RECENCY, and
-# this round it leads with the keys whose SHIPPED text the driver has
-# never stamped — the r8 commits landed AFTER the r8 window was fixed,
-# so their driver evidence is for older code/oracle text:
-# dedup_near_minhash (oracle restructured to wide permutation
-# aggregates in r8 commit c21dc59; driver evidence r7 checked the old
-# ×64-expansion oracle), stream_checkpoint_restart /
-# stream_rule_update_enrich (streams.py conf-restore cleanups, r8;
-# evidence r6/r7), and dedup_exact / dedup_simhash /
-# dedup_simhash_hamming (dedup.py churned in r8; evidence r6/r7).
-# Then ALL 13 keys whose evidence is round 4 — the oldest SQL-oracle
-# cohort; after this sweep no SQL-oracle key's evidence predates r5
-# (the round-9 completion criterion). The remaining slots go to the
-# r5-evidence tier: the §2.1–2.3 contract-core keys (scan / filter
-# / join — the engine's graded identity rows, called out by VERDICT r8
-# as the largest stale cohort; join_cross and filter_like were swapped
-# out mid-r9 for the two changed-text keys noted inline, and keep
-# their r5 evidence until r10), then the 13 SQL-oracle streaming twins
-# (streams.py churned in r8, staleness=3 — the highest file-granular
-# staleness on the board; the other two twins, window_large_day_stream
-# and stream_late_drop, are rows-only by design and take no hash-window
-# slot). Deferred to round 10: the r5-evidence extras with unchanged
-# implementation files (join_asof_tolerance, join_skew_salted,
-# scan_schema_evolution, the three source round-trips, the three
-# pattern_detect variants, multimodal_frame_sample, and — swapped out
-# mid-r9 for the memoized bucketed join, see below — join_cross).
-# Generated with tools/staleness.py
-# (evidence capped at r8 — the round this rotation was derived from);
-# ordering pinned by tests/test_contract.py.
+# Round 10 (VERDICT r9 items 1-3): the window's job stays RECENCY.
+# Leads (17) are the keys whose shipped text changed BEHAVIORALLY
+# after their last driver stamp: dedup_simhash_hamming (r10 band cap —
+# code AND oracle changed) with the partsupp quartet (r10 re-plan:
+# pure-map derive, q11 tot-from-agg, q2 window-min), then the rest of
+# the dedup.py cohort (r10 file churn on r6-r9 evidence), then the
+# similarity.py cohort VERDICT r9 called out (r9 Arrow-conf fix landed
+# after the r9 window was fixed: sim_cosine_topk / sim_knn_join_label
+# / emb_kmeans_assign on r6 evidence, both IVF keys on r8). Then the
+# twice-deferred r5-evidence leftovers — after this sweep no
+# SQL-oracle key's evidence predates r6 (the r10 completion
+# criterion) — then the two streams.py twins that missed the r9
+# re-stamp after the r8 conf cleanups (stream_allowed_lateness_reemit,
+# stream_watermark_skew, evidence r6), the text.py cohort (r9 churn —
+# the spread/minhash work shares the file — on r6 evidence), and the
+# r7-evidence tpch.py cohort (file churned r8 + r10; the non-quartet
+# keys don't touch partsupp, so this is file-granular
+# over-approximation, rechecked anyway per the staleness policy).
+# Deferred to r11, documented: q22_global_sales (one over budget from
+# the r7 cohort), q8/q9 (evidence r8, one cosmetic file commit), the
+# 15 streaming twins re-stamped in r9 (their only r10 churn is the
+# tWS registration comment block — no executable change), and the
+# rows-only keys (no hash-window slot by policy; compensating pytests
+# per tests/test_rows_only.py).
+# Generated with tools/staleness.py (evidence capped at r9 — the
+# round this rotation was derived from); ordering pinned by
+# tests/test_contract.py.
 RECHECK_KEYS: tuple[str, ...] = (
-    # shipped text never driver-stamped (code/oracle changed in r8
-    # after the r8 window was fixed)
-    "dedup_near_minhash",
-    "stream_checkpoint_restart",
-    "stream_rule_update_enrich",
-    "dedup_exact",
-    "dedup_simhash",
+    # r10 behavioral changes: cap semantics (engine + oracle)
     "dedup_simhash_hamming",
-    # added mid-r9: the within-cell GEMM was row-tiled this round
-    # after the 1000× probe caught the untiled 126 GiB allocation
-    # (llm/dedup.py cell()) — same changed-after-stamp class as the
-    # six above, so the r9 sweep stamps the shipped kernel.
-    # filter_like (trivial, implementation untouched, evidence r5)
-    # defers to r10 to keep the window at 50.
+    # r10 re-planned quartet (pure-map partsupp derive in all four;
+    # q11/q2 additionally restructured)
+    "q11_important_stock",
+    "q2_min_cost_supplier",
+    "q16_supplier_variety",
+    "q20_excess_stock",
+    # rest of the dedup.py cohort (r10 file churn)
+    "dedup_exact",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_embed_cosine",
     "dedup_embed_cosine_ivf",
-    # evidence at round 4 — the oldest SQL-oracle cohort, all of it
-    "set_intersect_all",
-    "sort_within_partitions",
-    "ts_ewma_daily",
-    "ts_funnel_conversion",
-    "ts_ohlc_bars",
-    "ts_resample_gapfill",
-    "ts_retention_cohort",
-    "udf_group_map_zscore",
-    "udtf_python_chunks",
-    "unpivot_part_metrics",
-    "window_count_sliding",
-    "window_count_tumbling",
-    "window_tumbling_offset",
-    # evidence at round 5: §2.1–2.3 contract core (scan/filter/join)
-    "scan_parquet",
-    "scan_projection_pushdown",
-    "scan_predicate_pushdown",
-    "sink_parquet",
-    "project_arith",
-    "filter_conjunctive",
-    "filter_disjunctive_in",
-    "filter_null_handling",
-    "join_inner_equi",
-    "join_sortmerge_large",
-    "join_left_outer",
-    "join_right_outer",
-    "join_full_outer",
-    "join_left_semi",
-    "join_left_anti",
-    # swapped in mid-r9 for join_cross: the bucketed-join
-    # materialization became memoized per session+dir this round
-    # (plans/bucketing.py) — a dataflow change whose shipped text the
-    # driver must stamp THIS round, not surface as a "changed after
-    # stamp" watch item next round. join_cross (trivial 125-row cross
-    # join, implementation untouched, evidence r5) defers to r10.
-    "join_bucketed_noshuffle",
-    "join_theta_range",
-    # evidence at round 5: SQL-oracle streaming twins (streams.py
-    # churned in r8 — behavior-equivalent conf cleanups, but the
-    # driver should stamp the shipped text)
-    "join_interval_stream",
-    "join_window_tumbling_stream",
-    "stateful_count_session_stream",
-    "stateful_session_timeout_stream",
-    "stream_foreachbatch_upsert",
-    "stream_static_enrich",
-    "stream_stream_full_outer",
-    "stream_stream_left_outer",
-    "watermark_dedup_stream",
-    "window_early_fire_stream",
-    "window_session_agg_stream",
-    "window_sliding_agg_stream",
-    "window_tumbling_agg_stream",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_cc",
+    # similarity.py cohort (r9 churn after the r9 window was fixed —
+    # VERDICT r9 item 1's explicit lead request)
+    "sim_cosine_topk",
+    "sim_knn_join_label",
+    "emb_kmeans_assign",
+    "sim_ann_ivf_topk",
+    "sim_ann_ivf_multiprobe",
+    # r5-evidence leftovers, deferred from r9 (completion criterion:
+    # after this sweep no SQL-oracle evidence predates r6)
+    "join_asof_tolerance",
+    "join_skew_salted",
+    "scan_schema_evolution",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    "pattern_detect_notfollowedby",
+    "pattern_detect_times",
+    "pattern_detect_oneormore",
+    "multimodal_frame_sample",
+    "join_cross",
+    "filter_like",
+    # the two SQL-oracle streams.py twins never re-stamped after the
+    # r8 conf cleanups (the r9 window carried the other 13)
+    "stream_allowed_lateness_reemit",
+    "stream_watermark_skew",
+    # text.py cohort (r9 file churn, evidence r6)
+    "text_tokenize_wordcount",
+    "text_ngrams",
+    "text_tfidf_topterms",
+    "text_lang_stats",
+    "text_langid_ngram",
+    "text_quality_score",
+    "text_token_count_bpe",
+    "text_fingerprint_rolling",
+    "llm_corpus_pipeline",
+    # tpch.py r7-evidence cohort (file churned r8 + r10)
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q12_priority_class",
+    "q13_customer_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
 )
 
 # Round-5 priority: after the r4 window, 27 registered keys still

@@ -128,21 +128,20 @@ def test_no_contract_key_lost_overall():
     assert len(q) >= 182
 
 
-def test_round9_recheck_window_shape():
-    """The round-9 window (VERDICT r8 item 1): 50 unique SQL-oracle
-    keys — the lead section (7 after the mid-r9 additions) is every
-    key whose SHIPPED text the driver never stamped: six from r8
-    commits landing after the r8 window was fixed (the restructured
-    minhash oracle, the two streams.py contract keys, the dedup.py
-    trio) plus the r9 row-tiled IVF dedup kernel. Then ALL 13 keys
-    with r4 evidence (completion criterion: after the r9 sweep no
-    SQL-oracle key's evidence predates r5), then r5-evidence fill
-    (the §2.1–2.3 contract core minus the two trivial keys swapped
-    out mid-r9 for changed-text keys, the memoized bucketed join, and
-    the SQL-oracle streaming twins whose shared file churned in r8).
-    Derivation lives in tools/staleness.py; evidence is computed from
-    the CORRECTNESS files themselves so a stale hardcoded list cannot
-    drift."""
+def test_round10_recheck_window_shape():
+    """The round-10 window (VERDICT r9 items 1-3): 50 unique
+    SQL-oracle keys. Leads (17) are the behavioral-change cohort —
+    dedup_simhash_hamming (r10 band cap: code AND oracle text
+    changed), the re-planned partsupp quartet (pure-map derive;
+    q11/q2 restructured), the rest of the dedup.py cohort, and the
+    similarity.py cohort VERDICT r9 item 1 named (r9 Arrow-conf fix
+    landed after the r9 window was fixed). Then the twice-deferred
+    r5-evidence leftovers (completion criterion: after the r10 sweep
+    no SQL-oracle key's evidence predates r6), the two streams.py
+    twins that missed the r9 re-stamp, the text.py cohort, and the
+    r7-evidence tpch.py fill. Derivation lives in tools/staleness.py;
+    evidence is computed from the CORRECTNESS files themselves so a
+    stale hardcoded list cannot drift."""
     import os
     import sys
 
@@ -152,22 +151,30 @@ def test_round9_recheck_window_shape():
     oracles = api.oracle_sql()
     assert all(k in q and k in oracles for k in RECHECK_KEYS)
 
-    N_LEADS = 7
+    N_LEADS = 17
     assert set(RECHECK_KEYS[:N_LEADS]) == {
-        # oracle restructured in r8 (c21dc59) after the r8 window was
-        # fixed — driver evidence r7 checked the old oracle text
-        "dedup_near_minhash",
-        # streams.py conf-restore cleanups in r8, evidence r6/r7
-        "stream_checkpoint_restart",
-        "stream_rule_update_enrich",
-        # dedup.py churned in r8, evidence r6/r7
-        "dedup_exact",
-        "dedup_simhash",
+        # r10 band cap — engine and oracle text both changed
         "dedup_simhash_hamming",
-        # added mid-r9: within-cell GEMM row-tiled after the 1000×
-        # probe caught the untiled allocation — changed after its r8
-        # stamp, so the r9 sweep must stamp the shipped kernel
+        # r10 re-plan: pure-map partsupp derive (all four), plus
+        # q11 tot-from-agg and q2 window-min
+        "q11_important_stock",
+        "q2_min_cost_supplier",
+        "q16_supplier_variety",
+        "q20_excess_stock",
+        # dedup.py churned in r10 (the cap landed in this file)
+        "dedup_exact",
+        "dedup_near_minhash",
+        "dedup_simhash",
+        "dedup_embed_cosine",
         "dedup_embed_cosine_ivf",
+        "dedup_ngram_jaccard",
+        "dedup_cluster_cc",
+        # similarity.py churned in r9 after the r9 window was fixed
+        "sim_cosine_topk",
+        "sim_knn_join_label",
+        "emb_kmeans_assign",
+        "sim_ann_ivf_topk",
+        "sim_ann_ivf_multiprobe",
     }
 
     tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
@@ -175,15 +182,14 @@ def test_round9_recheck_window_shape():
         sys.path.insert(0, tools_dir)
     from staleness import commits_since_stamp, evidence_rounds, key_files
 
-    # The lead-section selection criterion itself, checked mechanically
-    # (review r9: the hardcoded set above was only asserted against a
-    # copy of itself): under r01..r08 evidence, each of the six has
-    # file commits AFTER its evidence round's driver marker — i.e.
-    # the shipped text was never driver-stamped. Stable over time:
-    # commits only accumulate, and capped evidence is immutable.
+    # The lead-section selection criterion, checked mechanically:
+    # under r01..r09 evidence, every lead has file commits AFTER its
+    # evidence round's driver marker — the shipped text was never
+    # driver-stamped. Stable over time: commits only accumulate, and
+    # capped evidence is immutable.
     kf = key_files()
     post = commits_since_stamp(
-        evidence_rounds(upto=8), {k: kf[k] for k in RECHECK_KEYS[:N_LEADS]}
+        evidence_rounds(upto=9), {k: kf[k] for k in RECHECK_KEYS[:N_LEADS]}
     )
     not_post = [k for k in RECHECK_KEYS[:N_LEADS] if post[k] <= 0]
     assert not not_post, (
@@ -191,25 +197,32 @@ def test_round9_recheck_window_shape():
         f"{not_post}"
     )
 
-    # capped at round 8: this window was DERIVED from r01..r08
-    # evidence; the r9 sweep it pins will write CORRECTNESS_r09.json,
+    # capped at round 9: this window was DERIVED from r01..r09
+    # evidence; the r10 sweep it pins will write CORRECTNESS_r10.json,
     # and uncapped evidence would then fail the freshness assertions
     # (round-7 review finding — a rotation test must cap evidence at
     # the rounds the rotation was derived from).
-    ev = evidence_rounds(upto=8)
+    ev = evidence_rounds(upto=9)
 
     # completion criterion: every SQL-oracle key whose evidence
-    # predates round 5 is inside the window, so the r9 sweep leaves no
-    # SQL-oracle evidence older than r5.
-    pre_r5_sql = {k for k, er in ev.items() if er < 5 and k in oracles}
+    # predates round 6 is inside the window, so the r10 sweep leaves
+    # no SQL-oracle evidence older than r6.
+    pre_r6_sql = {k for k, er in ev.items() if er < 6 and k in oracles}
     window = set(RECHECK_KEYS)
-    missing = pre_r5_sql - window
+    missing = pre_r6_sql - window
     assert not missing, (
-        f"SQL-oracle keys with pre-r5 evidence left out of the window: "
+        f"SQL-oracle keys with pre-r6 evidence left out of the window: "
         f"{sorted(missing)}"
     )
 
-    # the tail burns no slot on fresh evidence: everything beyond the
-    # 6 changed-after-stamp keys has evidence from r5 or earlier.
-    too_fresh = [k for k in RECHECK_KEYS[N_LEADS:] if ev.get(k, 0) > 5]
-    assert not too_fresh, f"recheck slots burned on fresh evidence: {too_fresh}"
+    # Fresh evidence burns a slot only for a behavioral change: the
+    # only r9-stamped keys allowed in the window are the dedup.py
+    # cohort whose file carries the r10 cap (the streaming twins also
+    # have a r10 commit on their file, but it is the tWS registration
+    # comment block — no executable change — so they defer to r11).
+    fresh = [k for k in RECHECK_KEYS if ev.get(k, 0) >= 9]
+    outside_leads = [k for k in fresh if k not in RECHECK_KEYS[:N_LEADS]]
+    assert not outside_leads, (
+        f"r9-stamped keys outside the behavioral-change leads: "
+        f"{outside_leads}"
+    )
