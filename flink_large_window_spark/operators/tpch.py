@@ -886,11 +886,13 @@ def _supp_region_sql(spark: SparkSession, sf_dir: str, r_name: str) -> str:
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (minimum-cost supplier): for each small ECONOMY
     part, the European supplier(s) offering it at the region-minimum
-    supplycost. The correlated MIN subquery is decorrelated into a
-    per-part aggregate re-joined on (partkey, cost) — the same rewrite
-    Catalyst applies to the SQL form, made explicit. p_brand stands in
-    for the absent p_mfgr. Cost ties emit all tied suppliers in both
-    engines (no top-k, no float rank).
+    supplycost. The correlated MIN subquery is a per-part window
+    minimum over one pass of the candidate frame (round 10; the
+    DuckDB oracle keeps the equivalent aggregate + re-join
+    decorrelation). p_brand stands in for the absent p_mfgr. Cost
+    ties emit all tied suppliers in both engines (every row whose
+    cost equals its part's window min survives — no top-k, no float
+    rank).
 
     Scale: part is filtered before the partsupp join (predicate reaches
     the scan); the region-restricted supplier dim (~S/5 rows) is

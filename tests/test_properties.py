@@ -248,14 +248,19 @@ def test_spread_width_gates_on_scan_units_not_rows(spark, tmp_path_factory):
 
     # Near-adequate layout (half the target): the slack keeps the
     # no-op — a repartition here would pay a full shuffle for at most
-    # a 2× task-count gain.
+    # a 2× task-count gain. ceil(width/2) row groups, not width//2,
+    # so the case stays on the no-op side of units*2 >= target for
+    # ODD shuffle widths too (review r10).
+    half_up = -(-width // 2)
     d3 = str(tmp_path_factory.mktemp("spread_half_rg"))
     pq.write_table(
         tbl,
         os.path.join(d3, "documents.parquet"),
-        row_group_size=-(-n // (width // 2)),
+        row_group_size=-(-n // half_up),
     )
-    assert width // 2 <= scan_units(d3, "documents") < width
+    units = scan_units(d3, "documents")
+    target = max(4, min(width, n // 150))
+    assert units < width and units * 2 >= target
     assert spread_width(spark, d3, "documents") is None
 
     # Fixture scale is untouched by the change: single row group below
