@@ -15,7 +15,10 @@ rounds must stay within 2× of it per query. All entries are the
 round-1 freeze except dedup_near_minhash and dedup_simhash, formally
 re-frozen in round 7 (the round-1 numbers measured a retired
 non-deterministic kernel's lucky mode on a faster VM — full record in
-BASELINE.md "Round-7 RE-FREEZE").
+BASELINE.md "Round-7 RE-FREEZE"), and dedup_simhash_hamming,
+re-frozen DOWNWARD in round 10 after the capped-bucket reshape cut
+its clean median 1.93 → 1.10 s (a heavy-class probe key must read
+~1.0 on a baseline-speed VM; BASELINE.md "Round-10 RE-FREEZE").
 
 Known measurement hazards (round 6): (1) CacheManager substitutes
 cached data by canonical plan, so a key that persists without

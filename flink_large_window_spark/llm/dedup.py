@@ -449,6 +449,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan (round-6 rule, still pinned by plan tests).
     """
     prep(spark)
+    return spark.sql(_simhash_sql_body(spark, sf_dir))
+
+
+def _simhash_sql_body(spark: SparkSession, sf_dir: str) -> str:
+    """The dedup_simhash statement as SQL text — shared verbatim by
+    dedup_simhash (runs it directly) and dedup_simhash_hamming (embeds
+    it as a CTE so the whole hamming pipeline is ONE parse/analysis
+    pass, r10), keeping the two signature derivations bit-identical by
+    construction."""
     docs_ref = table_sql_ref(spark, sf_dir, "documents")
     h1 = " + ".join(
         f"(ascii(substr(token, {j + 1}, 1)) % 256)"
@@ -469,8 +478,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE CAST(0 AS BIGINT) END)"
         for b in range(SIMHASH_BITS)
     )
-    return spark.sql(
-        f"""
+    return f"""
         WITH tok AS (
           -- COALESCE(text, '') mirrors the oracle's NULL policy
           SELECT doc_id, token
@@ -490,7 +498,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                {sig} AS simhash
         FROM wsum
         """
-    )
 
 
 @query(
@@ -905,90 +912,70 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact FIRST — a corpus of k-copy groups makes every band
     bucket a k-multiple, which is the adversarial input the cap
     bounds.
+
+    Since late round 10 the kernel is the SAME capped-bucket reshape
+    minhash uses, as ONE spark.sql statement: signature CTE → band
+    rows (posexplode, pure map) → collect_list bucket aggregate with
+    the size-capped filter → in-task pair explode + exact popcount →
+    DISTINCT-partner count. The r6 objection to this shape (a 447-doc
+    bucket concentrates k² pair work AND k copies of the k-element
+    struct array in one task — measured 3-7 s vs the join's 1.6 s)
+    was about UNCAPPED buckets; with the cap, a bucket array is ≤ CAP
+    structs (~1 KB) and per-bucket pair work ≤ C(CAP,2), so the
+    reshape's concentration hazard is bounded by construction, and it
+    deletes the self-join, the bucket-size semi-join, and the
+    dropDuplicates exchange the first capped form paid (a pair
+    surfacing in ≤4 bands dedups inside the per-doc collect_set,
+    which is itself bounded by 4·(CAP−1) partners). Measured at
+    sf0.1 (4 warm-ups, n=5): join-form capped kernel 2.42-2.72 s,
+    uncapped r9 kernel 2.26 s, this form 1.10 s — 8 exchanges in the
+    plan vs the join form's 22. ZERO cached state (no
+    persist/localCheckpoint — the r5 hazard).
     """
     prep(spark)
-    band_spec = list(HAMMING_BAND_SPEC)
-    # ZERO cached state: no persist, no localCheckpoint (the round-5
-    # pair left RDD blocks that only the async ContextCleaner
-    # reclaimed — the hazard fixed suite-wide this round). With the
-    # signature now all-JVM (round 6b), the band self-join's two sides
-    # ARE sameResult-comparable, so exchange reuse computes the
-    # signature aggregate once and replays it from the shuffle for the
-    # other side (the retired mapInPandas form never compared equal
-    # and genuinely ran twice); at 100 TB checkpoint `sigs` durably
-    # and the dataflow is unchanged. The minhash-style groupBy-bucket
-    # reshape is deliberately NOT used here: simhash band values are
-    # heavily skewed (similar docs share band bits — max bucket 447
-    # docs vs 4.9 avg at sf0.1), and collect_list + double explode
-    # concentrates each bucket's k^2 pair materialization (with k
-    # copies of the k-element struct array) in one task — measured
-    # 3-7s vs the join's 1.6s. A sort-merge join streams the same k^2
-    # pairs without materializing the per-bucket array.
-    sigs = dedup_simhash(spark, sf_dir)
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        # outer: keeps InferFiltersFromGenerate from inlining the
-        # 62-term signature expression into a pushed-down filter
-        # (array literal of 4 structs is never null/empty anyway).
-        F.explode_outer(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright("simhash", shift)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("val"),
-                    )
-                    for b, (shift, width) in enumerate(band_spec)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
-    # Bucket cap (round 10, mirrors the oracle's bsz CTE): size the
-    # buckets with one hash aggregate over the SAME (band, val) keys
-    # the pair join shuffles on — exchange reuse replays the shuffled
-    # band rows for the aggregate, the semi filter, and both join
-    # sides, so the cap costs one extra aggregate, not an extra pass
-    # over the corpus. BETWEEN 2 AND CAP: singleton buckets generate
-    # no pairs anyway, over-full ones are dropped as
-    # non-discriminative (rationale at HAMMING_BAND_CAP).
-    bsz = (
-        bands.groupBy("band", "val")
-        .agg(F.count(F.lit(1)).alias("bn"))
-        .filter((F.col("bn") >= 2) & (F.col("bn") <= HAMMING_BAND_CAP))
-        .select("band", "val")
+    docs_ref = table_sql_ref(spark, sf_dir, "documents")
+    band_vals = ", ".join(
+        f"shiftright(simhash, {shift}) & {(1 << width) - 1}"
+        for shift, width in HAMMING_BAND_SPEC
     )
-    bands = bands.join(bsz, ["band", "val"])
-    l, r = bands.alias("l"), bands.alias("r")
-    cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    return spark.sql(
+        f"""
+        WITH sig AS ({_simhash_sql_body(spark, sf_dir)}),
+        band_rows AS (
+          SELECT doc_id, simhash, band, val
+          FROM sig
+          LATERAL VIEW OUTER posexplode(array({band_vals})) tb AS band, val
+        ), buckets AS (
+          SELECT ds FROM (
+            SELECT band, val,
+                   collect_list(named_struct(
+                     'doc_id', doc_id, 'simhash', simhash)) AS ds
+            FROM band_rows GROUP BY band, val
+          ) WHERE size(ds) BETWEEN 2 AND {HAMMING_BAND_CAP}
+        ), hits AS (
+          SELECT x.doc_id AS a, y.doc_id AS b
+          FROM buckets
+          LATERAL VIEW explode(ds) tx AS x
+          LATERAL VIEW explode(ds) ty AS y
+          WHERE x.doc_id < y.doc_id
+            AND bit_count(x.simhash ^ y.simhash) <= 3
+        ), per_doc AS (
+          -- a pair surfaces once per shared band (≤4×); collect_set
+          -- dedups partners without a dropDuplicates exchange, and
+          -- the set state is bounded by 4·(CAP−1) partners per doc
+          SELECT e.doc_id AS doc_id, size(collect_set(e.partner)) AS n
+          FROM hits
+          LATERAL VIEW explode(array(
+            named_struct('doc_id', a, 'partner', b),
+            named_struct('doc_id', b, 'partner', a)
+          )) te AS e
+          GROUP BY e.doc_id
         )
-        .select(
-            F.col("l.doc_id").alias("a"),
-            F.col("r.doc_id").alias("b"),
-            F.col("l.simhash").alias("sa"),
-            F.col("r.simhash").alias("sb"),
-        )
-        .dropDuplicates(["a", "b"])
-        .filter(F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))) <= 3)
-    )
-    hits = cand.select(
-        F.explode(F.array(F.col("a"), F.col("b"))).alias("doc_id")
-    )
-    counts = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hamming3"))
-    return (
-        table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .join(counts, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_hamming3", F.lit(0)).cast("long").alias("n_hamming3"),
-        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n, 0) AS BIGINT) AS n_hamming3
+        FROM (SELECT doc_id FROM {docs_ref}) d
+        LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """
     )
 
 
