@@ -284,6 +284,15 @@ def main() -> None:
         )
         for cls, probes in PROBE_CLASSES.items()
     }
+    # Per-probe ratios alongside the class geomean (late r10): the
+    # geomean HID a probe-specific shift this round — hamming read
+    # 1.49 while its class partner read 0.71 in the same session,
+    # which is a code/plan signal on the probe itself, not VM drift.
+    # Decomposed, that divergence is visible at a glance.
+    probe_detail = {
+        cls: {k: round(results[k]["median_s"] / governing[k], 3) for k in probes}
+        for cls, probes in PROBE_CLASSES.items()
+    }
     # kept for cross-round comparability with BENCH_r08 (= old single
     # light-class factor)
     probe_factor = probe_factors["light"]
@@ -315,6 +324,7 @@ def main() -> None:
                 "new_keys_total_s": new_total,
                 "probe_factor": probe_factor,
                 "probe_factors": probe_factors,
+                "probe_detail": probe_detail,
                 "ratios": ratios,
                 "env": env,
             },
@@ -332,6 +342,7 @@ def main() -> None:
                 "new_keys_total_s": new_total,
                 "probe_factor": probe_factor,
                 "probe_factors": probe_factors,
+                "probe_detail": probe_detail,
                 "ratios": ratios,
                 "sf": sf_dir,
             }

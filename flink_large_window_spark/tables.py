@@ -165,6 +165,8 @@ def invalidate(sf_dir: str) -> None:
     for cache in (_RESOLVED, _VIEW_REGISTERED):
         for key in [k for k in cache if k[2] == ab]:
             del cache[key]
+    for key in [k for k in _FOOTER_SUMS if k[0] == ab]:
+        del _FOOTER_SUMS[key]
     for fn in _INVALIDATION_HOOKS:
         fn(ab)
 
@@ -182,9 +184,20 @@ def _footer_sums(sf_dir: str, name: str) -> tuple[int, int]:
     pass. At 100 TB the same pair comes from the catalog (ANALYZE
     stats / Delta log) or a parallel footer read over the file listing;
     either way it is metadata, not a table scan.
+
+    Memoized per (abspath, table) under the same immutable-dir
+    contract as ``_RESOLVED`` (late r10): spread decisions run on
+    EVERY query build, and a multi-part production layout pays one
+    footer open per part file per walk — the metadata answer cannot
+    change while the dir is immutable, and :func:`invalidate` evicts
+    alongside the relation cache for rewritten dirs.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    memo_key = (os.path.abspath(sf_dir), name)
+    hit = _FOOTER_SUMS.get(memo_key)
+    if hit is not None:
+        return hit
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -202,7 +215,15 @@ def _footer_sums(sf_dir: str, name: str) -> tuple[int, int]:
         md = pq.ParquetFile(f).metadata
         rows += md.num_rows
         groups += md.num_row_groups
+    if len(_FOOTER_SUMS) >= _CACHE_CAP:
+        _FOOTER_SUMS.clear()
+    _FOOTER_SUMS[memo_key] = (rows, groups)
     return rows, groups
+
+
+# (abspath, table) -> (num_rows, num_row_groups); same immutable-dir
+# contract and invalidate() eviction as _RESOLVED.
+_FOOTER_SUMS: dict[tuple[str, str], tuple[int, int]] = {}
 
 
 def row_count(sf_dir: str, name: str) -> int:

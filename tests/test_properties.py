@@ -344,8 +344,15 @@ def test_invalidate_refreshes_rewritten_dir(spark, tmp_path_factory):
     view = tables.table_sql_ref(spark, d, "region")
     assert spark.sql(f"SELECT COUNT(*) c FROM {view}").collect()[0]["c"] == 3
 
+    # footer-metric memo (late r10) obeys the same contract: cached
+    # while the dir is immutable, evicted by invalidate
+    assert tables.row_count(d, "region") == 3
+    assert (os.path.abspath(d), "region") in tables._FOOTER_SUMS
+
     write(5)  # in-place rewrite: caches are now stale by contract
     tables.invalidate(d)
+    assert (os.path.abspath(d), "region") not in tables._FOOTER_SUMS
+    assert tables.row_count(d, "region") == 5
     assert tables.table(spark, d, "region").count() == 5
     view2 = tables.table_sql_ref(spark, d, "region")
     assert spark.sql(f"SELECT COUNT(*) c FROM {view2}").collect()[0]["c"] == 5
