@@ -204,7 +204,9 @@ DRIVER_CHECKED: frozenset[str] = (
 )
 
 # Round 10 (VERDICT r9 items 1-3): the window's job stays RECENCY.
-# Leads (17) are the keys whose shipped text changed BEHAVIORALLY
+# The never-stamped pattern_match_recognize (late-r10 CEP compiler
+# showcase) leads per the r9 precedent; then the leads (17) are the
+# keys whose shipped text changed BEHAVIORALLY
 # after their last driver stamp: dedup_simhash_hamming (r10 band cap —
 # code AND oracle changed) with the partsupp quartet (r10 re-plan:
 # pure-map derive, q11 tot-from-agg, q2 window-min), then the rest of
@@ -222,15 +224,26 @@ DRIVER_CHECKED: frozenset[str] = (
 # keys don't touch partsupp, so this is file-granular
 # over-approximation, rechecked anyway per the staleness policy).
 # Deferred to r11, documented: q22_global_sales (one over budget from
-# the r7 cohort), q8/q9 (evidence r8, one cosmetic file commit), the
-# 15 streaming twins re-stamped in r9 (their only r10 churn is the
-# tWS registration comment block — no executable change), and the
-# rows-only keys (no hash-window slot by policy; compensating pytests
-# per tests/test_rows_only.py).
+# the r7 cohort), q13_customer_distribution (bumped late-r10 to make
+# room for the never-stamped pattern_match_recognize — q13 is the
+# lowest-risk cohort member: pure orders/customer outer-join count,
+# no partsupp contact, file-granular churn only), q8/q9 (evidence r8,
+# one cosmetic file commit), the 15 streaming twins re-stamped in r9
+# (their only r10 churn is the tWS registration comment block — no
+# executable change), and the rows-only keys (no hash-window slot by
+# policy; compensating pytests per tests/test_rows_only.py). The
+# late-r10 CEP-compiler refactor also churned pattern_detect_cep /
+# pattern_detect_followedby (r9 evidence; compiled plans are
+# expression-identical, local oracle 6/6 green at sf0.001+sf0.01) —
+# staleness.py will flag them; they should lead the r11 window.
 # Generated with tools/staleness.py (evidence capped at r9 — the
 # round this rotation was derived from); ordering pinned by
 # tests/test_contract.py.
 RECHECK_KEYS: tuple[str, ...] = (
+    # Never-stamped key leads (the r9 precedent): the round-10 generic
+    # CEP compiler's showcase (operators/cep.py) — new registration,
+    # no driver row yet.
+    "pattern_match_recognize",
     # r10 behavioral changes: cap semantics (engine + oracle)
     "dedup_simhash_hamming",
     # r10 re-planned quartet (pure-map partsupp derive in all four;
@@ -287,7 +300,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q12_priority_class",
-    "q13_customer_distribution",
     "q14_promo_effect",
     "q15_top_supplier",
     "q17_small_quantity",

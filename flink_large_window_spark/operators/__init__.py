@@ -12,6 +12,7 @@ _MODULES = (
     "joins",
     "aggregations",
     "window_functions",
+    "cep",
     "sort_set",
     "sampling",
     "reshape",

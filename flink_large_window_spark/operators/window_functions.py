@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import query
 from ..tables import prep, table
+from .cep import Pattern, Step, compile_horizon, compile_pattern
 
 
 @query(
@@ -282,35 +283,27 @@ def pattern_detect_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP-style sequence detection, batch form: strictly consecutive
     click → click → purchase per user within 6 hours — the Flink
     CEP ``Pattern.begin("c1").next("c2").next("buy").within(6h)``
-    shape expressed as lag windows (strict contiguity = Flink `next`;
-    a relaxed `followedBy` would use last-non-null instead of lag).
+    shape. Since round 10 the spec compiles through the generic
+    quantifier compiler (operators/cep.py, suffix strategy); the
+    compiled plan is lag-for-lag the plan this key shipped with since
+    round 5 (strict contiguity = Flink `next`; ``exact`` is left off,
+    so the last two clicks of a longer run still match — that
+    distinction belongs to pattern_detect_times).
 
     One shuffle on user_id; the pattern match itself is a row-local
     predicate over the lag frame. Total event-time order is pinned by
     the (ts, event_id) tie-break.
     """
     prep(spark)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_type",
-        F.lag("event_type", 1).over(w).alias("prev1"),
-        F.lag("event_type", 2).over(w).alias("prev2"),
-        F.lag("ts", 2).over(w).alias("ts0"),
+    pat = Pattern(
+        steps=(Step("clicks", "click", 2, 2), Step("buy", "purchase")),
+        within_hours=6,
     )
-    return (
-        seq.filter(
-            (F.col("event_type") == "purchase")
-            & (F.col("prev1") == "click")
-            & (F.col("prev2") == "click")
-            & (F.col("ts") <= F.col("ts0") + F.expr("interval 6 hour"))
-        )
-        .select(
-            "user_id",
-            F.col("ts0").cast("string").alias("pattern_start"),
-            F.col("ts").cast("string").alias("pattern_end"),
-        )
+    m = compile_pattern(table(spark, sf_dir, "events"), pat)
+    return m.select(
+        "user_id",
+        F.col("start_ts").cast("string").alias("pattern_start"),
+        F.col("anchor_ts").cast("string").alias("pattern_end"),
     )
 
 
@@ -412,27 +405,23 @@ def pattern_detect_followedby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The RANGE frame needs a numeric order key in Spark: epoch
     microseconds (ties collapse into one frame position, matching
-    DuckDB's RANGE-over-timestamp peers exactly).
+    DuckDB's RANGE-over-timestamp peers exactly). Since round 10 the
+    spec compiles through the generic compiler's horizon strategy
+    (operators/cep.py) — same frame, same predicate.
     """
     prep(spark)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(-6 * 3600 * 1_000_000, Window.currentRow)
+    m = compile_horizon(
+        table(spark, sf_dir, "events"),
+        Pattern(steps=(Step("buy", "purchase"),)),
+        anchor_cls="purchase",
+        target_cls="click",
+        hours=6,
+        at_least=2,
     )
-    flagged = table(spark, sf_dir, "events").select(
+    return m.select(
         "user_id",
-        "event_id",
-        "event_type",
-        F.count(F.when(F.col("event_type") == "click", 1))
-        .over(w)
-        .alias("clicks_6h"),
-    )
-    return (
-        flagged.filter(
-            (F.col("event_type") == "purchase") & (F.col("clicks_6h") >= 2)
-        )
-        .select("user_id", F.col("event_id").alias("purchase_event"), "clicks_6h")
+        F.col("anchor_id").alias("purchase_event"),
+        F.col("n_target").alias("clicks_6h"),
     )
 
 
@@ -465,25 +454,22 @@ def pattern_detect_notfollowedby(spark: SparkSession, sf_dir: str) -> DataFrame:
     data) — in streaming, Flink/Spark would hold emission until the
     watermark passes click_ts + 6h; bounded replay makes both commit
     to the same answer. One shuffle on user_id; the frame is
-    watermark-evictable state in the streaming form.
+    watermark-evictable state in the streaming form. Since round 10
+    the spec compiles through the generic compiler's horizon strategy
+    (operators/cep.py) with ``absent=True`` — same frame, same
+    zero-count predicate.
     """
     prep(spark)
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
-        .rangeBetween(Window.currentRow, 6 * 3600 * 1_000_000)
+    m = compile_horizon(
+        table(spark, sf_dir, "events"),
+        Pattern(steps=(Step("c", "click"),)),
+        anchor_cls="click",
+        target_cls="purchase",
+        hours=6,
+        following=True,
+        absent=True,
     )
-    flagged = table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.count(F.when(F.col("event_type") == "purchase", 1))
-        .over(w)
-        .alias("purchases_6h"),
-    )
-    return flagged.filter(
-        (F.col("event_type") == "click") & (F.col("purchases_6h") == 0)
-    ).select("user_id", F.col("event_id").alias("click_event"))
+    return m.select("user_id", F.col("anchor_id").alias("click_event"))
 
 
 @query(
@@ -525,34 +511,25 @@ def pattern_detect_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id, then the quantifier is a row-local predicate over a lag
     frame — no self-joins, no state beyond the 4-row frame, identical
     at 100 TB. Event-time total order pinned by the (ts, event_id)
-    tie-break in both engines.
+    tie-break in both engines. Since round 10 the spec compiles
+    through the generic compiler (operators/cep.py, suffix strategy);
+    ``exact=True`` on the click step emits the boundary guard that
+    makes the quantifier mean "exactly 2", not "last 2 of a run".
     """
     prep(spark)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = table(spark, sf_dir, "events").select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.lag("event_type", 1).over(w).alias("prev1"),
-        F.lag("event_type", 2).over(w).alias("prev2"),
-        F.lag("event_type", 3).over(w).alias("prev3"),
-        F.lag("ts", 2).over(w).alias("ts_first"),
+    pat = Pattern(
+        steps=(
+            Step("clicks", "click", 2, 2, exact=True),
+            Step("buy", "purchase"),
+        ),
+        within_hours=6,
     )
-    return (
-        seq.filter(
-            (F.col("event_type") == "purchase")
-            & (F.col("prev1") == "click")
-            & (F.col("prev2") == "click")
-            & (F.col("prev3").isNull() | (F.col("prev3") != "click"))
-            & (F.col("ts") <= F.col("ts_first") + F.expr("interval 6 hour"))
-        )
-        .select(
-            "user_id",
-            F.col("event_id").alias("purchase_event"),
-            F.col("ts_first").cast("string").alias("pattern_start"),
-            F.col("ts").cast("string").alias("pattern_end"),
-        )
+    m = compile_pattern(table(spark, sf_dir, "events"), pat)
+    return m.select(
+        "user_id",
+        F.col("anchor_id").alias("purchase_event"),
+        F.col("start_ts").cast("string").alias("pattern_start"),
+        F.col("anchor_ts").cast("string").alias("pattern_end"),
     )
 
 
@@ -592,49 +569,31 @@ def pattern_detect_oneormore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Gaps-and-islands formulation: the rn − rn_t difference is constant
     exactly within a consecutive same-type run, so click runs reduce
-    to a grouped aggregate; the purchase must be the event at run-end
-    rn + 1. Shuffles: two window passes ((user) and (user, type)
-    orders — the second sorts within the same user partitioning), one
-    grouped agg, one (user_id, rn)-keyed join. Everything is
-    partition-local per user; no self-join blow-up at 100 TB.
+    to a grouped aggregate. The oracle keeps the original join form
+    (purchase = the event at run-end rn + 1); since round 10 the
+    engine compiles the spec through the generic compiler's greedy
+    strategy (operators/cep.py), which replaces that (user_id,
+    rn)-equi-join with a lag over the runs relation — the run right
+    after a maximal click run starts at rn + 1 by construction, so
+    the two forms are row-equal while the lag shuffles strictly fewer
+    rows. Everything is partition-local per user; no self-join
+    blow-up at 100 TB.
     """
     prep(spark)
-    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_ut = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    ordered = table(spark, sf_dir, "events").select(
+    pat = Pattern(
+        steps=(
+            Step("clicks", "click", 1, None),
+            Step("buy", "purchase", 1, None),
+        ),
+        within_hours=6,
+    )
+    m = compile_pattern(table(spark, sf_dir, "events"), pat)
+    return m.select(
         "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.row_number().over(w_u).alias("rn"),
-        F.row_number().over(w_ut).alias("rn_t"),
-    )
-    runs = (
-        ordered.filter(F.col("event_type") == "click")
-        .groupBy("user_id", (F.col("rn") - F.col("rn_t")).alias("island"))
-        .agg(
-            F.min("ts").alias("run_start"),
-            F.count(F.lit(1)).alias("n_clicks"),
-            F.max("rn").alias("end_rn"),
-        )
-    )
-    purchases = ordered.filter(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), "event_id", F.col("ts").alias("p_ts"), "rn"
-    )
-    return (
-        runs.join(
-            purchases,
-            (F.col("user_id") == F.col("p_user"))
-            & (F.col("rn") == F.col("end_rn") + 1),
-        )
-        .filter(F.col("p_ts") <= F.col("run_start") + F.expr("interval 6 hour"))
-        .select(
-            "user_id",
-            F.col("event_id").alias("purchase_event"),
-            F.col("n_clicks").cast("long").alias("n_clicks"),
-            F.col("run_start").cast("string").alias("pattern_start"),
-            F.col("p_ts").cast("string").alias("pattern_end"),
-        )
+        F.col("anchor_first_id").alias("purchase_event"),
+        F.col("n_clicks").cast("long").alias("n_clicks"),
+        F.col("start_ts").cast("string").alias("pattern_start"),
+        F.col("anchor_start_ts").cast("string").alias("pattern_end"),
     )
 
 

@@ -1,0 +1,249 @@
+"""Semantic unit tests for the generic CEP pattern compiler
+(operators/cep.py) — the quantifier edge cases that separate the
+strategies, on hand-built micro-streams where every expected match is
+enumerable by eye. Fixture-scale oracle parity for the six registered
+pattern keys is covered by check_oracle / the driver; these tests pin
+the COMPILER semantics: suffix-vs-exact boundary guards, maximal-run
+rejection of over-long runs, unbounded greedy steps, the within
+cutoff, per-key isolation, and spec validation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from flink_large_window_spark.operators.cep import (
+    Pattern,
+    Step,
+    compile_greedy,
+    compile_horizon,
+    compile_pattern,
+    compile_suffix,
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events(spark, rows):
+    """rows: (user_id, minutes_after_T0, event_type); event_id is the
+    row ordinal so (ts, event_id) order == listed order."""
+    data = [
+        (int(u), T0 + dt.timedelta(minutes=m), i, t)
+        for i, (u, m, t) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+
+
+def _pat(steps, within=None):
+    return Pattern(steps=tuple(steps), within_hours=within)
+
+
+# ---------------------------------------------------------------- suffix
+
+def test_suffix_matches_run_suffix_without_exact(spark):
+    # 3 clicks then purchase: click{2} (no exact) matches the LAST two
+    # clicks — Flink `next` per-event semantics.
+    df = _events(
+        spark,
+        [(1, 0, "click"), (1, 1, "click"), (1, 2, "click"), (1, 3, "purchase")],
+    )
+    out = compile_suffix(
+        df, _pat([Step("c", "click", 2, 2), Step("p", "purchase")], within=6)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.anchor_id == 3
+    # start = first COUNTED event = the second click (minute 1)
+    assert r.start_ts == T0 + dt.timedelta(minutes=1)
+
+
+def test_suffix_exact_guard_rejects_longer_run(spark):
+    # Same stream, exact=True: a third preceding click disqualifies —
+    # times(2) semantics.
+    df = _events(
+        spark,
+        [(1, 0, "click"), (1, 1, "click"), (1, 2, "click"), (1, 3, "purchase")],
+    )
+    out = compile_suffix(
+        df,
+        _pat([Step("c", "click", 2, 2, exact=True), Step("p", "purchase")]),
+    ).collect()
+    assert out == []
+    # And exactly 2 clicks pass the guard (stream-start boundary: the
+    # guard lag is NULL there, which must count as "no extra click").
+    df2 = _events(spark, [(1, 0, "click"), (1, 1, "click"), (1, 2, "purchase")])
+    out2 = compile_suffix(
+        df2,
+        _pat([Step("c", "click", 2, 2, exact=True), Step("p", "purchase")]),
+    ).collect()
+    assert [r.anchor_id for r in out2] == [2]
+
+
+def test_suffix_within_cutoff(spark):
+    df = _events(
+        spark, [(1, 0, "click"), (1, 30, "click"), (1, 7 * 60, "purchase")]
+    )
+    pat_6h = _pat([Step("c", "click", 2, 2), Step("p", "purchase")], within=6)
+    pat_8h = _pat([Step("c", "click", 2, 2), Step("p", "purchase")], within=8)
+    assert compile_suffix(df, pat_6h).count() == 0  # 7h from first click
+    assert compile_suffix(df, pat_8h).count() == 1
+
+
+def test_suffix_key_isolation(spark):
+    # The click belongs to another user: no cross-key match.
+    df = _events(spark, [(1, 0, "click"), (2, 1, "click"), (2, 2, "purchase")])
+    out = compile_suffix(
+        df, _pat([Step("c", "click", 2, 2), Step("p", "purchase")])
+    ).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------- greedy
+
+def test_greedy_between_rejects_overlong_run(spark):
+    # view, 4 clicks, purchase: click{1,3} under maximal-run semantics
+    # must NOT match via a 3-suffix.
+    df = _events(
+        spark,
+        [(1, 0, "view")]
+        + [(1, 1 + i, "click") for i in range(4)]
+        + [(1, 10, "purchase")],
+    )
+    pat = _pat(
+        [Step("v", "view"), Step("c", "click", 1, 3), Step("p", "purchase")],
+        within=24,
+    )
+    assert compile_greedy(df, pat).count() == 0
+    # 3 clicks: matches, with the full run as the measure.
+    df3 = _events(
+        spark,
+        [(1, 0, "view")]
+        + [(1, 1 + i, "click") for i in range(3)]
+        + [(1, 10, "purchase")],
+    )
+    out = compile_greedy(df3, pat).collect()
+    assert len(out) == 1
+    assert out[0].n_c == 3 and out[0].n_v == 1
+    assert out[0].anchor_first_id == 4
+
+
+def test_greedy_unbounded_first_step_and_anchor_surplus(spark):
+    # 5 clicks then 2 purchases: oneOrMore().greedy() reports the
+    # maximal run once, anchored at the FIRST purchase; the second
+    # purchase is surplus of the anchor run, not a second match.
+    df = _events(
+        spark,
+        [(1, i, "click") for i in range(5)]
+        + [(1, 5, "purchase"), (1, 6, "purchase")],
+    )
+    pat = _pat(
+        [Step("c", "click", 1, None), Step("p", "purchase", 1, None)], within=6
+    )
+    out = compile_greedy(df, pat).collect()
+    assert len(out) == 1
+    assert out[0].n_c == 5 and out[0].anchor_first_id == 5
+
+
+def test_greedy_within_measured_from_first_step_run_start(spark):
+    df = _events(
+        spark, [(1, 0, "view"), (1, 30, "click"), (1, 25 * 60, "purchase")]
+    )
+    pat24 = _pat(
+        [Step("v", "view"), Step("c", "click", 1, 3), Step("p", "purchase")],
+        within=24,
+    )
+    pat26 = _pat(
+        [Step("v", "view"), Step("c", "click", 1, 3), Step("p", "purchase")],
+        within=26,
+    )
+    assert compile_greedy(df, pat24).count() == 0  # 25h from the view
+    assert compile_greedy(df, pat26).count() == 1
+
+
+def test_greedy_requires_adjacent_runs(spark):
+    # view, click, ERROR, purchase: strict contiguity — the error run
+    # between click and purchase breaks the sequence.
+    df = _events(
+        spark,
+        [(1, 0, "view"), (1, 1, "click"), (1, 2, "error"), (1, 3, "purchase")],
+    )
+    pat = _pat(
+        [Step("v", "view"), Step("c", "click", 1, 3), Step("p", "purchase")],
+        within=24,
+    )
+    assert compile_greedy(df, pat).count() == 0
+
+
+def test_compile_pattern_dispatch(spark):
+    df = _events(spark, [(1, 0, "click"), (1, 1, "click"), (1, 2, "purchase")])
+    fixed = _pat([Step("c", "click", 2, 2), Step("p", "purchase")])
+    ranged = _pat([Step("c", "click", 1, None), Step("p", "purchase", 1, None)])
+    # fixed → suffix output columns; ranged → greedy output columns
+    assert "anchor_id" in compile_pattern(df, fixed).columns
+    assert "anchor_first_id" in compile_pattern(df, ranged).columns
+
+
+# --------------------------------------------------------------- horizon
+
+def test_horizon_absent_and_at_least(spark):
+    df = _events(
+        spark,
+        [
+            (1, 0, "click"),          # purchase follows within 6h → not absent
+            (1, 60, "purchase"),
+            (1, 10 * 60, "click"),    # nothing follows → absent
+            (2, 0, "click"),          # cross-user purchase must not count
+            (3, 1, "purchase"),
+        ],
+    )
+    pat = Pattern(steps=(Step("c", "click"),))
+    absent = compile_horizon(
+        df, pat, anchor_cls="click", target_cls="purchase", hours=6,
+        following=True, absent=True,
+    ).collect()
+    assert sorted((r.user_id, r.anchor_id) for r in absent) == [(1, 2), (2, 3)]
+    atleast = compile_horizon(
+        df, pat, anchor_cls="purchase", target_cls="click", hours=6,
+        at_least=1,
+    ).collect()
+    assert [(r.user_id, r.anchor_id, r.n_target) for r in atleast] == [(1, 1, 1)]
+
+
+# ------------------------------------------------------------ validation
+
+def test_spec_validation():
+    with pytest.raises(ValueError):
+        Pattern(steps=())
+    with pytest.raises(ValueError):
+        Pattern(steps=(Step("a", "click", 0, 1),))
+    with pytest.raises(ValueError):
+        Pattern(steps=(Step("a", "click", 3, 2),))
+
+
+def test_suffix_rejects_ranged_quantifier(spark):
+    df = _events(spark, [(1, 0, "click")])
+    with pytest.raises(ValueError):
+        compile_suffix(df, _pat([Step("c", "click", 1, None)]))
+    with pytest.raises(ValueError):
+        # final step must be a single anchor event in suffix mode
+        compile_suffix(
+            df, _pat([Step("c", "click", 1, 1), Step("p", "purchase", 2, 2)])
+        )
+
+
+def test_horizon_requires_exactly_one_mode(spark):
+    df = _events(spark, [(1, 0, "click")])
+    pat = Pattern(steps=(Step("c", "click"),))
+    with pytest.raises(ValueError):
+        compile_horizon(
+            df, pat, anchor_cls="click", target_cls="purchase", hours=6
+        )
+    with pytest.raises(ValueError):
+        compile_horizon(
+            df, pat, anchor_cls="click", target_cls="purchase", hours=6,
+            at_least=1, absent=True,
+        )

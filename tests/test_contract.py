@@ -130,7 +130,9 @@ def test_no_contract_key_lost_overall():
 
 def test_round10_recheck_window_shape():
     """The round-10 window (VERDICT r9 items 1-3): 50 unique
-    SQL-oracle keys. Leads (17) are the behavioral-change cohort —
+    SQL-oracle keys. Leads (18) are the never-stamped
+    pattern_match_recognize (late-r10 CEP compiler showcase) followed
+    by the behavioral-change cohort —
     dedup_simhash_hamming (r10 band cap: code AND oracle text
     changed), the re-planned partsupp quartet (pure-map derive;
     q11/q2 restructured), the rest of the dedup.py cohort, and the
@@ -151,8 +153,12 @@ def test_round10_recheck_window_shape():
     oracles = api.oracle_sql()
     assert all(k in q and k in oracles for k in RECHECK_KEYS)
 
-    N_LEADS = 17
+    N_LEADS = 18
     assert set(RECHECK_KEYS[:N_LEADS]) == {
+        # never-stamped key leads the window (the r9 precedent —
+        # CORRECTNESS_r09 opened with the never-stamped keys): the
+        # late-r10 generic CEP compiler's showcase (operators/cep.py)
+        "pattern_match_recognize",
         # r10 band cap — engine and oracle text both changed
         "dedup_simhash_hamming",
         # r10 re-plan: pure-map partsupp derive (all four), plus
@@ -183,15 +189,20 @@ def test_round10_recheck_window_shape():
     from staleness import commits_since_stamp, evidence_rounds, key_files
 
     # The lead-section selection criterion, checked mechanically:
-    # under r01..r09 evidence, every lead has file commits AFTER its
-    # evidence round's driver marker — the shipped text was never
-    # driver-stamped. Stable over time: commits only accumulate, and
-    # capped evidence is immutable.
+    # under r01..r09 evidence, every STAMPED lead has file commits
+    # AFTER its evidence round's driver marker — the shipped text was
+    # never driver-stamped. Never-stamped leads (no evidence round at
+    # all — pattern_match_recognize) satisfy the criterion vacuously
+    # and are asserted to genuinely have no r01..r09 evidence. Stable
+    # over time: commits only accumulate, and capped evidence is
+    # immutable.
     kf = key_files()
-    post = commits_since_stamp(
-        evidence_rounds(upto=9), {k: kf[k] for k in RECHECK_KEYS[:N_LEADS]}
-    )
-    not_post = [k for k in RECHECK_KEYS[:N_LEADS] if post[k] <= 0]
+    ev9 = evidence_rounds(upto=9)
+    stamped_leads = [k for k in RECHECK_KEYS[:N_LEADS] if k in ev9]
+    never_stamped = [k for k in RECHECK_KEYS[:N_LEADS] if k not in ev9]
+    assert never_stamped == ["pattern_match_recognize"], never_stamped
+    post = commits_since_stamp(ev9, {k: kf[k] for k in stamped_leads})
+    not_post = [k for k in stamped_leads if post[k] <= 0]
     assert not not_post, (
         f"window leads claim changed-after-stamp but post_stamp<=0: "
         f"{not_post}"
