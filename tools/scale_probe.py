@@ -64,6 +64,11 @@ FAMILIES = {
             "ts_ohlc_bars", "ts_resample_gapfill", "ts_funnel_conversion",
             "ts_retention_cohort", "pivot_event_counts",
             "pattern_detect_followedby", "pattern_detect_cep",
+            # round 10: the remaining CEP keys, all compiled through
+            # the generic quantifier compiler (operators/cep.py) —
+            # same events replication, linear per-user run structure
+            "pattern_detect_notfollowedby", "pattern_detect_times",
+            "pattern_detect_oneormore", "pattern_match_recognize",
         ],
     },
     "text": {
