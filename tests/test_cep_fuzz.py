@@ -1,0 +1,216 @@
+"""Seeded randomized sweep for the generic CEP compiler: hundreds of
+random event streams (one per user, all in ONE DataFrame so each
+pattern costs one Spark job) compared cell-for-cell against a
+brute-force Python reference matcher. This is the compiler's
+generality evidence beyond the six registered fixtures — the
+reference implements the documented semantics directly (maximal runs
+for greedy, per-event suffix with optional exactness for suffix), so
+any divergence is a compiler bug, not a spec ambiguity.
+
+Deterministic: numpy PCG64 with a fixed seed; streams are regenerated
+identically every run.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections import defaultdict
+
+import numpy as np
+
+from flink_large_window_spark.operators.cep import (
+    Pattern,
+    Step,
+    compile_greedy,
+    compile_suffix,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+CLASSES = ["view", "click", "purchase", "error"]
+
+
+def _random_streams(n_users: int, max_len: int, seed: int):
+    """One stream per user: (user_id, ts, event_id, event_type) with
+    ts strictly increasing per user (minute grid with random gaps up
+    to ~9 hours, so within-bounds are genuinely exercised)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    eid = 0
+    for u in range(n_users):
+        m = 0
+        for _ in range(int(rng.integers(1, max_len + 1))):
+            m += int(rng.integers(1, 540))
+            rows.append(
+                (u, T0 + dt.timedelta(minutes=m), eid,
+                 CLASSES[int(rng.integers(0, len(CLASSES)))])
+            )
+            eid += 1
+    return rows
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+
+
+def _runs(evs):
+    runs = []
+    for e in evs:
+        if runs and runs[-1][0] == e[3]:
+            runs[-1][1].append(e)
+        else:
+            runs.append((e[3], [e]))
+    return runs
+
+
+def _ref_greedy(rows, pat: Pattern):
+    """Reference maximal-run matcher: slide a len(steps) window over
+    each user's run sequence; middle/first steps must consume their
+    whole run, the final step anchors with run_len >= min."""
+    by_user = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_user[r[0]].append(r)
+    steps = pat.steps
+    k = len(steps)
+    out = []
+    for u, evs in by_user.items():
+        runs = _runs(evs)
+        for i in range(k - 1, len(runs)):
+            win = runs[i - k + 1 : i + 1]
+            ok = True
+            for s, (cls, res) in zip(steps[:-1], win[:-1]):
+                ok = ok and cls == s.cls and s.min_count <= len(res) and (
+                    s.max_count is None or len(res) <= s.max_count
+                )
+            last = steps[-1]
+            cls, res = win[-1]
+            ok = ok and cls == last.cls and len(res) >= last.min_count
+            if ok and pat.within_hours is not None:
+                ok = res[0][1] <= win[0][1][0][1] + dt.timedelta(
+                    hours=pat.within_hours
+                )
+            if ok:
+                out.append(
+                    (u, res[0][2])
+                    + tuple(len(r[1]) for r in win[:-1])
+                )
+    return sorted(out)
+
+
+def _ref_suffix(rows, pat: Pattern):
+    """Reference per-event suffix matcher: anchor every event of the
+    final class; walk backwards checking each fixed-count step, with
+    the exact guard where requested."""
+    by_user = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_user[r[0]].append(r)
+    steps = pat.steps
+    out = []
+    for u, evs in by_user.items():
+        for i, e in enumerate(evs):
+            if e[3] != steps[-1].cls:
+                continue
+            j = i - 1
+            ok = True
+            first_idx = i
+            for s in reversed(steps[:-1]):
+                for _ in range(s.min_count):
+                    if j < 0 or evs[j][3] != s.cls:
+                        ok = False
+                        break
+                    first_idx = j
+                    j -= 1
+                if not ok:
+                    break
+                if s.exact and j >= 0 and evs[j][3] == s.cls:
+                    ok = False
+                    break
+            if ok and pat.within_hours is not None:
+                ok = e[1] <= evs[first_idx][1] + dt.timedelta(
+                    hours=pat.within_hours
+                )
+            if ok:
+                out.append((u, e[2]))
+    return sorted(out)
+
+
+GREEDY_PATTERNS = [
+    Pattern(
+        steps=(
+            Step("v", "view", 1, None),
+            Step("c", "click", 1, 3),
+            Step("p", "purchase", 1, None),
+        ),
+        within_hours=24,
+    ),
+    Pattern(
+        steps=(Step("c", "click", 2, None), Step("p", "purchase", 1, None)),
+        within_hours=48,
+    ),
+    Pattern(steps=(Step("e", "error", 2, None),)),
+    Pattern(
+        steps=(
+            Step("a", "click", 1, 2),
+            Step("b", "error", 1, 1),
+            Step("c", "view", 1, None),
+        ),
+    ),
+]
+
+SUFFIX_PATTERNS = [
+    Pattern(
+        steps=(Step("c", "click", 2, 2), Step("p", "purchase")),
+        within_hours=6,
+    ),
+    Pattern(
+        steps=(Step("c", "click", 2, 2, exact=True), Step("p", "purchase")),
+        within_hours=6,
+    ),
+    Pattern(
+        steps=(
+            Step("v", "view", 1, 1),
+            Step("c", "click", 1, 1, exact=True),
+            Step("p", "purchase"),
+        ),
+        within_hours=72,
+    ),
+]
+
+
+def test_greedy_matches_reference_on_random_streams(spark):
+    rows = _random_streams(n_users=300, max_len=14, seed=7)
+    df = _df(spark, rows)
+    for pat in GREEDY_PATTERNS:
+        got = sorted(
+            (r["user_id"], r["anchor_first_id"])
+            + tuple(int(r[f"n_{s.name}"]) for s in pat.steps[:-1])
+            for r in compile_greedy(df, pat).collect()
+        )
+        want = _ref_greedy(rows, pat)
+        assert got == want, f"greedy divergence for {pat.steps}"
+        # the sweep must actually exercise the pattern
+        assert len(want) > 0, f"degenerate sweep (0 matches) for {pat.steps}"
+
+
+def test_suffix_matches_reference_on_random_streams(spark):
+    # denser, clickier streams so 2-click suffixes occur
+    rng_rows = _random_streams(n_users=300, max_len=14, seed=11)
+    # bias: duplicate clicks by rewriting every 'error' after a click
+    # into another click (keeps determinism, raises run lengths)
+    rows = []
+    prev_by_user: dict[int, str] = {}
+    for u, ts, eid, cls in rng_rows:
+        if cls == "error" and prev_by_user.get(u) == "click":
+            cls = "click"
+        rows.append((u, ts, eid, cls))
+        prev_by_user[u] = cls
+    df = _df(spark, rows)
+    for pat in SUFFIX_PATTERNS:
+        got = sorted(
+            (r["user_id"], r["anchor_id"])
+            for r in compile_suffix(df, pat).collect()
+        )
+        want = _ref_suffix(rows, pat)
+        assert got == want, f"suffix divergence for {pat.steps}"
+        assert len(want) > 0, f"degenerate sweep (0 matches) for {pat.steps}"

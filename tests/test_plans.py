@@ -392,3 +392,25 @@ def test_bucketed_join_memo_serves_without_rewrite(spark):
         map(tuple, bucketing.join_bucketed_noshuffle(spark, SF_SMOKE).collect())
     )
     assert again == first, "retrained bucketed join changed values"
+
+
+def test_compiled_cep_plans_are_join_free(spark):
+    """The round-10 CEP compiler's plan guarantees (SCALING.md
+    'Round-10: generic CEP compiler battery'): the greedy strategy
+    replaces the hand-written oneormore (user_id, rn) equi-join with a
+    lag over the runs relation — 0 joins in the executed plan — and
+    the suffix strategy stays the single-window lag conjunction
+    pattern_detect_cep always shipped (1 Window, no join, no extra
+    exchange beyond the user_id shuffle)."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    greedy = _plan(REGISTRY["pattern_detect_oneormore"](spark, SF_SMOKE))
+    assert "Join" not in greedy
+    recognize = _plan(REGISTRY["pattern_match_recognize"](spark, SF_SMOKE))
+    assert "Join" not in recognize
+    # map-side partial aggregation for the runs relation
+    assert recognize.count("HashAggregate") >= 2
+
+    suffix = _plan(REGISTRY["pattern_detect_cep"](spark, SF_SMOKE))
+    assert "Join" not in suffix
+    assert suffix.count("Window") == 1
