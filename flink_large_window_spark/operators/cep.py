@@ -145,9 +145,7 @@ def compile_suffix(df: DataFrame, pat: Pattern) -> DataFrame:
             F.col(pat.ts)
             <= start_ts + F.expr(f"interval {pat.within_hours} hour")
         )
-    out = df.select(*cols, F.when(
-        conds[0] if len(conds) == 1 else _conj(conds), F.lit(1)
-    ).alias("__hit"))
+    out = df.select(*cols, F.when(_conj(conds), F.lit(1)).alias("__hit"))
     return out.filter(F.col("__hit") == 1).drop("__hit")
 
 
@@ -224,9 +222,10 @@ def compile_greedy(df: DataFrame, pat: Pattern) -> DataFrame:
         F.col(pat.key),
         F.col("first_id").alias("anchor_first_id"),
         F.col("run_start_ts").alias("anchor_start_ts"),
-        F.least(
-            F.col("run_len"),
-            F.lit(last.max_count) if last.max_count is not None else F.col("run_len"),
+        (
+            F.least(F.col("run_len"), F.lit(last.max_count))
+            if last.max_count is not None
+            else F.col("run_len")
         ).alias(f"n_{last.name}"),
     ]
     start_ts = F.col("run_start_ts")
