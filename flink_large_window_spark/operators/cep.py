@@ -37,6 +37,12 @@ is lag-for-lag the plan it shipped with since round 5):
   RANGE-frame count of the target class around each anchor, with a
   ``>= n`` or ``== 0`` (absence) predicate.
 
+Alternation (a step matching any of several classes — Flink's
+``where(a).or(b)``) is supported by the suffix and horizon strategies
+via tuple-valued ``Step.cls``; the greedy strategy rejects it with a
+clear error, because the runs relation encodes maximal runs of ONE
+class and a set-class run has no single gaps-and-islands encoding.
+
 Scale notes (100 TB): every strategy shuffles once on the partition
 key and stays row-local after the per-key sort — no self-joins, no
 state beyond a bounded lag frame (suffix/horizon) or the run relation
@@ -61,6 +67,11 @@ from ..tables import prep, table
 class Step:
     """One pattern step: a contiguous group of ``cls``-class events.
 
+    ``cls`` is a single class or a tuple of alternatives (alternation
+    — Flink's ``where(a).or(b)`` step condition); alternation is
+    supported by the suffix and horizon strategies, and rejected by
+    the greedy strategy (the runs relation encodes maximal runs of ONE
+    class — a set-class run has no single gaps-and-islands encoding).
     ``min_count``/``max_count`` are the quantifier (``max_count=None``
     = unbounded, Flink ``oneOrMore``-style). ``exact`` (suffix mode
     only) guards the far boundary so a longer run of the same class
@@ -68,13 +79,24 @@ class Step:
     """
 
     name: str
-    cls: str
+    cls: str | tuple[str, ...]
     min_count: int = 1
     max_count: int | None = 1
     exact: bool = False
 
     def fixed(self) -> bool:
         return self.max_count is not None and self.min_count == self.max_count
+
+    def clses(self) -> tuple[str, ...]:
+        return self.cls if isinstance(self.cls, tuple) else (self.cls,)
+
+
+def _matches(col, step: Step):
+    """Column predicate for step membership. Single-class stays a
+    plain equality so the compiled plans of the five fixed keys remain
+    expression-identical to their pre-compiler forms."""
+    cs = step.clses()
+    return col.isin(*cs) if len(cs) > 1 else (col == cs[0])
 
 
 @dataclass(frozen=True)
@@ -123,7 +145,7 @@ def compile_suffix(df: DataFrame, pat: Pattern) -> DataFrame:
     w = Window.partitionBy(pat.key).orderBy(pat.ts, pat.order_id)
     # Offsets from the anchor (offset 0 = final event), walking the
     # steps backwards: step k's events sit at offsets [acc, acc+n-1].
-    conds = [F.col(pat.cls_col) == last.cls]
+    conds = [_matches(F.col(pat.cls_col), last)]
     cols = [
         F.col(pat.key),
         F.col(pat.order_id).alias("anchor_id"),
@@ -132,11 +154,11 @@ def compile_suffix(df: DataFrame, pat: Pattern) -> DataFrame:
     off = 1
     for s in reversed(pat.steps[:-1]):
         for _ in range(s.min_count):
-            conds.append(F.lag(pat.cls_col, off).over(w) == s.cls)
+            conds.append(_matches(F.lag(pat.cls_col, off).over(w), s))
             off += 1
         if s.exact:
             guard = F.lag(pat.cls_col, off).over(w)
-            conds.append(guard.isNull() | (guard != s.cls))
+            conds.append(guard.isNull() | ~_matches(guard, s))
     total = off  # pattern length in events
     start_ts = F.lag(pat.ts, total - 1).over(w)
     cols.append(start_ts.alias("start_ts"))
@@ -213,6 +235,12 @@ def compile_greedy(df: DataFrame, pat: Pattern) -> DataFrame:
     event), start_ts (first step's run start), and per-step
     ``n_<name>`` run lengths.
     """
+    if any(len(s.clses()) > 1 for s in pat.steps):
+        raise ValueError(
+            "greedy strategy requires single-class steps (a set-class "
+            "run has no single gaps-and-islands encoding); use fixed "
+            "quantifiers (suffix strategy) for alternation"
+        )
     runs = runs_relation(df, pat)
     last = pat.steps[-1]
     w_r = Window.partitionBy(pat.key).orderBy("start_rn")
@@ -250,8 +278,8 @@ def compile_horizon(
     df: DataFrame,
     pat: Pattern,
     *,
-    anchor_cls: str,
-    target_cls: str,
+    anchor_cls: str | tuple[str, ...],
+    target_cls: str | tuple[str, ...],
     hours: int,
     following: bool = False,
     at_least: int | None = None,
@@ -271,6 +299,8 @@ def compile_horizon(
         raise ValueError("exactly one of at_least / absent")
     span = hours * 3600 * 1_000_000
     frame = (0, span) if following else (-span, Window.currentRow)
+    anchor = Step("anchor", anchor_cls)
+    target = Step("target", target_cls)
     w = (
         Window.partitionBy(pat.key)
         .orderBy(F.unix_micros(pat.ts))
@@ -280,7 +310,7 @@ def compile_horizon(
         pat.key,
         pat.order_id,
         pat.cls_col,
-        F.count(F.when(F.col(pat.cls_col) == target_cls, 1))
+        F.count(F.when(_matches(F.col(pat.cls_col), target), 1))
         .over(w)
         .alias("n_target"),
     )
@@ -288,7 +318,7 @@ def compile_horizon(
         (F.col("n_target") == 0) if absent else (F.col("n_target") >= at_least)
     )
     return (
-        flagged.filter((F.col(pat.cls_col) == anchor_cls) & pred)
+        flagged.filter(_matches(F.col(pat.cls_col), anchor) & pred)
         .select(
             pat.key,
             F.col(pat.order_id).alias("anchor_id"),

@@ -164,6 +164,30 @@ def test_greedy_within_measured_from_first_step_run_start(spark):
     assert compile_greedy(df, pat26).count() == 1
 
 
+def test_greedy_null_class_breaks_adjacency(spark):
+    # NULL event types (real 100 TB data has them; the fixtures don't)
+    # form their own runs — both Spark's window partitioning and its
+    # GROUP BY treat NULL as one group — so a NULL between two pattern
+    # steps breaks strict contiguity exactly like any non-matching
+    # class, and a NULL never equals a step class.
+    rows = [
+        (1, 0, "view"), (1, 1, None), (1, 2, "click"), (1, 3, "purchase"),
+        (1, 4, "view"), (1, 5, "click"), (1, 6, None), (1, 7, "purchase"),
+        (1, 8, "view"), (1, 9, "click"), (1, 10, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        [(u, T0 + dt.timedelta(minutes=m), i, t)
+         for i, (u, m, t) in enumerate(rows)],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    pat = _pat(
+        [Step("v", "view"), Step("c", "click", 1, 3), Step("p", "purchase")],
+        within=24,
+    )
+    out = compile_greedy(df, pat).collect()
+    assert [(r.user_id, r.anchor_first_id) for r in out] == [(1, 10)]
+
+
 def test_greedy_requires_adjacent_runs(spark):
     # view, click, ERROR, purchase: strict contiguity — the error run
     # between click and purchase breaks the sequence.
@@ -211,6 +235,53 @@ def test_horizon_absent_and_at_least(spark):
         at_least=1,
     ).collect()
     assert [(r.user_id, r.anchor_id, r.n_target) for r in atleast] == [(1, 1, 1)]
+
+
+# ------------------------------------------------------------ alternation
+
+def test_suffix_alternation_matches_class_set(spark):
+    # (click|view){2} then purchase — Flink where(a).or(b): mixed
+    # click/view pairs match, an error in the pair does not.
+    df = _events(
+        spark,
+        [
+            (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+            (2, 0, "error"), (2, 1, "click"), (2, 2, "purchase"),
+        ],
+    )
+    pat = _pat([Step("eng", ("click", "view"), 2, 2), Step("p", "purchase")])
+    out = compile_suffix(df, pat).collect()
+    assert [(r.user_id, r.anchor_id) for r in out] == [(1, 2)]
+    # exact guard applies to the SET: a third engagement event of
+    # EITHER class disqualifies.
+    df2 = _events(
+        spark,
+        [(1, 0, "view"), (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase")],
+    )
+    pat_exact = _pat(
+        [Step("eng", ("click", "view"), 2, 2, exact=True), Step("p", "purchase")]
+    )
+    assert compile_suffix(df2, pat_exact).count() == 0
+
+
+def test_horizon_alternation_counts_class_set(spark):
+    df = _events(
+        spark,
+        [(1, 0, "view"), (1, 30, "click"), (1, 60, "purchase")],
+    )
+    pat = Pattern(steps=(Step("p", "purchase"),))
+    out = compile_horizon(
+        df, pat, anchor_cls="purchase", target_cls=("click", "view"),
+        hours=6, at_least=2,
+    ).collect()
+    assert [(r.user_id, r.anchor_id, r.n_target) for r in out] == [(1, 2, 2)]
+
+
+def test_greedy_rejects_alternation(spark):
+    df = _events(spark, [(1, 0, "click")])
+    pat = _pat([Step("eng", ("click", "view"), 1, None)])
+    with pytest.raises(ValueError, match="single-class"):
+        compile_greedy(df, pat)
 
 
 # ------------------------------------------------------------ validation

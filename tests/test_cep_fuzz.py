@@ -26,7 +26,11 @@ from flink_large_window_spark.operators.cep import (
 )
 
 T0 = dt.datetime(2024, 1, 1)
-CLASSES = ["view", "click", "purchase", "error"]
+# None included: NULL event types must form their own runs (Spark
+# window partitioning and GROUP BY treat NULL as one group, matching
+# the Python reference's equality-run encoding) and never equal a
+# step class.
+CLASSES = ["view", "click", "purchase", "error", None]
 
 
 def _random_streams(n_users: int, max_len: int, seed: int):
@@ -109,21 +113,21 @@ def _ref_suffix(rows, pat: Pattern):
     out = []
     for u, evs in by_user.items():
         for i, e in enumerate(evs):
-            if e[3] != steps[-1].cls:
+            if e[3] not in steps[-1].clses():
                 continue
             j = i - 1
             ok = True
             first_idx = i
             for s in reversed(steps[:-1]):
                 for _ in range(s.min_count):
-                    if j < 0 or evs[j][3] != s.cls:
+                    if j < 0 or evs[j][3] not in s.clses():
                         ok = False
                         break
                     first_idx = j
                     j -= 1
                 if not ok:
                     break
-                if s.exact and j >= 0 and evs[j][3] == s.cls:
+                if s.exact and j >= 0 and evs[j][3] in s.clses():
                     ok = False
                     break
             if ok and pat.within_hours is not None:
@@ -174,6 +178,15 @@ SUFFIX_PATTERNS = [
             Step("p", "purchase"),
         ),
         within_hours=72,
+    ),
+    # alternation (tuple cls): any two engagement events then a
+    # purchase, with the exact guard over the SET
+    Pattern(
+        steps=(
+            Step("eng", ("click", "view"), 2, 2, exact=True),
+            Step("p", "purchase"),
+        ),
+        within_hours=48,
     ),
 ]
 
