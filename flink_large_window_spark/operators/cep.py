@@ -121,8 +121,14 @@ class Pattern:
 
 
 def compile_pattern(df: DataFrame, pat: Pattern) -> DataFrame:
-    """Dispatch on quantifier structure (see module docstring)."""
-    if all(s.fixed() for s in pat.steps):
+    """Dispatch on quantifier structure (see module docstring).
+
+    Suffix needs every count fixed AND a single-event anchor; a fixed
+    multi-count FINAL step (e.g. "exactly two errors") routes to the
+    greedy strategy instead, where its exactness is expressible as
+    ``exact=True`` (maximal-run length capped at ``max_count``)."""
+    last = pat.steps[-1]
+    if all(s.fixed() for s in pat.steps) and last.min_count == 1:
         return compile_suffix(df, pat)
     return compile_greedy(df, pat)
 
@@ -160,7 +166,9 @@ def compile_suffix(df: DataFrame, pat: Pattern) -> DataFrame:
             guard = F.lag(pat.cls_col, off).over(w)
             conds.append(guard.isNull() | ~_matches(guard, s))
     total = off  # pattern length in events
-    start_ts = F.lag(pat.ts, total - 1).over(w)
+    start_ts = (
+        F.lag(pat.ts, total - 1).over(w) if total > 1 else F.col(pat.ts)
+    )
     cols.append(start_ts.alias("start_ts"))
     if pat.within_hours is not None:
         conds.append(
@@ -246,6 +254,12 @@ def compile_greedy(df: DataFrame, pat: Pattern) -> DataFrame:
     w_r = Window.partitionBy(pat.key).orderBy("start_rn")
 
     conds = [F.col("cls") == last.cls, F.col("run_len") >= last.min_count]
+    # The final step anchors with run_len >= min by default (surplus
+    # trailing events are simply not consumed); exact=True opts into
+    # full maximal-run semantics for the anchor too — "a run of
+    # exactly min..max", rejecting longer runs.
+    if last.exact and last.max_count is not None:
+        conds.append(F.col("run_len") <= last.max_count)
     cols = [
         F.col(pat.key),
         F.col("first_id").alias("anchor_first_id"),

@@ -209,6 +209,33 @@ def test_compile_pattern_dispatch(spark):
     # fixed → suffix output columns; ranged → greedy output columns
     assert "anchor_id" in compile_pattern(df, fixed).columns
     assert "anchor_first_id" in compile_pattern(df, ranged).columns
+    # a fixed multi-count FINAL step can't anchor a suffix — it must
+    # route to greedy, not raise
+    multi_final = _pat([Step("e", "error", 2, 2)])
+    assert "anchor_first_id" in compile_pattern(df, multi_final).columns
+
+
+def test_single_event_pattern_and_anchor_exactness(spark):
+    df = _events(
+        spark,
+        [
+            (1, 0, "error"), (1, 1, "error"),                 # run of 2
+            (2, 0, "error"), (2, 1, "error"), (2, 2, "error"),  # run of 3
+            (3, 0, "error"),                                    # run of 1
+        ],
+    )
+    # single-EVENT suffix pattern (total length 1): start == anchor
+    one = compile_suffix(df, _pat([Step("e", "error")])).collect()
+    assert len(one) == 6
+    assert all(r.start_ts == r.anchor_ts for r in one)
+    # "at least 2 consecutive errors": runs of 2 and 3 match
+    ge2 = compile_pattern(df, _pat([Step("e", "error", 2, 2)])).collect()
+    assert sorted(r.user_id for r in ge2) == [1, 2]
+    # exact=True caps the anchor run: EXACTLY 2, run of 3 rejected
+    ex2 = compile_greedy(
+        df, _pat([Step("e", "error", 2, 2, exact=True)])
+    ).collect()
+    assert sorted(r.user_id for r in ex2) == [1]
 
 
 # --------------------------------------------------------------- horizon
