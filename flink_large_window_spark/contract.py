@@ -224,9 +224,9 @@ DRIVER_CHECKED: frozenset[str] = (
 # keys don't touch partsupp, so this is file-granular
 # over-approximation, rechecked anyway per the staleness policy).
 # Deferred to r11, documented: q22_global_sales (one over budget from
-# the r7 cohort), q13_customer_distribution (bumped late-r10 to make
-# room for the never-stamped pattern_match_recognize — q13 is the
-# lowest-risk cohort member: pure orders/customer outer-join count,
+# the r7 cohort), q13_customer_distribution and q21_waiting_supplier
+# (bumped late-r10 to make room for the two never-stamped
+# pattern_match_recognize keys — both are low-risk cohort members:
 # no partsupp contact, file-granular churn only), q8/q9 (evidence r8,
 # one cosmetic file commit), the 15 streaming twins re-stamped in r9
 # (their only r10 churn is the tWS registration comment block — no
@@ -240,10 +240,12 @@ DRIVER_CHECKED: frozenset[str] = (
 # round this rotation was derived from); ordering pinned by
 # tests/test_contract.py.
 RECHECK_KEYS: tuple[str, ...] = (
-    # Never-stamped key leads (the r9 precedent): the round-10 generic
-    # CEP compiler's showcase (operators/cep.py) — new registration,
-    # no driver row yet.
+    # Never-stamped keys lead (the r9 precedent): the round-10 generic
+    # CEP compiler's showcase (operators/cep.py) and its streaming
+    # twin (incremental automaton via applyInPandasWithState,
+    # streaming/streams.py) — new registrations, no driver rows yet.
     "pattern_match_recognize",
+    "pattern_match_recognize_stream",
     # r10 behavioral changes: cap semantics (engine + oracle)
     "dedup_simhash_hamming",
     # r10 re-planned quartet (pure-map partsupp derive in all four;
@@ -304,7 +306,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     "q15_top_supplier",
     "q17_small_quantity",
     "q19_discounted_revenue",
-    "q21_waiting_supplier",
 )
 
 # Round-5 priority: after the r4 window, 27 registered keys still

@@ -43,8 +43,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -771,6 +773,205 @@ def stateful_session_timeout_stream(spark: SparkSession, sf_dir: str) -> DataFra
     )
     result = ev.groupBy("user_id").applyInPandasWithState(
         session_machine,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")
+
+
+@query(
+    "pattern_match_recognize_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS run_start, COUNT(*) AS run_len,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_start, run_len, first_id,
+             LAG(event_type, 1) OVER w AS c1, LAG(run_len, 1) OVER w AS l1,
+             LAG(event_type, 2) OVER w AS c2, LAG(run_len, 2) OVER w AS l2,
+             LAG(run_start, 2) OVER w AS s2
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    )
+    SELECT user_id,
+           first_id AS purchase_event,
+           CAST(l2 AS BIGINT) AS n_views,
+           CAST(l1 AS BIGINT) AS n_clicks,
+           epoch_us(s2) AS pattern_start_us,
+           epoch_us(run_start) AS pattern_end_us
+    FROM seq
+    WHERE event_type = 'purchase'
+      AND c1 = 'click' AND l1 BETWEEN 1 AND 3
+      AND c2 = 'view'
+      AND run_start <= s2 + INTERVAL 24 HOUR
+      AND epoch_us(run_start) // 1000
+          <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
+    """,
+)
+def pattern_match_recognize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the generic-CEP showcase: the SAME pattern
+    spec as pattern_match_recognize (``PATTERN (V+ C{1,3} P+)`` within
+    24 h, maximal-run semantics — operators/cep.py) detected
+    INCREMENTALLY with keyed state — Flink CEP's native mode, which
+    Spark has no built-in operator for (window functions are
+    unsupported on streams), so this is applyInPandasWithState running
+    the run-structure automaton the greedy strategy compiles to.
+
+    Per key the state holds a 3-slot run window (the two most recent
+    CLOSED runs + the current run) plus a pending-candidate buffer
+    (array-typed state columns). A candidate is born the instant a
+    purchase run OPENS after a view run and a 1..3-click run (both
+    closed by construction at that instant — strict contiguity means
+    nothing can extend them afterwards); it EMITS only once the
+    event-time watermark passes its anchor (Flink CEP's emission
+    rule), via an event-time timer armed at min(pending anchors).
+    Candidates the final watermark never reaches stay unemitted, so
+    the bounded-replay emission set is deterministic: the batch oracle
+    plus the watermark filter, compared at the millisecond the
+    watermark actually carries (Spark tracks event-time max in ms —
+    both sides floor µs to ms; the session-timeout twin pins the same
+    convention).
+
+    Scale: state per key is O(pattern length + pending matches), the
+    exact bound Flink's NFA keeps; no event buffer, no window state.
+    """
+    _WITHIN_US = 24 * 3600 * 1_000_000
+    _WM_MS = 600_000  # 10-minute watermark delay, in ms
+
+    def recognize(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        out = []
+        if state.hasTimedOut:
+            (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
+             p_id, p_us, p_nv, p_nc, p_st) = state.get
+            wm_ms = state.getCurrentWatermarkMs()
+            for i in range(len(p_id)):
+                if int(p_us[i]) // 1000 <= wm_ms:
+                    out.append(
+                        (key[0], int(p_id[i]), int(p_nv[i]), int(p_nc[i]),
+                         int(p_st[i]), int(p_us[i]))
+                    )
+            # Bounded replay: anything the watermark has not reached by
+            # now it never will — drop the state.
+            state.remove()
+        else:
+            if state.exists:
+                (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
+                 p_id, p_us, p_nv, p_nc, p_st) = state.get
+                pend = [list(p_id), list(p_us), list(p_nv), list(p_nc),
+                        list(p_st)]
+            else:
+                r1c = r2c = cc = None
+                r1l = r1s = r2l = r2s = cl = cs = None
+                pend = [[], [], [], [], []]
+            wm_ms = state.getCurrentWatermarkMs()
+            whole = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            if len(whole):
+                whole = whole.sort_values(["ts", "event_id"])
+                for ts, eid, cls in zip(
+                    whole["ts"], whole["event_id"], whole["event_type"]
+                ):
+                    us = int(ts.value) // 1_000
+                    cls = None if pd.isna(cls) else cls
+                    # cur_len is the open-run flag: a NULL class is a
+                    # legitimate run of its own (cur_cls NULL + open),
+                    # distinct from "no run yet" (cur_len NULL).
+                    if cl is not None and cls == cc:
+                        cl += 1
+                        continue
+                    # class change: close the current run, shift the
+                    # 3-slot window, open the new run
+                    if cl is not None:
+                        r1c, r1l, r1s = r2c, r2l, r2s
+                        r2c, r2l, r2s = cc, cl, cs
+                    if (
+                        cls == "purchase"
+                        and r2c == "click" and r2l is not None
+                        and 1 <= r2l <= 3
+                        and r1c == "view"
+                        and us <= r1s + _WITHIN_US
+                    ):
+                        if us // 1000 <= wm_ms:
+                            out.append(
+                                (key[0], int(eid), int(r1l), int(r2l),
+                                 int(r1s), us)
+                            )
+                        else:
+                            pend[0].append(int(eid))
+                            pend[1].append(us)
+                            pend[2].append(int(r1l))
+                            pend[3].append(int(r2l))
+                            pend[4].append(int(r1s))
+                    cc, cl, cs = cls, 1, us
+            state.update(
+                (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
+                 pend[0], pend[1], pend[2], pend[3], pend[4])
+            )
+            if pend[1]:
+                # fire once the watermark reaches the earliest pending
+                # anchor (strict > in Spark, hence the -1)
+                state.setTimeoutTimestamp(
+                    max(min(pend[1]) // 1000 - 1, wm_ms + 1)
+                )
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "purchase_event": [r[1] for r in out],
+                "n_views": [r[2] for r in out],
+                "n_clicks": [r[3] for r in out],
+                "pattern_start_us": [r[4] for r in out],
+                "pattern_end_us": [r[5] for r in out],
+            }
+        )
+
+    ev = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("purchase_event", LongType()),
+            StructField("n_views", LongType()),
+            StructField("n_clicks", LongType()),
+            StructField("pattern_start_us", LongType()),
+            StructField("pattern_end_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("r1_cls", StringType()),
+            StructField("r1_len", LongType()),
+            StructField("r1_start_us", LongType()),
+            StructField("r2_cls", StringType()),
+            StructField("r2_len", LongType()),
+            StructField("r2_start_us", LongType()),
+            StructField("cur_cls", StringType()),
+            StructField("cur_len", LongType()),
+            StructField("cur_start_us", LongType()),
+            StructField("pend_id", ArrayType(LongType())),
+            StructField("pend_us", ArrayType(LongType())),
+            StructField("pend_nv", ArrayType(LongType())),
+            StructField("pend_nc", ArrayType(LongType())),
+            StructField("pend_start", ArrayType(LongType())),
+        ]
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        recognize,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",

@@ -130,8 +130,9 @@ def test_no_contract_key_lost_overall():
 
 def test_round10_recheck_window_shape():
     """The round-10 window (VERDICT r9 items 1-3): 50 unique
-    SQL-oracle keys. Leads (18) are the never-stamped
-    pattern_match_recognize (late-r10 CEP compiler showcase) followed
+    SQL-oracle keys. Leads (19) are the never-stamped
+    pattern_match_recognize / pattern_match_recognize_stream (late-r10
+    CEP compiler showcase + streaming twin) followed
     by the behavioral-change cohort —
     dedup_simhash_hamming (r10 band cap: code AND oracle text
     changed), the re-planned partsupp quartet (pure-map derive;
@@ -153,12 +154,14 @@ def test_round10_recheck_window_shape():
     oracles = api.oracle_sql()
     assert all(k in q and k in oracles for k in RECHECK_KEYS)
 
-    N_LEADS = 18
+    N_LEADS = 19
     assert set(RECHECK_KEYS[:N_LEADS]) == {
-        # never-stamped key leads the window (the r9 precedent —
+        # never-stamped keys lead the window (the r9 precedent —
         # CORRECTNESS_r09 opened with the never-stamped keys): the
         # late-r10 generic CEP compiler's showcase (operators/cep.py)
+        # and its streaming twin (streams.py incremental automaton)
         "pattern_match_recognize",
+        "pattern_match_recognize_stream",
         # r10 band cap — engine and oracle text both changed
         "dedup_simhash_hamming",
         # r10 re-plan: pure-map partsupp derive (all four), plus
@@ -200,7 +203,10 @@ def test_round10_recheck_window_shape():
     ev9 = evidence_rounds(upto=9)
     stamped_leads = [k for k in RECHECK_KEYS[:N_LEADS] if k in ev9]
     never_stamped = [k for k in RECHECK_KEYS[:N_LEADS] if k not in ev9]
-    assert never_stamped == ["pattern_match_recognize"], never_stamped
+    assert never_stamped == [
+        "pattern_match_recognize",
+        "pattern_match_recognize_stream",
+    ], never_stamped
     post = commits_since_stamp(ev9, {k: kf[k] for k in stamped_leads})
     not_post = [k for k in stamped_leads if post[k] <= 0]
     assert not not_post, (

@@ -691,3 +691,45 @@ def test_tws_registration_tracks_protobuf_presence(spark):
         f"tWS and applyInPandasWithState disagree on {SF_SMOKE}: "
         f"{len(tws)} vs {len(twin)} rows"
     )
+
+
+def test_pattern_match_recognize_stream_parity(spark, max_ts):
+    """Streaming CEP twin: the incremental automaton must emit
+    EXACTLY the batch compiler's matches whose anchor the final
+    watermark passed (at the millisecond the watermark carries), and
+    nothing else — the strongest parity form (equality, not just the
+    subset pair), because a candidate is fully determined the moment
+    its purchase run opens."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    def us(iso: str) -> int:
+        return int(
+            dt.datetime.fromisoformat(iso)
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+            * 1e6
+        )
+
+    batch = {
+        (
+            r["user_id"], r["purchase_event"], r["n_views"], r["n_clicks"],
+            us(r["pattern_start"]), us(r["pattern_end"]),
+        )
+        for r in REGISTRY["pattern_match_recognize"](spark, SF_SMOKE).collect()
+    }
+    stream = {
+        (
+            r["user_id"], r["purchase_event"], r["n_views"], r["n_clicks"],
+            r["pattern_start_us"], r["pattern_end_us"],
+        )
+        for r in REGISTRY["pattern_match_recognize_stream"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    wm_ms = us((max_ts.replace(tzinfo=None) - WM).isoformat(sep=" ")) // 1000
+    expected = {r for r in batch if r[5] // 1000 <= wm_ms}
+    assert stream == expected, (
+        f"extra: {sorted(stream - expected)[:3]} "
+        f"missing: {sorted(expected - stream)[:3]}"
+    )
+    assert stream, "no matches emitted — timers never fired"

@@ -127,6 +127,9 @@ FAMILIES = {
             "stream_foreachbatch_upsert",
             "stream_checkpoint_restart", "stream_rule_update_enrich",
             "stream_watermark_skew", "stream_allowed_lateness_reemit",
+            # round 10: the streaming CEP twin (incremental automaton,
+            # array-state pending buffer + event-time timer emission)
+            "pattern_match_recognize_stream",
         ],
     },
 }
