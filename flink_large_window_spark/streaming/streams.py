@@ -878,7 +878,8 @@ def pattern_match_recognize_stream(spark: SparkSession, sf_dir: str) -> DataFram
                 r1l = r1s = r2l = r2s = cl = cs = None
                 pend = [[], [], [], [], []]
             wm_ms = state.getCurrentWatermarkMs()
-            whole = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            chunks = list(pdfs)
+            whole = pd.concat(chunks) if chunks else pd.DataFrame()
             if len(whole):
                 whole = whole.sort_values(["ts", "event_id"])
                 for ts, eid, cls in zip(
