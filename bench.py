@@ -95,6 +95,11 @@ HEADLINE = [
     "q11_important_stock",
     "q16_supplier_variety",
     "q20_excess_stock",
+    # Round-10 addition: the generic CEP compiler's greedy-strategy
+    # representative (pattern_detect_cep covers only the suffix path).
+    # NOT in the frozen BENCH.json — governing baseline in
+    # NEW_KEY_BASELINES / BASELINE.md, measured under new_keys_total_s.
+    "pattern_match_recognize",
 ]
 
 
@@ -186,6 +191,9 @@ NEW_KEY_BASELINES = {
     "q11_important_stock": 0.4001,
     "q16_supplier_variety": 0.3352,
     "q20_excess_stock": 0.4676,
+    # round-10 first median (BASELINE.md addendum): the CEP compiler's
+    # greedy strategy's bench representative (cep covers only suffix)
+    "pattern_match_recognize": 0.8386,
 }
 
 
