@@ -781,6 +781,152 @@ def stateful_session_timeout_stream(spark: SparkSession, sf_dir: str) -> DataFra
     return run_to_memory(spark, result, mode="append")
 
 
+_PMR_WITHIN_US = 24 * 3600 * 1_000_000
+
+_PMR_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_event", LongType()),
+        StructField("n_views", LongType()),
+        StructField("n_clicks", LongType()),
+        StructField("pattern_start_us", LongType()),
+        StructField("pattern_end_us", LongType()),
+    ]
+)
+
+_PMR_STATE_SCHEMA = StructType(
+    [
+        StructField("r1_cls", StringType()),
+        StructField("r1_len", LongType()),
+        StructField("r1_start_us", LongType()),
+        StructField("r2_cls", StringType()),
+        StructField("r2_len", LongType()),
+        StructField("r2_start_us", LongType()),
+        StructField("cur_cls", StringType()),
+        StructField("cur_len", LongType()),
+        StructField("cur_start_us", LongType()),
+        StructField("pend_id", ArrayType(LongType())),
+        StructField("pend_us", ArrayType(LongType())),
+        StructField("pend_nv", ArrayType(LongType())),
+        StructField("pend_nc", ArrayType(LongType())),
+        StructField("pend_start", ArrayType(LongType())),
+    ]
+)
+
+
+def _pmr_recognize(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The streaming CEP automaton for pattern_match_recognize_stream
+    (module-level so the multi-batch replay test can run the same
+    handler over a split-file stream — see
+    test_streaming_parity.py::test_pattern_match_recognize_stream_multibatch).
+
+    Every candidate goes through the pending buffer + event-time
+    timer, never straight to output: an "emit immediately if the
+    watermark already passed the anchor" branch would be dead code,
+    because Spark filters rows older than the watermark BEFORE
+    stateful operators — any event that reaches this handler has
+    ts >= watermark, so a just-born candidate's anchor is never
+    behind it.
+    """
+    out = []
+    if state.hasTimedOut:
+        (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
+         p_id, p_us, p_nv, p_nc, p_st) = state.get
+        wm_ms = state.getCurrentWatermarkMs()
+        keep = [[], [], [], [], []]
+        for i in range(len(p_id)):
+            if int(p_us[i]) // 1000 <= wm_ms:
+                out.append(
+                    (key[0], int(p_id[i]), int(p_nv[i]), int(p_nc[i]),
+                     int(p_st[i]), int(p_us[i]))
+                )
+            else:
+                keep[0].append(int(p_id[i]))
+                keep[1].append(int(p_us[i]))
+                keep[2].append(int(p_nv[i]))
+                keep[3].append(int(p_nc[i]))
+                keep[4].append(int(p_st[i]))
+        if keep[1]:
+            # mid-stream timeout (multi-batch replay): later batches
+            # may still advance the watermark past the remaining
+            # anchors — keep them armed.
+            state.update(
+                (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
+                 keep[0], keep[1], keep[2], keep[3], keep[4])
+            )
+            state.setTimeoutTimestamp(
+                max(min(keep[1]) // 1000 - 1, wm_ms + 1)
+            )
+        else:
+            state.remove()
+    else:
+        if state.exists:
+            (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
+             p_id, p_us, p_nv, p_nc, p_st) = state.get
+            pend = [list(p_id), list(p_us), list(p_nv), list(p_nc),
+                    list(p_st)]
+        else:
+            r1c = r2c = cc = None
+            r1l = r1s = r2l = r2s = cl = cs = None
+            pend = [[], [], [], [], []]
+        wm_ms = state.getCurrentWatermarkMs()
+        chunks = list(pdfs)
+        whole = pd.concat(chunks) if chunks else pd.DataFrame()
+        if len(whole):
+            whole = whole.sort_values(["ts", "event_id"])
+            for ts, eid, cls in zip(
+                whole["ts"], whole["event_id"], whole["event_type"]
+            ):
+                us = int(ts.value) // 1_000
+                cls = None if pd.isna(cls) else cls
+                # cur_len is the open-run flag: a NULL class is a
+                # legitimate run of its own (cur_cls NULL + open),
+                # distinct from "no run yet" (cur_len NULL).
+                if cl is not None and cls == cc:
+                    cl += 1
+                    continue
+                # class change: close the current run, shift the
+                # 3-slot window, open the new run
+                if cl is not None:
+                    r1c, r1l, r1s = r2c, r2l, r2s
+                    r2c, r2l, r2s = cc, cl, cs
+                if (
+                    cls == "purchase"
+                    and r2c == "click" and r2l is not None
+                    and 1 <= r2l <= 3
+                    and r1c == "view"
+                    and us <= r1s + _PMR_WITHIN_US
+                ):
+                    pend[0].append(int(eid))
+                    pend[1].append(us)
+                    pend[2].append(int(r1l))
+                    pend[3].append(int(r2l))
+                    pend[4].append(int(r1s))
+                cc, cl, cs = cls, 1, us
+        state.update(
+            (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
+             pend[0], pend[1], pend[2], pend[3], pend[4])
+        )
+        if pend[1]:
+            # fire once the watermark reaches the earliest pending
+            # anchor (strict > in Spark, hence the -1)
+            state.setTimeoutTimestamp(
+                max(min(pend[1]) // 1000 - 1, wm_ms + 1)
+            )
+    yield pd.DataFrame(
+        {
+            "user_id": [r[0] for r in out],
+            "purchase_event": [r[1] for r in out],
+            "n_views": [r[2] for r in out],
+            "n_clicks": [r[3] for r in out],
+            "pattern_start_us": [r[4] for r in out],
+            "pattern_end_us": [r[5] for r in out],
+        }
+    )
+
+
 @query(
     "pattern_match_recognize_stream",
     oracle="""
@@ -847,134 +993,15 @@ def pattern_match_recognize_stream(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: state per key is O(pattern length + pending matches), the
     exact bound Flink's NFA keeps; no event buffer, no window state.
     """
-    _WITHIN_US = 24 * 3600 * 1_000_000
-    _WM_MS = 600_000  # 10-minute watermark delay, in ms
-
-    def recognize(
-        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        out = []
-        if state.hasTimedOut:
-            (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
-             p_id, p_us, p_nv, p_nc, p_st) = state.get
-            wm_ms = state.getCurrentWatermarkMs()
-            for i in range(len(p_id)):
-                if int(p_us[i]) // 1000 <= wm_ms:
-                    out.append(
-                        (key[0], int(p_id[i]), int(p_nv[i]), int(p_nc[i]),
-                         int(p_st[i]), int(p_us[i]))
-                    )
-            # Bounded replay: anything the watermark has not reached by
-            # now it never will — drop the state.
-            state.remove()
-        else:
-            if state.exists:
-                (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
-                 p_id, p_us, p_nv, p_nc, p_st) = state.get
-                pend = [list(p_id), list(p_us), list(p_nv), list(p_nc),
-                        list(p_st)]
-            else:
-                r1c = r2c = cc = None
-                r1l = r1s = r2l = r2s = cl = cs = None
-                pend = [[], [], [], [], []]
-            wm_ms = state.getCurrentWatermarkMs()
-            chunks = list(pdfs)
-            whole = pd.concat(chunks) if chunks else pd.DataFrame()
-            if len(whole):
-                whole = whole.sort_values(["ts", "event_id"])
-                for ts, eid, cls in zip(
-                    whole["ts"], whole["event_id"], whole["event_type"]
-                ):
-                    us = int(ts.value) // 1_000
-                    cls = None if pd.isna(cls) else cls
-                    # cur_len is the open-run flag: a NULL class is a
-                    # legitimate run of its own (cur_cls NULL + open),
-                    # distinct from "no run yet" (cur_len NULL).
-                    if cl is not None and cls == cc:
-                        cl += 1
-                        continue
-                    # class change: close the current run, shift the
-                    # 3-slot window, open the new run
-                    if cl is not None:
-                        r1c, r1l, r1s = r2c, r2l, r2s
-                        r2c, r2l, r2s = cc, cl, cs
-                    if (
-                        cls == "purchase"
-                        and r2c == "click" and r2l is not None
-                        and 1 <= r2l <= 3
-                        and r1c == "view"
-                        and us <= r1s + _WITHIN_US
-                    ):
-                        if us // 1000 <= wm_ms:
-                            out.append(
-                                (key[0], int(eid), int(r1l), int(r2l),
-                                 int(r1s), us)
-                            )
-                        else:
-                            pend[0].append(int(eid))
-                            pend[1].append(us)
-                            pend[2].append(int(r1l))
-                            pend[3].append(int(r2l))
-                            pend[4].append(int(r1s))
-                    cc, cl, cs = cls, 1, us
-            state.update(
-                (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
-                 pend[0], pend[1], pend[2], pend[3], pend[4])
-            )
-            if pend[1]:
-                # fire once the watermark reaches the earliest pending
-                # anchor (strict > in Spark, hence the -1)
-                state.setTimeoutTimestamp(
-                    max(min(pend[1]) // 1000 - 1, wm_ms + 1)
-                )
-        yield pd.DataFrame(
-            {
-                "user_id": [r[0] for r in out],
-                "purchase_event": [r[1] for r in out],
-                "n_views": [r[2] for r in out],
-                "n_clicks": [r[3] for r in out],
-                "pattern_start_us": [r[4] for r in out],
-                "pattern_end_us": [r[5] for r in out],
-            }
-        )
-
     ev = (
         _events_stream(spark, sf_dir)
         .withWatermark("ts", "10 minutes")
         .select("user_id", "ts", "event_id", "event_type")
     )
-    out_schema = StructType(
-        [
-            StructField("user_id", LongType()),
-            StructField("purchase_event", LongType()),
-            StructField("n_views", LongType()),
-            StructField("n_clicks", LongType()),
-            StructField("pattern_start_us", LongType()),
-            StructField("pattern_end_us", LongType()),
-        ]
-    )
-    state_schema = StructType(
-        [
-            StructField("r1_cls", StringType()),
-            StructField("r1_len", LongType()),
-            StructField("r1_start_us", LongType()),
-            StructField("r2_cls", StringType()),
-            StructField("r2_len", LongType()),
-            StructField("r2_start_us", LongType()),
-            StructField("cur_cls", StringType()),
-            StructField("cur_len", LongType()),
-            StructField("cur_start_us", LongType()),
-            StructField("pend_id", ArrayType(LongType())),
-            StructField("pend_us", ArrayType(LongType())),
-            StructField("pend_nv", ArrayType(LongType())),
-            StructField("pend_nc", ArrayType(LongType())),
-            StructField("pend_start", ArrayType(LongType())),
-        ]
-    )
     result = ev.groupBy("user_id").applyInPandasWithState(
-        recognize,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
+        _pmr_recognize,
+        outputStructType=_PMR_OUT_SCHEMA,
+        stateStructType=_PMR_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -733,3 +733,97 @@ def test_pattern_match_recognize_stream_parity(spark, max_ts):
         f"missing: {sorted(expected - stream)[:3]}"
     )
     assert stream, "no matches emitted — timers never fired"
+
+
+def test_pattern_match_recognize_stream_multibatch(spark, max_ts, tmp_path):
+    """Cross-batch state continuation: the fixture replay is a single
+    micro-batch (one file), so this test splits events into two files
+    by event time and replays them as TWO batches (maxFilesPerTrigger=1,
+    modification order = time order). Runs that straddle the file
+    boundary must continue across batches, batch-1 candidates must
+    emit once batch 2 advances the watermark (the mid-stream timeout
+    path that re-arms instead of dropping), and the final emission set
+    must STILL equal the watermark-filtered batch oracle."""
+    import os
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark.registry import REGISTRY
+    from flink_large_window_spark.streaming.streams import (
+        _PMR_OUT_SCHEMA,
+        _PMR_STATE_SCHEMA,
+        _pmr_recognize,
+        run_to_memory,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = os.path.join(SF_SMOKE, "events.parquet")
+    t = pq.read_table(src)
+    order = t["ts"].to_pandas().sort_values().index
+    cut_ts = t["ts"].to_pandas().iloc[order[len(order) // 2]]
+    mask = t["ts"].to_pandas() <= cut_ts
+    d = str(tmp_path)
+    pq.write_table(t.filter(mask.values), os.path.join(d, "part_000.parquet"))
+    _time.sleep(1.1)  # file source orders by modification time
+    pq.write_table(t.filter(~mask.values), os.path.join(d, "part_001.parquet"))
+
+    from flink_large_window_spark.tables import prep
+
+    prep(spark)
+    batch_schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.expr("timestamp_micros(ts div 1000)")
+        )
+    ev = (
+        stream.withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        _pmr_recognize,
+        outputStructType=_PMR_OUT_SCHEMA,
+        stateStructType=_PMR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    got = {
+        (
+            r["user_id"], r["purchase_event"], r["n_views"], r["n_clicks"],
+            r["pattern_start_us"], r["pattern_end_us"],
+        )
+        for r in run_to_memory(spark, result, mode="append").collect()
+    }
+
+    def us(iso: str) -> int:
+        return int(
+            dt.datetime.fromisoformat(iso)
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+            * 1e6
+        )
+
+    batch = {
+        (
+            r["user_id"], r["purchase_event"], r["n_views"], r["n_clicks"],
+            us(r["pattern_start"]), us(r["pattern_end"]),
+        )
+        for r in REGISTRY["pattern_match_recognize"](spark, SF_SMOKE).collect()
+    }
+    wm_ms = us((max_ts.replace(tzinfo=None) - WM).isoformat(sep=" ")) // 1000
+    expected = {r for r in batch if r[5] // 1000 <= wm_ms}
+    assert got == expected, (
+        f"extra: {sorted(got - expected)[:3]} "
+        f"missing: {sorted(expected - got)[:3]}"
+    )
+    # the split must actually exercise cross-batch emission: at least
+    # one match's anchor lies in the first half (its timer fired only
+    # after batch 2 advanced the watermark)
+    cut_us = int(cut_ts.value) // 1000  # cut_ts is a pandas Timestamp
+    assert any(r[5] <= cut_us for r in got), "split produced no batch-1 anchors"
