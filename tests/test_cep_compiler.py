@@ -304,11 +304,92 @@ def test_horizon_alternation_counts_class_set(spark):
     assert [(r.user_id, r.anchor_id, r.n_target) for r in out] == [(1, 2, 2)]
 
 
-def test_greedy_rejects_alternation(spark):
+def test_greedy_alternation_merges_class_set_runs(spark):
+    # (view|click)+ purchase — canonicalization makes a MIXED view/
+    # click run one run (n_eng spans both classes), while an error
+    # between engagement events still breaks contiguity (user 2's
+    # purchase sees only the 1-click run after the error).
+    df = _events(
+        spark,
+        [
+            (1, 0, "view"), (1, 1, "click"), (1, 2, "view"),
+            (1, 3, "purchase"),
+            (2, 0, "view"), (2, 1, "error"), (2, 2, "click"),
+            (2, 3, "purchase"),
+        ],
+    )
+    pat = _pat(
+        [Step("eng", ("view", "click"), 1, None),
+         Step("p", "purchase", 1, None)],
+        within=24,
+    )
+    out = sorted(compile_greedy(df, pat).collect(), key=lambda r: r.user_id)
+    # event_id is the global row ordinal: user 2's purchase is row 7
+    assert [(r.user_id, r.anchor_first_id, r.n_eng) for r in out] == [
+        (1, 3, 3),
+        (2, 7, 1),
+    ]
+
+
+def test_greedy_alternation_ranged_maximal_run(spark):
+    # (view|click){1,2} purchase — the maximal MIXED run of 3 is over
+    # the cap and must not match via a 2-suffix; a mixed run of 2 does.
+    df = _events(
+        spark,
+        [
+            (1, 0, "view"), (1, 1, "click"), (1, 2, "view"),
+            (1, 3, "purchase"),
+            (2, 0, "click"), (2, 1, "view"), (2, 2, "purchase"),
+        ],
+    )
+    pat = _pat(
+        [Step("eng", ("view", "click"), 1, 2),
+         Step("p", "purchase", 1, None)]
+    )
+    out = compile_greedy(df, pat).collect()
+    # event_id is the global row ordinal: user 2's purchase is row 6
+    assert [(r.user_id, r.anchor_first_id, r.n_eng) for r in out] == [
+        (2, 6, 2)
+    ]
+
+
+def test_greedy_alternation_rejects_ambiguous_overlap(spark):
     df = _events(spark, [(1, 0, "click")])
-    pat = _pat([Step("eng", ("click", "view"), 1, None)])
-    with pytest.raises(ValueError, match="single-class"):
+    # 'click' belongs to two DIFFERENT sets: no canonical owner
+    pat = _pat(
+        [Step("a", ("click", "view"), 1, None),
+         Step("b", ("click", "error"), 1, None)]
+    )
+    with pytest.raises(ValueError, match="two different class sets"):
         compile_greedy(df, pat)
+    # a single-class step inside another step's set is the same
+    # ambiguity (is a view-run an a-run or part of a b-run?)
+    pat2 = _pat(
+        [Step("a", "view", 1, None),
+         Step("b", ("view", "click"), 1, None)]
+    )
+    with pytest.raises(ValueError, match="two different class sets"):
+        compile_greedy(df, pat2)
+
+
+def test_greedy_alternation_rejects_token_collision(spark):
+    df = _events(spark, [(1, 0, "click")])
+    pat = _pat(
+        [Step("a", ("click", "view"), 1, None),
+         Step("b", "click|view", 1, None)]
+    )
+    with pytest.raises(ValueError, match="collides"):
+        compile_greedy(df, pat)
+
+
+def test_greedy_final_max_without_exact_warns(spark):
+    # ADVICE r10 item 2: a fixed multi-count FINAL step without
+    # exact=True silently means ">= min" — now warned, semantics
+    # unchanged (the pinned dispatch/anchor tests above rely on it).
+    df = _events(spark, [(1, 0, "error"), (1, 1, "error")])
+    with pytest.warns(UserWarning, match="exact=True"):
+        out = compile_greedy(df, _pat([Step("e", "error", 2, 2)])).collect()
+    assert [r.user_id for r in out] == [1]
 
 
 # ------------------------------------------------------------ validation
@@ -344,4 +425,21 @@ def test_horizon_requires_exactly_one_mode(spark):
         compile_horizon(
             df, pat, anchor_cls="click", target_cls="purchase", hours=6,
             at_least=1, absent=True,
+        )
+
+
+def test_horizon_rejects_quantified_or_within_pattern(spark):
+    # ADVICE r10 item 3: compile_horizon uses the Pattern only for
+    # column names — a within_hours or quantifier on it would be
+    # silently ignored, so both are rejected.
+    df = _events(spark, [(1, 0, "click")])
+    with pytest.raises(ValueError, match="within_hours"):
+        compile_horizon(
+            df, Pattern(steps=(Step("c", "click"),), within_hours=6),
+            anchor_cls="click", target_cls="purchase", hours=6, at_least=1,
+        )
+    with pytest.raises(ValueError, match="quantifier"):
+        compile_horizon(
+            df, Pattern(steps=(Step("c", "click", 2, 2),)),
+            anchor_cls="click", target_cls="purchase", hours=6, at_least=1,
         )
