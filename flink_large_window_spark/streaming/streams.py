@@ -805,11 +805,10 @@ _PMR_STATE_SCHEMA = StructType(
         StructField("cur_cls", StringType()),
         StructField("cur_len", LongType()),
         StructField("cur_start_us", LongType()),
-        StructField("pend_id", ArrayType(LongType())),
-        StructField("pend_us", ArrayType(LongType())),
-        StructField("pend_nv", ArrayType(LongType())),
-        StructField("pend_nc", ArrayType(LongType())),
-        StructField("pend_start", ArrayType(LongType())),
+        StructField("buf_id", ArrayType(LongType())),
+        StructField("buf_us", ArrayType(LongType())),
+        StructField("buf_cls", ArrayType(StringType())),
+        StructField("buf_nul", ArrayType(LongType())),
     ]
 )
 
@@ -822,99 +821,98 @@ def _pmr_recognize(
     handler over a split-file stream — see
     test_streaming_parity.py::test_pattern_match_recognize_stream_multibatch).
 
-    Every candidate goes through the pending buffer + event-time
-    timer, never straight to output: an "emit immediately if the
-    watermark already passed the anchor" branch would be dead code,
-    because Spark filters rows older than the watermark BEFORE
-    stateful operators — any event that reaches this handler has
-    ts >= watermark, so a just-born candidate's anchor is never
-    behind it.
+    Watermark-buffered fold (round 11, ADVICE r10 item 1 — the
+    Flink-CEP buffering rule, which sorts out-of-order elements up to
+    the watermark before the NFA sees them): arriving events go into
+    a per-key buffer, and only events the watermark has passed
+    (ts_ms <= wm_ms) are folded into the run structure — in full
+    (ts, event_id) event-time order across ALL batches, not just
+    within one. The previous handler folded each micro-batch
+    immediately in arrival order, so a late-but-within-watermark
+    event arriving in a later batch would have been appended AFTER
+    newer events and corrupted the run structure. A candidate found
+    during the fold emits immediately: its purchase anchor folded, so
+    the watermark already passed it (the same ``anchor_ms <= wm_ms``
+    emission boundary the previous pending-buffer form enforced via
+    timers, and the boundary the oracle's filter encodes). The only
+    residual ordering hazard is an exact-millisecond tie ACROSS
+    batches — Spark's drop contract is ``ts < wm``, so an event at
+    exactly the watermark may arrive after the fold crossed it —
+    strictly narrower than the old arrival-order hazard.
+
+    The event-time timer is armed at the earliest buffered event
+    (strict > in Spark, hence the -1), so held events fold once a
+    later batch advances the watermark even if the key receives no
+    more data. State is never removed mid-stream: the run window must
+    survive a batch in which the key is silent (the old handler
+    dropped it after a fully-drained timeout — a run straddling that
+    boundary would have restarted). Bounded replays end with the
+    buffer holding only events inside the watermark delay, which the
+    final watermark never passes — exactly the rows the oracle's
+    closed-before-final-watermark filter excludes. A production
+    deployment would add an idle-key TTL on top, as Flink does with
+    state TTL.
     """
-    out = []
-    if state.hasTimedOut:
+    if state.exists:
         (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
-         p_id, p_us, p_nv, p_nc, p_st) = state.get
-        wm_ms = state.getCurrentWatermarkMs()
-        keep = [[], [], [], [], []]
-        for i in range(len(p_id)):
-            if int(p_us[i]) // 1000 <= wm_ms:
-                out.append(
-                    (key[0], int(p_id[i]), int(p_nv[i]), int(p_nc[i]),
-                     int(p_st[i]), int(p_us[i]))
-                )
-            else:
-                keep[0].append(int(p_id[i]))
-                keep[1].append(int(p_us[i]))
-                keep[2].append(int(p_nv[i]))
-                keep[3].append(int(p_nc[i]))
-                keep[4].append(int(p_st[i]))
-        if keep[1]:
-            # mid-stream timeout (multi-batch replay): later batches
-            # may still advance the watermark past the remaining
-            # anchors — keep them armed.
-            state.update(
-                (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
-                 keep[0], keep[1], keep[2], keep[3], keep[4])
-            )
-            state.setTimeoutTimestamp(
-                max(min(keep[1]) // 1000 - 1, wm_ms + 1)
-            )
-        else:
-            state.remove()
+         b_id, b_us, b_cls, b_nul) = state.get
+        buf = [
+            (int(u), int(i), None if n else c)
+            for u, i, c, n in zip(b_us, b_id, b_cls, b_nul)
+        ]
     else:
-        if state.exists:
-            (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
-             p_id, p_us, p_nv, p_nc, p_st) = state.get
-            pend = [list(p_id), list(p_us), list(p_nv), list(p_nc),
-                    list(p_st)]
-        else:
-            r1c = r2c = cc = None
-            r1l = r1s = r2l = r2s = cl = cs = None
-            pend = [[], [], [], [], []]
-        wm_ms = state.getCurrentWatermarkMs()
-        chunks = list(pdfs)
-        whole = pd.concat(chunks) if chunks else pd.DataFrame()
-        if len(whole):
-            whole = whole.sort_values(["ts", "event_id"])
+        r1c = r2c = cc = None
+        r1l = r1s = r2l = r2s = cl = cs = None
+        buf = []
+    wm_ms = state.getCurrentWatermarkMs()
+    if not state.hasTimedOut:
+        for chunk in pdfs:
             for ts, eid, cls in zip(
-                whole["ts"], whole["event_id"], whole["event_type"]
+                chunk["ts"], chunk["event_id"], chunk["event_type"]
             ):
-                us = int(ts.value) // 1_000
-                cls = None if pd.isna(cls) else cls
-                # cur_len is the open-run flag: a NULL class is a
-                # legitimate run of its own (cur_cls NULL + open),
-                # distinct from "no run yet" (cur_len NULL).
-                if cl is not None and cls == cc:
-                    cl += 1
-                    continue
-                # class change: close the current run, shift the
-                # 3-slot window, open the new run
-                if cl is not None:
-                    r1c, r1l, r1s = r2c, r2l, r2s
-                    r2c, r2l, r2s = cc, cl, cs
-                if (
-                    cls == "purchase"
-                    and r2c == "click" and r2l is not None
-                    and 1 <= r2l <= 3
-                    and r1c == "view"
-                    and us <= r1s + _PMR_WITHIN_US
-                ):
-                    pend[0].append(int(eid))
-                    pend[1].append(us)
-                    pend[2].append(int(r1l))
-                    pend[3].append(int(r2l))
-                    pend[4].append(int(r1s))
-                cc, cl, cs = cls, 1, us
-        state.update(
-            (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
-             pend[0], pend[1], pend[2], pend[3], pend[4])
+                buf.append(
+                    (int(ts.value) // 1_000, int(eid),
+                     None if pd.isna(cls) else cls)
+                )
+    ready = sorted(
+        (e for e in buf if e[0] // 1000 <= wm_ms),
+        key=lambda e: (e[0], e[1]),
+    )
+    hold = [e for e in buf if e[0] // 1000 > wm_ms]
+    out = []
+    for us, eid, cls in ready:
+        # cur_len is the open-run flag: a NULL class is a legitimate
+        # run of its own (cur_cls NULL + open), distinct from "no run
+        # yet" (cur_len NULL).
+        if cl is not None and cls == cc:
+            cl += 1
+            continue
+        # class change: close the current run, shift the 3-slot
+        # window, open the new run
+        if cl is not None:
+            r1c, r1l, r1s = r2c, r2l, r2s
+            r2c, r2l, r2s = cc, cl, cs
+        if (
+            cls == "purchase"
+            and r2c == "click" and r2l is not None
+            and 1 <= r2l <= 3
+            and r1c == "view"
+            and us <= r1s + _PMR_WITHIN_US
+        ):
+            out.append((key[0], int(eid), int(r1l), int(r2l),
+                        int(r1s), us))
+        cc, cl, cs = cls, 1, us
+    state.update(
+        (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
+         [e[1] for e in hold],
+         [e[0] for e in hold],
+         ["" if e[2] is None else e[2] for e in hold],
+         [1 if e[2] is None else 0 for e in hold])
+    )
+    if hold:
+        state.setTimeoutTimestamp(
+            max(min(e[0] for e in hold) // 1000 - 1, wm_ms + 1)
         )
-        if pend[1]:
-            # fire once the watermark reaches the earliest pending
-            # anchor (strict > in Spark, hence the -1)
-            state.setTimeoutTimestamp(
-                max(min(pend[1]) // 1000 - 1, wm_ms + 1)
-            )
     yield pd.DataFrame(
         {
             "user_id": [r[0] for r in out],
@@ -976,22 +974,28 @@ def pattern_match_recognize_stream(spark: SparkSession, sf_dir: str) -> DataFram
     the run-structure automaton the greedy strategy compiles to.
 
     Per key the state holds a 3-slot run window (the two most recent
-    CLOSED runs + the current run) plus a pending-candidate buffer
-    (array-typed state columns). A candidate is born the instant a
-    purchase run OPENS after a view run and a 1..3-click run (both
-    closed by construction at that instant — strict contiguity means
-    nothing can extend them afterwards); it EMITS only once the
-    event-time watermark passes its anchor (Flink CEP's emission
-    rule), via an event-time timer armed at min(pending anchors).
-    Candidates the final watermark never reaches stay unemitted, so
-    the bounded-replay emission set is deterministic: the batch oracle
-    plus the watermark filter, compared at the millisecond the
-    watermark actually carries (Spark tracks event-time max in ms —
-    both sides floor µs to ms; the session-timeout twin pins the same
+    CLOSED runs + the current run) plus a watermark buffer of not-yet-
+    folded events (array-typed state columns): events fold into the
+    run structure only once the watermark passes them, in full
+    event-time order across batches (Flink CEP's buffering rule —
+    see the ``_pmr_recognize`` docstring). A candidate is born the
+    instant a purchase run OPENS after a view run and a 1..3-click
+    run (both closed by construction at that instant — strict
+    contiguity means nothing can extend them afterwards) and emits at
+    that same fold, because the watermark has necessarily passed its
+    anchor by then (Flink CEP's emission rule). Candidates the final
+    watermark never reaches stay unemitted, so the bounded-replay
+    emission set is deterministic: the batch oracle plus the
+    watermark filter, compared at the millisecond the watermark
+    actually carries (Spark tracks event-time max in ms — both sides
+    floor µs to ms; the session-timeout twin pins the same
     convention).
 
-    Scale: state per key is O(pattern length + pending matches), the
-    exact bound Flink's NFA keeps; no event buffer, no window state.
+    Scale: state per key is O(pattern length) for the run window plus
+    O(events inside the watermark delay) for the buffer — the same
+    bound Flink CEP's event-time NFA keeps (it too buffers
+    out-of-order elements until the watermark); with the 10-minute
+    delay here that is minutes of one key's events, not window state.
     """
     ev = (
         _events_stream(spark, sf_dir)

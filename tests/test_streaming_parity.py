@@ -735,18 +735,27 @@ def test_pattern_match_recognize_stream_parity(spark, max_ts):
     assert stream, "no matches emitted — timers never fired"
 
 
-def test_pattern_match_recognize_stream_multibatch(spark, max_ts, tmp_path):
+@pytest.mark.parametrize("n_files", [2, 3])
+def test_pattern_match_recognize_stream_multibatch(
+    spark, max_ts, tmp_path, n_files
+):
     """Cross-batch state continuation: the fixture replay is a single
-    micro-batch (one file), so this test splits events into two files
-    by event time and replays them as TWO batches (maxFilesPerTrigger=1,
-    modification order = time order). Runs that straddle the file
-    boundary must continue across batches, batch-1 candidates must
-    emit once batch 2 advances the watermark (the mid-stream timeout
-    path that re-arms instead of dropping), and the final emission set
-    must STILL equal the watermark-filtered batch oracle."""
+    micro-batch (one file), so this test splits events into N files
+    by event time and replays them as N batches (maxFilesPerTrigger=1,
+    modification order = time order). Runs that straddle a file
+    boundary must continue across batches, earlier batches' buffered
+    events must fold once a later batch advances the watermark, and
+    the final emission set must STILL equal the watermark-filtered
+    batch oracle. The 3-way split additionally exercises keys that go
+    SILENT for a whole middle batch while holding run/buffer state —
+    their mid-stream timeout must fold and re-arm without dropping the
+    run window (the round-11 handler keeps state alive mid-stream;
+    the old pending-buffer handler removed it after a fully-drained
+    timeout, which would have restarted a straddling run)."""
     import os
     import time as _time
 
+    import pandas as pd
     import pyarrow.parquet as pq
 
     from flink_large_window_spark.registry import REGISTRY
@@ -760,13 +769,24 @@ def test_pattern_match_recognize_stream_multibatch(spark, max_ts, tmp_path):
 
     src = os.path.join(SF_SMOKE, "events.parquet")
     t = pq.read_table(src)
-    order = t["ts"].to_pandas().sort_values().index
-    cut_ts = t["ts"].to_pandas().iloc[order[len(order) // 2]]
-    mask = t["ts"].to_pandas() <= cut_ts
+    ts_series = t["ts"].to_pandas()
+    order = ts_series.sort_values().index
     d = str(tmp_path)
-    pq.write_table(t.filter(mask.values), os.path.join(d, "part_000.parquet"))
-    _time.sleep(1.1)  # file source orders by modification time
-    pq.write_table(t.filter(~mask.values), os.path.join(d, "part_001.parquet"))
+    lo = ts_series.min() - pd.Timedelta(seconds=1)
+    penult_cut = None  # upper time bound of file n_files-2
+    for part in range(n_files):
+        hi_idx = min(len(order) * (part + 1) // n_files, len(order)) - 1
+        hi = ts_series.iloc[order[hi_idx]]
+        mask = (ts_series > lo) & (ts_series <= hi)
+        if part > 0:
+            _time.sleep(1.1)  # file source orders by modification time
+        pq.write_table(
+            t.filter(mask.values),
+            os.path.join(d, f"part_{part:03d}.parquet"),
+        )
+        if part == n_files - 2:
+            penult_cut = hi
+        lo = hi
 
     from flink_large_window_spark.tables import prep
 
@@ -823,7 +843,12 @@ def test_pattern_match_recognize_stream_multibatch(spark, max_ts, tmp_path):
         f"missing: {sorted(expected - got)[:3]}"
     )
     # the split must actually exercise cross-batch emission: at least
-    # one match's anchor lies in the first half (its timer fired only
-    # after batch 2 advanced the watermark)
-    cut_us = int(cut_ts.value) // 1000  # cut_ts is a pandas Timestamp
-    assert any(r[5] <= cut_us for r in got), "split produced no batch-1 anchors"
+    # one match's anchor lies before the LAST file's range (its fold
+    # happened only after a later batch advanced the watermark). For
+    # the 2-way split that is the first half; the 3-way split's first
+    # third happens to hold no anchors at sf0.001, so the bound is the
+    # penultimate cut.
+    cut_us = int(penult_cut.value) // 1000  # pandas Timestamp
+    assert any(r[5] <= cut_us for r in got), (
+        "split produced no pre-final-batch anchors"
+    )
