@@ -128,63 +128,73 @@ def test_no_contract_key_lost_overall():
     assert len(q) >= 182
 
 
-def test_round10_recheck_window_shape():
-    """The round-10 window (VERDICT r9 items 1-3): 50 unique
-    SQL-oracle keys. Leads (19) are the never-stamped
-    pattern_match_recognize / pattern_match_recognize_stream (late-r10
-    CEP compiler showcase + streaming twin) followed
-    by the behavioral-change cohort —
-    dedup_simhash_hamming (r10 band cap: code AND oracle text
-    changed), the re-planned partsupp quartet (pure-map derive;
-    q11/q2 restructured), the rest of the dedup.py cohort, and the
-    similarity.py cohort VERDICT r9 item 1 named (r9 Arrow-conf fix
-    landed after the r9 window was fixed). Then the twice-deferred
-    r5-evidence leftovers (completion criterion: after the r10 sweep
-    no SQL-oracle key's evidence predates r6), the two streams.py
-    twins that missed the r9 re-stamp, the text.py cohort, and the
-    r7-evidence tpch.py fill. Derivation lives in tools/staleness.py;
-    evidence is computed from the CORRECTNESS files themselves so a
-    stale hardcoded list cannot drift."""
+def test_window_covers_changed_since_stamp_keys():
+    """VERDICT r10 item 4 — the generalization of its item 1: every
+    SQL-oracle key whose implementation file changed since its driver
+    stamp (git-diff-aware post_stamp > 0, or never stamped) must sit
+    inside the driver's 50-key window or carry a documented
+    justification in contract.RECHECK_DEFERRALS. A future rewire that
+    forgets to rotate its keys into the window fails here instead of
+    shipping stamp-less. Evidence capped at r10 (the round this
+    rotation was derived from — the r7 lesson: a rotation test must
+    not read the very sweep it pins)."""
     import os
     import sys
 
-    assert len(RECHECK_KEYS) == DRIVER_PREFIX_BUDGET
-    assert len(set(RECHECK_KEYS)) == DRIVER_PREFIX_BUDGET
+    tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
+    if tools_dir not in sys.path:
+        sys.path.insert(0, tools_dir)
+    from staleness import window_gaps
+
+    from flink_large_window_spark.contract import RECHECK_DEFERRALS
+
+    uncovered = window_gaps(upto=10)
+    assert not uncovered, (
+        f"changed-since-stamp SQL-oracle keys outside the window and "
+        f"undocumented: {sorted(uncovered)}"
+    )
+    # deferrals must be real deferrals — a key both deferred and in
+    # the window is a stale entry
+    double = set(RECHECK_DEFERRALS) & set(RECHECK_KEYS)
+    assert not double, f"RECHECK_DEFERRALS entries also in window: {double}"
+
+
+def test_round11_recheck_window_shape():
+    """The round-11 window (VERDICT r10 items 1-2): 49 RECHECK keys +
+    the never-stamped pattern_match_alternation tail = 50 SQL-oracle
+    keys. Leads (4) are this round's behavioral-change set —
+    pattern_detect_cep / pattern_detect_followedby (VERDICT r10's one
+    weak item: r10 compiler rewire postdates their r6/r8 stamps) and
+    the two r10-stamped CEP keys whose files changed behaviorally in
+    r11 (cep.py alternation canonicalization + guards; streams.py
+    watermark-buffered pmr handler). Then the winfn cohort
+    (window_functions.py r10 churn on r6/r8 evidence), the r6-evidence
+    drain VERDICT item 1 names (completion criterion: after the r11
+    sweep no SQL-oracle evidence predates r7), the tpch.py deferrals
+    (q13/q21/q22/q9), and the 15 streaming twins promised from r10.
+    Deferred to r12, documented in contract.py: q8_market_share and
+    the two r10-stamped streams twins. Derivation lives in
+    tools/staleness.py; evidence is computed from the CORRECTNESS
+    files themselves so a stale hardcoded list cannot drift."""
+    import os
+    import sys
+
+    assert len(RECHECK_KEYS) == DRIVER_PREFIX_BUDGET - 1
+    assert len(set(RECHECK_KEYS)) == DRIVER_PREFIX_BUDGET - 1
     q = api.queries()
     oracles = api.oracle_sql()
     assert all(k in q and k in oracles for k in RECHECK_KEYS)
+    # the one window slot not in RECHECK_KEYS is the never-stamped
+    # r11 key, appended by the unchecked-extras tail
+    assert list(q)[DRIVER_PREFIX_BUDGET - 1] == "pattern_match_alternation"
 
-    N_LEADS = 19
-    assert set(RECHECK_KEYS[:N_LEADS]) == {
-        # never-stamped keys lead the window (the r9 precedent —
-        # CORRECTNESS_r09 opened with the never-stamped keys): the
-        # late-r10 generic CEP compiler's showcase (operators/cep.py)
-        # and its streaming twin (streams.py incremental automaton)
+    N_LEADS = 4
+    assert list(RECHECK_KEYS[:N_LEADS]) == [
+        "pattern_detect_cep",
+        "pattern_detect_followedby",
         "pattern_match_recognize",
         "pattern_match_recognize_stream",
-        # r10 band cap — engine and oracle text both changed
-        "dedup_simhash_hamming",
-        # r10 re-plan: pure-map partsupp derive (all four), plus
-        # q11 tot-from-agg and q2 window-min
-        "q11_important_stock",
-        "q2_min_cost_supplier",
-        "q16_supplier_variety",
-        "q20_excess_stock",
-        # dedup.py churned in r10 (the cap landed in this file)
-        "dedup_exact",
-        "dedup_near_minhash",
-        "dedup_simhash",
-        "dedup_embed_cosine",
-        "dedup_embed_cosine_ivf",
-        "dedup_ngram_jaccard",
-        "dedup_cluster_cc",
-        # similarity.py churned in r9 after the r9 window was fixed
-        "sim_cosine_topk",
-        "sim_knn_join_label",
-        "emb_kmeans_assign",
-        "sim_ann_ivf_topk",
-        "sim_ann_ivf_multiprobe",
-    }
+    ]
 
     tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
     if tools_dir not in sys.path:
@@ -192,54 +202,43 @@ def test_round10_recheck_window_shape():
     from staleness import commits_since_stamp, evidence_rounds, key_files
 
     # The lead-section selection criterion, checked mechanically:
-    # under r01..r09 evidence, every STAMPED lead has file commits
-    # AFTER its evidence round's driver marker — the shipped text was
-    # never driver-stamped. Never-stamped leads (no evidence round at
-    # all — pattern_match_recognize) satisfy the criterion vacuously
-    # and are asserted to genuinely have no r01..r09 evidence. Stable
-    # over time: commits only accumulate, and capped evidence is
-    # immutable.
+    # under r01..r10 evidence, every lead has file commits AFTER its
+    # evidence round's driver marker — the shipped text was never
+    # driver-stamped. Stable over time: commits only accumulate, and
+    # capped evidence is immutable.
     kf = key_files()
-    ev9 = evidence_rounds(upto=9)
-    stamped_leads = [k for k in RECHECK_KEYS[:N_LEADS] if k in ev9]
-    never_stamped = [k for k in RECHECK_KEYS[:N_LEADS] if k not in ev9]
-    assert never_stamped == [
-        "pattern_match_recognize",
-        "pattern_match_recognize_stream",
-    ], never_stamped
-    post = commits_since_stamp(ev9, {k: kf[k] for k in stamped_leads})
-    not_post = [k for k in stamped_leads if post[k] <= 0]
+    ev = evidence_rounds(upto=10)
+    post = commits_since_stamp(
+        ev, {k: kf[k] for k in RECHECK_KEYS[:N_LEADS]}
+    )
+    not_post = [k for k in RECHECK_KEYS[:N_LEADS] if post[k] <= 0]
     assert not not_post, (
         f"window leads claim changed-after-stamp but post_stamp<=0: "
         f"{not_post}"
     )
 
-    # capped at round 9: this window was DERIVED from r01..r09
-    # evidence; the r10 sweep it pins will write CORRECTNESS_r10.json,
-    # and uncapped evidence would then fail the freshness assertions
-    # (round-7 review finding — a rotation test must cap evidence at
-    # the rounds the rotation was derived from).
-    ev = evidence_rounds(upto=9)
-
     # completion criterion: every SQL-oracle key whose evidence
-    # predates round 6 is inside the window, so the r10 sweep leaves
-    # no SQL-oracle evidence older than r6.
-    pre_r6_sql = {k for k, er in ev.items() if er < 6 and k in oracles}
+    # predates round 7 is inside the window, so the r11 sweep leaves
+    # no SQL-oracle evidence older than r7. (Evidence capped at r10 —
+    # the round this rotation was derived from; the r11 sweep will
+    # write CORRECTNESS_r11.json and must not retroactively change
+    # the rotation's inputs.)
+    pre_r7_sql = {k for k, er in ev.items() if er < 7 and k in oracles}
     window = set(RECHECK_KEYS)
-    missing = pre_r6_sql - window
+    missing = pre_r7_sql - window
     assert not missing, (
-        f"SQL-oracle keys with pre-r6 evidence left out of the window: "
+        f"SQL-oracle keys with pre-r7 evidence left out of the window: "
         f"{sorted(missing)}"
     )
 
     # Fresh evidence burns a slot only for a behavioral change: the
-    # only r9-stamped keys allowed in the window are the dedup.py
-    # cohort whose file carries the r10 cap (the streaming twins also
-    # have a r10 commit on their file, but it is the tWS registration
-    # comment block — no executable change — so they defer to r11).
-    fresh = [k for k in RECHECK_KEYS if ev.get(k, 0) >= 9]
+    # only r10-stamped keys allowed in the window are the two CEP
+    # showcase keys whose implementation files changed behaviorally
+    # in r11 (the other r10-stamped streams.py twins defer to r12 —
+    # their r11 churn is the pmr handler, not their own code).
+    fresh = [k for k in RECHECK_KEYS if ev.get(k, 0) >= 10]
     outside_leads = [k for k in fresh if k not in RECHECK_KEYS[:N_LEADS]]
     assert not outside_leads, (
-        f"r9-stamped keys outside the behavioral-change leads: "
+        f"r10-stamped keys outside the behavioral-change leads: "
         f"{outside_leads}"
     )

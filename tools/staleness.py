@@ -176,11 +176,58 @@ def code_rounds() -> dict[str, int]:
     return {k: file_round[f] for k, f in key_file.items()}
 
 
+def window_gaps(upto: int | None = None) -> set[str]:
+    """SQL-oracle keys whose implementation file changed after their
+    last driver stamp (post_stamp > 0, or never stamped) that the
+    proposed driver window does NOT cover and RECHECK_DEFERRALS does
+    not document — the guard VERDICT r10 item 4 asked for, so a
+    future rewire cannot ship stamp-less. The window here is the
+    driver's actual checked prefix (RECHECK_KEYS plus the unchecked
+    tail the priority order appends). ``upto`` caps evidence at the
+    round the current rotation was derived from (None = all landed
+    CORRECTNESS files — correct between rounds, since a just-landed
+    sweep only makes evidence fresher)."""
+    import flink_large_window_spark.api as api
+    from flink_large_window_spark.contract import (
+        RECHECK_DEFERRALS,
+        driver_priority_order,
+    )
+
+    oracles = api.oracle_sql()
+    ev = evidence_rounds(upto=upto)
+    kf = key_files()
+    post = commits_since_stamp(ev, kf)
+    changed = {
+        k for k, p in post.items()
+        if (p > 0 or p == -1) and k in oracles
+    }
+    window = set(driver_priority_order(api.queries())[:50])
+    return changed - window - set(RECHECK_DEFERRALS)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tuple", action="store_true",
                     help="print a paste-ready python tuple tail")
+    ap.add_argument("--check-window", action="store_true",
+                    help="verify the proposed driver window covers "
+                         "every changed-since-stamp SQL-oracle key "
+                         "(or a documented RECHECK_DEFERRALS entry); "
+                         "exit 1 on uncovered keys")
     args = ap.parse_args()
+
+    if args.check_window:
+        uncovered = window_gaps()
+        if uncovered:
+            print("UNCOVERED changed-since-stamp SQL-oracle keys "
+                  "(not in RECHECK_KEYS/window tail, not in "
+                  "RECHECK_DEFERRALS):")
+            for k in sorted(uncovered):
+                print(f"  {k}")
+            sys.exit(1)
+        print("window OK: every changed-since-stamp SQL-oracle key is "
+              "in the window or documented in RECHECK_DEFERRALS")
+        return
 
     ev = evidence_rounds()
     code = code_rounds()
