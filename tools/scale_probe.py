@@ -69,6 +69,10 @@ FAMILIES = {
             # same events replication, linear per-user run structure
             "pattern_detect_notfollowedby", "pattern_detect_times",
             "pattern_detect_oneormore", "pattern_match_recognize",
+            # round 11: alternation under an unbounded quantifier —
+            # the set-class canonical map is a row-local expression,
+            # same one-shuffle runs-relation plan
+            "pattern_match_alternation",
         ],
     },
     "text": {
