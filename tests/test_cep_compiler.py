@@ -372,6 +372,23 @@ def test_greedy_alternation_rejects_ambiguous_overlap(spark):
         compile_greedy(df, pat2)
 
 
+def test_greedy_alternation_degenerate_set_collapses(spark):
+    # Flink's where(a).or(a): a tuple whose members are all one class
+    # collapses to that single class (no token, no relabel) instead of
+    # crashing — round-11 review fix (frozenset size, not tuple
+    # length, drives the rewrite).
+    df = _events(
+        spark,
+        [(1, 0, "view"), (1, 1, "view"), (1, 2, "purchase")],
+    )
+    pat = _pat(
+        [Step("v", ("view", "view"), 1, None),
+         Step("p", "purchase", 1, None)]
+    )
+    out = compile_greedy(df, pat).collect()
+    assert [(r.user_id, r.anchor_first_id, r.n_v) for r in out] == [(1, 2, 2)]
+
+
 def test_greedy_alternation_rejects_token_collision(spark):
     df = _events(spark, [(1, 0, "click")])
     pat = _pat(

@@ -24,11 +24,10 @@ import flink_large_window_spark.api as api
 from flink_large_window_spark.contract import (
     CONTRACT_KEYS,
     DRIVER_CHECKED,
+    DRIVER_PREFIX_BUDGET,
     PRIORITY_EXTRAS,
     RECHECK_KEYS,
 )
-
-DRIVER_PREFIX_BUDGET = 50
 
 
 def test_contract_has_76_unique_keys():

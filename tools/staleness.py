@@ -189,6 +189,7 @@ def window_gaps(upto: int | None = None) -> set[str]:
     sweep only makes evidence fresher)."""
     import flink_large_window_spark.api as api
     from flink_large_window_spark.contract import (
+        DRIVER_PREFIX_BUDGET,
         RECHECK_DEFERRALS,
         driver_priority_order,
     )
@@ -201,7 +202,9 @@ def window_gaps(upto: int | None = None) -> set[str]:
         k for k, p in post.items()
         if (p > 0 or p == -1) and k in oracles
     }
-    window = set(driver_priority_order(api.queries())[:50])
+    window = set(
+        driver_priority_order(api.queries())[:DRIVER_PREFIX_BUDGET]
+    )
     return changed - window - set(RECHECK_DEFERRALS)
 
 
