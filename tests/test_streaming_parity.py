@@ -852,3 +852,90 @@ def test_pattern_match_recognize_stream_multibatch(
     assert any(r[5] <= cut_us for r in got), (
         "split produced no pre-final-batch anchors"
     )
+
+
+def test_pattern_match_recognize_stream_out_of_order_within_watermark(
+    spark, tmp_path
+):
+    """The discriminating case for the round-11 watermark-buffered
+    fold (ADVICE r10 item 1): an event that arrives in a LATER batch
+    than a newer event of the same key, while still inside the
+    watermark. Batch 1 carries view@t0 and purchase@t2; the click@t1
+    between them arrives only in batch 2. Both batches' watermarks
+    trail every key-1 event (a key-2 tail event advances the final
+    watermark past t2), so nothing is dropped and the handler must
+    reassemble event-time order ACROSS batches: the buffered fold
+    sorts (ts, event_id) before touching the run structure and finds
+    the view→click→purchase match. The r10 handler folded batch 1
+    immediately (view run closed, purchase run open) and would have
+    appended the late click AFTER the purchase — zero matches."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark.streaming.streams import (
+        _PMR_OUT_SCHEMA,
+        _PMR_STATE_SCHEMA,
+        _pmr_recognize,
+        run_to_memory,
+    )
+    from flink_large_window_spark.tables import prep
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def row(uid, minutes, eid, cls):
+        return {
+            "user_id": uid,
+            "ts": t0 + dt.timedelta(minutes=minutes),
+            "event_id": eid,
+            "event_type": cls,
+        }
+
+    schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("event_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+        ]
+    )
+    batch1 = [row(1, 0, 0, "view"), row(1, 2, 2, "purchase")]
+    # batch 2: the held-back click@t1 (ts BETWEEN batch 1's events —
+    # legal, wm after batch 1 is t2-10min < t0) plus a key-2 tail
+    # event 30 minutes later that pushes the final watermark past t2
+    batch2 = [row(1, 1, 1, "click"), row(2, 32, 3, "view")]
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(batch1, schema=schema),
+                   os.path.join(d, "part_000.parquet"))
+    _time.sleep(1.1)  # file source orders by modification time
+    pq.write_table(pa.Table.from_pylist(batch2, schema=schema),
+                   os.path.join(d, "part_001.parquet"))
+
+    prep(spark)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = (
+        stream.withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        _pmr_recognize,
+        outputStructType=_PMR_OUT_SCHEMA,
+        stateStructType=_PMR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    got = [
+        (r["user_id"], r["purchase_event"], r["n_views"], r["n_clicks"])
+        for r in run_to_memory(spark, result, mode="append").collect()
+    ]
+    assert got == [(1, 2, 1, 1)], got
