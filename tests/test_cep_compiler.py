@@ -15,6 +15,7 @@ import datetime as dt
 import pytest
 
 from flink_large_window_spark.operators.cep import (
+    Guard,
     Pattern,
     Step,
     compile_greedy,
@@ -393,20 +394,274 @@ def test_greedy_alternation_rejects_token_collision(spark):
     df = _events(spark, [(1, 0, "click")])
     pat = _pat(
         [Step("a", ("click", "view"), 1, None),
-         Step("b", "click|view", 1, None)]
+         Step("b", "click\x1fview", 1, None)]
     )
     with pytest.raises(ValueError, match="collides"):
         compile_greedy(df, pat)
 
 
-def test_greedy_final_max_without_exact_warns(spark):
-    # ADVICE r10 item 2: a fixed multi-count FINAL step without
-    # exact=True silently means ">= min" — now warned, semantics
-    # unchanged (the pinned dispatch/anchor tests above rely on it).
+def test_greedy_final_max_without_exact_is_ge_min_and_silent(spark):
+    # Round 12 (VERDICT r11 item 8): the ">= min" anchor contract for a
+    # fixed multi-count FINAL step without exact=True is stable and
+    # documented — the round-11 UserWarning on every normal use was
+    # noise and is retired. Semantics unchanged; now also warning-free.
+    import warnings as _warnings
+
     df = _events(spark, [(1, 0, "error"), (1, 1, "error")])
-    with pytest.warns(UserWarning, match="exact=True"):
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
         out = compile_greedy(df, _pat([Step("e", "error", 2, 2)])).collect()
     assert [r.user_id for r in out] == [1]
+
+
+def test_step_one_tuple_cls_normalizes_to_scalar(spark):
+    # ADVICE r11 item 2: Step('p', ('purchase',)) must behave exactly
+    # like Step('p', 'purchase') in every strategy — the 1-tuple
+    # normalizes on construction, so no tuple literal ever reaches the
+    # F.col == cls comparisons.
+    s = Step("p", ("purchase",))
+    assert s.cls == "purchase"
+    df = _events(
+        spark, [(1, 0, "click"), (1, 1, "click"), (1, 2, "purchase")]
+    )
+    out = compile_greedy(
+        df,
+        _pat([Step("c", ("click",), 1, None), Step("p", ("purchase",), 1, None)]),
+    ).collect()
+    assert [(r.user_id, r.anchor_first_id, r.n_c) for r in out] == [(1, 2, 2)]
+
+
+# ---------------------------------------------------------------- optional
+
+def test_optional_step_present_and_absent_variants(spark):
+    # V+ C? P+ — Flink Pattern.optional(): user 1 has the click
+    # (present variant, n_c = 1), user 2 goes view → purchase directly
+    # (absent variant, n_c = 0), user 3's TWO clicks exceed the
+    # optional step's max_count=1 under maximal-run semantics and the
+    # absent variant is blocked by the click run between view and
+    # purchase → no match.
+    df = _events(
+        spark,
+        [
+            (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+            (2, 0, "view"), (2, 1, "purchase"),
+            (3, 0, "view"), (3, 1, "click"), (3, 2, "click"),
+            (3, 3, "purchase"),
+        ],
+    )
+    pat = _pat(
+        [Step("v", "view", 1, None), Step("c", "click", 0, 1),
+         Step("p", "purchase", 1, None)],
+        within=24,
+    )
+    out = sorted(
+        (r.user_id, r.anchor_first_id, r.n_v, r.n_c)
+        for r in compile_pattern(df, pat).collect()
+    )
+    # event_id is the global row ordinal: user 2's purchase is row 4
+    assert out == [(1, 2, 1, 1), (2, 4, 1, 0)]
+
+
+def test_optional_variants_are_mutually_exclusive(spark):
+    # The expansion's union must be duplicate-free: one anchor, one
+    # row, even when both variants are syntactically applicable to the
+    # stream (they never are to the SAME anchor — pinned here).
+    df = _events(
+        spark,
+        [(1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+         (1, 10 * 60, "view"), (1, 10 * 60 + 1, "purchase")],
+    )
+    pat = _pat(
+        [Step("v", "view", 1, None), Step("c", "click", 0, 1),
+         Step("p", "purchase", 1, None)],
+        within=24,
+    )
+    rows = compile_pattern(df, pat).collect()
+    anchors = [r.anchor_first_id for r in rows]
+    assert sorted(anchors) == sorted(set(anchors)) == [2, 4]
+
+
+def test_optional_final_step_rejected():
+    with pytest.raises(ValueError, match="final step"):
+        Pattern(steps=(Step("v", "view"), Step("p", "purchase", 0, 1)))
+
+
+# ------------------------------------------------------- after-match skip
+
+def _skip_events(spark):
+    # one 3-click run then a purchase: the Flink skip-strategy doc
+    # shape (a{2,3} b over "a a a b")
+    return _events(
+        spark,
+        [(1, 0, "click"), (1, 1, "click"), (1, 2, "click"),
+         (1, 3, "purchase")],
+    )
+
+
+def test_skip_past_last_emits_one_maximal_match(spark):
+    df = _skip_events(spark)
+    pat = _pat([Step("c", "click", 2, 3), Step("p", "purchase", 1, None)])
+    out = compile_greedy(df, pat).collect()
+    assert [(r.user_id, r.n_c) for r in out] == [(1, 3)]
+    assert "start_off" not in out[0].asDict()
+
+
+def test_skip_to_next_emits_one_match_per_start(spark):
+    # starts at click 1 (greedy 3) and click 2 (greedy 2): 2 matches
+    df = _skip_events(spark)
+    pat = Pattern(
+        steps=(Step("c", "click", 2, 3), Step("p", "purchase", 1, None)),
+        skip="to_next",
+    )
+    out = sorted(
+        (r.start_off, r.n_c) for r in compile_greedy(df, pat).collect()
+    )
+    assert out == [(1, 3), (2, 2)]
+
+
+def test_skip_no_skip_enumerates_all_submatches(spark):
+    # (start, len) combos within {2,3} over a 3-run:
+    # (1,2) (1,3) (2,2) — the full noSkip enumeration
+    df = _skip_events(spark)
+    pat = Pattern(
+        steps=(Step("c", "click", 2, 3), Step("p", "purchase", 1, None)),
+        skip="no_skip",
+    )
+    out = sorted(
+        (r.start_off, r.n_c) for r in compile_greedy(df, pat).collect()
+    )
+    assert out == [(1, 2), (1, 3), (2, 2)]
+
+
+def test_skip_consumed_cap_admits_overlong_first_run(spark):
+    # a 4-click run with C{2,3}: past_last rejects (maximal-run
+    # semantics), but under sub-match expansion the cap bounds the
+    # CONSUMED count, so sub-matches exist: starts 1..3, each with
+    # admissible lengths — (1,2)(1,3)(2,2)(2,3)(3,2).
+    df = _events(
+        spark,
+        [(1, 0, "click"), (1, 1, "click"), (1, 2, "click"),
+         (1, 3, "click"), (1, 4, "purchase")],
+    )
+    base = _pat([Step("c", "click", 2, 3), Step("p", "purchase", 1, None)])
+    assert compile_greedy(df, base).count() == 0
+    pat = Pattern(steps=base.steps, skip="no_skip")
+    out = sorted(
+        (r.start_off, r.n_c) for r in compile_greedy(df, pat).collect()
+    )
+    assert out == [(1, 2), (1, 3), (2, 2), (2, 3), (3, 2)]
+
+
+def test_skip_validation():
+    steps = (Step("c", "click", 2, 3), Step("p", "purchase", 1, None))
+    with pytest.raises(ValueError, match="skip must be one of"):
+        Pattern(steps=steps, skip="bogus")
+    with pytest.raises(ValueError, match=">= 2-step"):
+        Pattern(steps=(Step("c", "click", 2, None),), skip="no_skip")
+    with pytest.raises(ValueError, match="within_hours"):
+        Pattern(steps=steps, within_hours=24, skip="no_skip")
+    # a first-step guard is unrepresentable (must reference an EARLIER
+    # step), so skip strategies never meet one — pinned here so a
+    # future guard loosening revisits the skip interaction
+    with pytest.raises(ValueError, match="EARLIER step"):
+        Pattern(
+            steps=(
+                Step("c", "click", 2, 3,
+                     guard=Guard("first", ">", "c", "max")),
+                Step("p", "purchase", 1, None),
+            ),
+            val_col="value",
+            skip="no_skip",
+        )
+
+
+# -------------------------------------------------------- iterative guards
+
+def _guard_events(spark, vals):
+    """view view purchase for user 1 with the given values."""
+    rows = [
+        (1, T0 + dt.timedelta(minutes=i), i, t, float(v))
+        for i, (t, v) in enumerate(
+            zip(("view", "view", "purchase"), vals)
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double",
+    )
+
+
+def test_greedy_guard_filters_on_prior_step_values(spark):
+    pat = Pattern(
+        steps=(
+            Step("v", "view", 1, None),
+            Step("p", "purchase", 1, None,
+                 guard=Guard("first", ">", "v", "max")),
+        ),
+        val_col="value",
+    )
+    # purchase value 5 > max(view run) 3 → match, with both guard
+    # sides emitted as measures
+    hit = compile_greedy(_guard_events(spark, (3, 2, 5)), pat).collect()
+    assert [(r.user_id, r.g_p, r.g_p_ref) for r in hit] == [(1, 5.0, 3.0)]
+    # purchase value 2 <= max(view run) 3 → class structure matches,
+    # guard rejects
+    assert compile_greedy(_guard_events(spark, (3, 2, 2)), pat).count() == 0
+
+
+def test_greedy_guard_factor_scales_reference_side(spark):
+    pat = Pattern(
+        steps=(
+            Step("v", "view", 1, None),
+            Step("p", "purchase", 1, None,
+                 guard=Guard("first", ">=", "v", "sum", factor=0.5)),
+        ),
+        val_col="value",
+    )
+    # sum(view run) = 6; 0.5 * 6 = 3; purchase 3 >= 3 → match
+    assert compile_greedy(_guard_events(spark, (4, 2, 3)), pat).count() == 1
+    # purchase 2.9 < 3 → reject
+    assert compile_greedy(_guard_events(spark, (4, 2, 2.9)), pat).count() == 0
+
+
+def test_suffix_guard_filters_on_prior_step_values(spark):
+    pat = Pattern(
+        steps=(
+            Step("v", "view", 2, 2),
+            Step("p", "purchase",
+                 guard=Guard("first", "<", "v", "min")),
+        ),
+        val_col="value",
+    )
+    # purchase 1 < min(two views) 2 → match
+    assert compile_suffix(_guard_events(spark, (3, 2, 1)), pat).count() == 1
+    # purchase 2.5 >= 2 → reject
+    assert compile_suffix(_guard_events(spark, (3, 2, 2.5)), pat).count() == 0
+
+
+def test_guard_validation():
+    with pytest.raises(ValueError, match="guard agg"):
+        Guard("median", ">", "v", "max")
+    with pytest.raises(ValueError, match="guard cmp"):
+        Guard("first", "!=", "v", "max")
+    with pytest.raises(ValueError, match="val_col"):
+        Pattern(
+            steps=(
+                Step("v", "view", 1, None),
+                Step("p", "purchase", 1, None,
+                     guard=Guard("first", ">", "v", "max")),
+            )
+        )
+    with pytest.raises(ValueError, match="EARLIER step"):
+        Pattern(
+            steps=(
+                Step("v", "view", 1, None,
+                     guard=Guard("first", ">", "p", "max")),
+                Step("p", "purchase", 1, None),
+            ),
+            val_col="value",
+        )
 
 
 # ------------------------------------------------------------ validation

@@ -19,6 +19,8 @@ from collections import defaultdict
 import numpy as np
 
 from flink_large_window_spark.operators.cep import (
+    GUARD_CMPS,
+    Guard,
     Pattern,
     Step,
     compile_greedy,
@@ -34,9 +36,11 @@ CLASSES = ["view", "click", "purchase", "error", None]
 
 
 def _random_streams(n_users: int, max_len: int, seed: int):
-    """One stream per user: (user_id, ts, event_id, event_type) with
-    ts strictly increasing per user (minute grid with random gaps up
-    to ~9 hours, so within-bounds are genuinely exercised)."""
+    """One stream per user: (user_id, ts, event_id, event_type, value)
+    with ts strictly increasing per user (minute grid with random gaps
+    up to ~9 hours, so within-bounds are genuinely exercised). value
+    is a small random float on a 0.25 grid — exactly representable in
+    binary, so guard comparisons can't straddle float noise."""
     rng = np.random.default_rng(seed)
     rows = []
     eid = 0
@@ -46,7 +50,8 @@ def _random_streams(n_users: int, max_len: int, seed: int):
             m += int(rng.integers(1, 540))
             rows.append(
                 (u, T0 + dt.timedelta(minutes=m), eid,
-                 CLASSES[int(rng.integers(0, len(CLASSES)))])
+                 CLASSES[int(rng.integers(0, len(CLASSES)))],
+                 float(rng.integers(0, 40)) / 4.0)
             )
             eid += 1
     return rows
@@ -54,7 +59,9 @@ def _random_streams(n_users: int, max_len: int, seed: int):
 
 def _df(spark, rows):
     return spark.createDataFrame(
-        rows, "user_id long, ts timestamp, event_id long, event_type string"
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double",
     )
 
 
@@ -68,10 +75,37 @@ def _runs(evs):
     return runs
 
 
+def _guard_agg(vals, agg):
+    return {
+        "first": vals[0],
+        "last": vals[-1],
+        "min": min(vals),
+        "max": max(vals),
+        "sum": sum(vals),
+    }[agg]
+
+
+def _guards_ok(steps, events_by_step):
+    """Evaluate every step's iterative condition over the matched
+    events (the documented semantics: greedy aggregates range over
+    the step's full maximal run, suffix over the fixed-count matched
+    events — the caller passes whichever applies)."""
+    for s in steps:
+        if s.guard is None:
+            continue
+        g = s.guard
+        this = _guard_agg([e[4] for e in events_by_step[s.name]], g.agg)
+        ref = _guard_agg([e[4] for e in events_by_step[g.ref_step]], g.ref_agg)
+        if not GUARD_CMPS[g.cmp](this, g.factor * ref):
+            return False
+    return True
+
+
 def _ref_greedy(rows, pat: Pattern):
     """Reference maximal-run matcher: slide a len(steps) window over
     each user's run sequence; middle/first steps must consume their
-    whole run, the final step anchors with run_len >= min."""
+    whole run, the final step anchors with run_len >= min. Guards
+    evaluate over each step's full maximal run."""
     by_user = defaultdict(list)
     for r in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
         by_user[r[0]].append(r)
@@ -93,6 +127,11 @@ def _ref_greedy(rows, pat: Pattern):
             if ok and pat.within_hours is not None:
                 ok = res[0][1] <= win[0][1][0][1] + dt.timedelta(
                     hours=pat.within_hours
+                )
+            if ok:
+                ok = _guards_ok(
+                    steps,
+                    {s.name: r[1] for s, r in zip(steps, win)},
                 )
             if ok:
                 out.append(
@@ -118,11 +157,14 @@ def _ref_suffix(rows, pat: Pattern):
             j = i - 1
             ok = True
             first_idx = i
+            matched = {steps[-1].name: [e]}
             for s in reversed(steps[:-1]):
+                idxs = []
                 for _ in range(s.min_count):
                     if j < 0 or evs[j][3] not in s.clses():
                         ok = False
                         break
+                    idxs.append(j)
                     first_idx = j
                     j -= 1
                 if not ok:
@@ -130,10 +172,13 @@ def _ref_suffix(rows, pat: Pattern):
                 if s.exact and j >= 0 and evs[j][3] in s.clses():
                     ok = False
                     break
+                matched[s.name] = [evs[x] for x in reversed(idxs)]
             if ok and pat.within_hours is not None:
                 ok = e[1] <= evs[first_idx][1] + dt.timedelta(
                     hours=pat.within_hours
                 )
+            if ok:
+                ok = _guards_ok(steps, matched)
             if ok:
                 out.append((u, e[2]))
     return sorted(out)
@@ -146,20 +191,25 @@ def _canonicalize_ref(rows, pat: Pattern):
     alternation too (a maximal run of the SET becomes a maximal run
     of one label — the exact semantics the compiler implements)."""
     tokens = {
-        frozenset(s.clses()): "|".join(sorted(s.clses()))
+        frozenset(s.clses()): "\x1f".join(sorted(s.clses()))
         for s in pat.steps
         if len(s.clses()) > 1
     }
     cls_map = {c: tok for cs, tok in tokens.items() for c in cs}
-    rows2 = [(u, ts, eid, cls_map.get(cls, cls)) for u, ts, eid, cls in rows]
+    rows2 = [
+        (u, ts, eid, cls_map.get(cls, cls), val)
+        for u, ts, eid, cls, val in rows
+    ]
     steps2 = tuple(
         Step(s.name, tokens[frozenset(s.clses())], s.min_count,
-             s.max_count, s.exact)
+             s.max_count, s.exact, s.guard)
         if len(s.clses()) > 1
         else s
         for s in pat.steps
     )
-    return rows2, Pattern(steps=steps2, within_hours=pat.within_hours)
+    return rows2, Pattern(
+        steps=steps2, within_hours=pat.within_hours, val_col=pat.val_col
+    )
 
 
 GREEDY_PATTERNS = [
@@ -208,6 +258,38 @@ GREEDY_PATTERNS = [
         ),
         within_hours=48,
     ),
+    # iterative conditions (round 12 — VERDICT r11 directive 2):
+    # guards over previously-matched events' values, each exercising a
+    # different (agg, cmp, ref_agg) combination; the reference
+    # evaluates them over the same maximal runs via _guards_ok
+    Pattern(
+        steps=(
+            Step("v", "view", 1, None),
+            Step("p", "purchase", 1, None,
+                 guard=Guard("first", ">", "v", "max")),
+        ),
+        within_hours=24,
+        val_col="value",
+    ),
+    Pattern(
+        steps=(
+            Step("c", "click", 1, None),
+            Step("p", "purchase", 1, None,
+                 guard=Guard("max", "<=", "c", "sum")),
+        ),
+        val_col="value",
+    ),
+    Pattern(
+        steps=(
+            Step("v", "view", 1, 3),
+            Step("c", "click", 1, None,
+                 guard=Guard("min", "<", "v", "first", factor=2.0)),
+            Step("e", "error", 1, None,
+                 guard=Guard("sum", ">=", "c", "last")),
+        ),
+        within_hours=48,
+        val_col="value",
+    ),
 ]
 
 SUFFIX_PATTERNS = [
@@ -235,6 +317,17 @@ SUFFIX_PATTERNS = [
             Step("p", "purchase"),
         ),
         within_hours=48,
+    ),
+    # iterative condition over a fixed-count suffix step: the anchor's
+    # value against the min of the two counted clicks
+    Pattern(
+        steps=(
+            Step("c", "click", 2, 2),
+            Step("p", "purchase",
+                 guard=Guard("first", "<", "c", "min")),
+        ),
+        within_hours=48,
+        val_col="value",
     ),
 ]
 
@@ -264,10 +357,10 @@ def test_suffix_matches_reference_on_random_streams(spark):
     # into another click (keeps determinism, raises run lengths)
     rows = []
     prev_by_user: dict[int, str] = {}
-    for u, ts, eid, cls in rng_rows:
+    for u, ts, eid, cls, val in rng_rows:
         if cls == "error" and prev_by_user.get(u) == "click":
             cls = "click"
-        rows.append((u, ts, eid, cls))
+        rows.append((u, ts, eid, cls, val))
         prev_by_user[u] = cls
     df = _df(spark, rows)
     for pat in SUFFIX_PATTERNS:
@@ -278,3 +371,76 @@ def test_suffix_matches_reference_on_random_streams(spark):
         want = _ref_suffix(rows, pat)
         assert got == want, f"suffix divergence for {pat.steps}"
         assert len(want) > 0, f"degenerate sweep (0 matches) for {pat.steps}"
+
+
+def test_guard_patterns_genuinely_prune():
+    """The guard sweep must discriminate: each guarded pattern's
+    reference match set is strictly smaller than its unguarded twin's
+    on the same streams (else the sweep would pass vacuously with a
+    guard compiled as `true`)."""
+    rows = _random_streams(n_users=300, max_len=14, seed=7)
+    for pat in GREEDY_PATTERNS:
+        if not any(s.guard for s in pat.steps):
+            continue
+        bare = Pattern(
+            steps=tuple(
+                Step(s.name, s.cls, s.min_count, s.max_count, s.exact)
+                for s in pat.steps
+            ),
+            within_hours=pat.within_hours,
+        )
+        n_guarded = len(_ref_greedy(rows, pat))
+        n_bare = len(_ref_greedy(rows, bare))
+        assert 0 < n_guarded < n_bare, (
+            f"guard not discriminating for {pat.steps}: "
+            f"{n_guarded} vs {n_bare}"
+        )
+
+
+def _ref_skip(rows, mn, mx, mode):
+    """Reference sub-match enumerator for the after-match skip
+    strategies over pattern click{mn,mx} purchase+ (no within): the
+    first run needs len >= mn only (the max bounds CONSUMED events),
+    then enumerate (start_off, consumed) per the mode."""
+    by_user = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_user[r[0]].append(r)
+    out = []
+    for u, evs in by_user.items():
+        runs = _runs(evs)
+        for i in range(1, len(runs)):
+            (c0, r0), (c1, r1) = runs[i - 1], runs[i]
+            if c1 != "purchase" or c0 != "click" or len(r0) < mn:
+                continue
+            for p in range(1, len(r0) - mn + 2):
+                greedy_len = min(mx, len(r0) - p + 1)
+                if mode == "to_next":
+                    out.append((u, r1[0][2], p, greedy_len))
+                else:  # no_skip
+                    out.extend(
+                        (u, r1[0][2], p, l)
+                        for l in range(mn, greedy_len + 1)
+                    )
+    return sorted(out)
+
+
+def test_skip_strategies_match_reference_on_random_streams(spark):
+    rows = _random_streams(n_users=300, max_len=14, seed=23)
+    df = _df(spark, rows)
+    for mode in ("to_next", "no_skip"):
+        pat = Pattern(
+            steps=(
+                Step("c", "click", 2, 4),
+                Step("p", "purchase", 1, None),
+            ),
+            skip=mode,
+        )
+        got = sorted(
+            (r["user_id"], r["anchor_first_id"], r["start_off"], r["n_c"])
+            for r in compile_greedy(df, pat).collect()
+        )
+        want = _ref_skip(rows, 2, 4, mode)
+        assert got == want, f"skip divergence for {mode}"
+        assert len(want) > 0, f"degenerate sweep (0 matches) for {mode}"
+    # the modes must differ on these streams (no_skip ⊋ to_next)
+    assert _ref_skip(rows, 2, 4, "no_skip") != _ref_skip(rows, 2, 4, "to_next")
