@@ -3,5 +3,5 @@
 
 from importlib import import_module
 
-for _m in ("windows", "streams"):
+for _m in ("windows", "streams", "cep_stream"):
     import_module(f"{__name__}.{_m}")

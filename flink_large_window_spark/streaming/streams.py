@@ -781,235 +781,12 @@ def stateful_session_timeout_stream(spark: SparkSession, sf_dir: str) -> DataFra
     return run_to_memory(spark, result, mode="append")
 
 
-_PMR_WITHIN_US = 24 * 3600 * 1_000_000
-
-_PMR_OUT_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("purchase_event", LongType()),
-        StructField("n_views", LongType()),
-        StructField("n_clicks", LongType()),
-        StructField("pattern_start_us", LongType()),
-        StructField("pattern_end_us", LongType()),
-    ]
-)
-
-_PMR_STATE_SCHEMA = StructType(
-    [
-        StructField("r1_cls", StringType()),
-        StructField("r1_len", LongType()),
-        StructField("r1_start_us", LongType()),
-        StructField("r2_cls", StringType()),
-        StructField("r2_len", LongType()),
-        StructField("r2_start_us", LongType()),
-        StructField("cur_cls", StringType()),
-        StructField("cur_len", LongType()),
-        StructField("cur_start_us", LongType()),
-        StructField("buf_id", ArrayType(LongType())),
-        StructField("buf_us", ArrayType(LongType())),
-        StructField("buf_cls", ArrayType(StringType())),
-        StructField("buf_nul", ArrayType(LongType())),
-    ]
-)
-
-
-def _pmr_recognize(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """The streaming CEP automaton for pattern_match_recognize_stream
-    (module-level so the multi-batch replay test can run the same
-    handler over a split-file stream — see
-    test_streaming_parity.py::test_pattern_match_recognize_stream_multibatch).
-
-    Watermark-buffered fold (round 11, ADVICE r10 item 1 — the
-    Flink-CEP buffering rule, which sorts out-of-order elements up to
-    the watermark before the NFA sees them): arriving events go into
-    a per-key buffer, and only events the watermark has passed
-    (ts_ms <= wm_ms) are folded into the run structure — in full
-    (ts, event_id) event-time order across ALL batches, not just
-    within one. The previous handler folded each micro-batch
-    immediately in arrival order, so a late-but-within-watermark
-    event arriving in a later batch would have been appended AFTER
-    newer events and corrupted the run structure. A candidate found
-    during the fold emits immediately: its purchase anchor folded, so
-    the watermark already passed it (the same ``anchor_ms <= wm_ms``
-    emission boundary the previous pending-buffer form enforced via
-    timers, and the boundary the oracle's filter encodes). The only
-    residual ordering hazard is an exact-millisecond tie ACROSS
-    batches — Spark's drop contract is ``ts < wm``, so an event at
-    exactly the watermark may arrive after the fold crossed it —
-    strictly narrower than the old arrival-order hazard.
-
-    The event-time timer is armed at the earliest buffered event
-    (strict > in Spark, hence the -1), so held events fold once a
-    later batch advances the watermark even if the key receives no
-    more data. State is never removed mid-stream: the run window must
-    survive a batch in which the key is silent (the old handler
-    dropped it after a fully-drained timeout — a run straddling that
-    boundary would have restarted). Bounded replays end with the
-    buffer holding only events inside the watermark delay, which the
-    final watermark never passes — exactly the rows the oracle's
-    closed-before-final-watermark filter excludes. A production
-    deployment would add an idle-key TTL on top, as Flink does with
-    state TTL.
-    """
-    if state.exists:
-        (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
-         b_id, b_us, b_cls, b_nul) = state.get
-        buf = [
-            (int(u), int(i), None if n else c)
-            for u, i, c, n in zip(b_us, b_id, b_cls, b_nul)
-        ]
-    else:
-        r1c = r2c = cc = None
-        r1l = r1s = r2l = r2s = cl = cs = None
-        buf = []
-    wm_ms = state.getCurrentWatermarkMs()
-    if not state.hasTimedOut:
-        for chunk in pdfs:
-            for ts, eid, cls in zip(
-                chunk["ts"], chunk["event_id"], chunk["event_type"]
-            ):
-                buf.append(
-                    (int(ts.value) // 1_000, int(eid),
-                     None if pd.isna(cls) else cls)
-                )
-    ready = sorted(
-        (e for e in buf if e[0] // 1000 <= wm_ms),
-        key=lambda e: (e[0], e[1]),
-    )
-    hold = [e for e in buf if e[0] // 1000 > wm_ms]
-    out = []
-    for us, eid, cls in ready:
-        # cur_len is the open-run flag: a NULL class is a legitimate
-        # run of its own (cur_cls NULL + open), distinct from "no run
-        # yet" (cur_len NULL).
-        if cl is not None and cls == cc:
-            cl += 1
-            continue
-        # class change: close the current run, shift the 3-slot
-        # window, open the new run
-        if cl is not None:
-            r1c, r1l, r1s = r2c, r2l, r2s
-            r2c, r2l, r2s = cc, cl, cs
-        if (
-            cls == "purchase"
-            and r2c == "click" and r2l is not None
-            and 1 <= r2l <= 3
-            and r1c == "view"
-            and us <= r1s + _PMR_WITHIN_US
-        ):
-            out.append((key[0], int(eid), int(r1l), int(r2l),
-                        int(r1s), us))
-        cc, cl, cs = cls, 1, us
-    state.update(
-        (r1c, r1l, r1s, r2c, r2l, r2s, cc, cl, cs,
-         [e[1] for e in hold],
-         [e[0] for e in hold],
-         ["" if e[2] is None else e[2] for e in hold],
-         [1 if e[2] is None else 0 for e in hold])
-    )
-    if hold:
-        state.setTimeoutTimestamp(
-            max(min(e[0] for e in hold) // 1000 - 1, wm_ms + 1)
-        )
-    yield pd.DataFrame(
-        {
-            "user_id": [r[0] for r in out],
-            "purchase_event": [r[1] for r in out],
-            "n_views": [r[2] for r in out],
-            "n_clicks": [r[3] for r in out],
-            "pattern_start_us": [r[4] for r in out],
-            "pattern_end_us": [r[5] for r in out],
-        }
-    )
-
-
-@query(
-    "pattern_match_recognize_stream",
-    oracle="""
-    WITH ordered AS (
-      SELECT user_id, ts, event_id, event_type,
-             ROW_NUMBER() OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-             ROW_NUMBER() OVER (
-               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
-      FROM events
-    ), runs AS (
-      SELECT user_id, event_type,
-             MIN(ts) AS run_start, COUNT(*) AS run_len,
-             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id
-      FROM ordered
-      GROUP BY user_id, event_type, rn - rn_t
-    ), seq AS (
-      SELECT user_id, event_type, run_start, run_len, first_id,
-             LAG(event_type, 1) OVER w AS c1, LAG(run_len, 1) OVER w AS l1,
-             LAG(event_type, 2) OVER w AS c2, LAG(run_len, 2) OVER w AS l2,
-             LAG(run_start, 2) OVER w AS s2
-      FROM runs
-      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
-    )
-    SELECT user_id,
-           first_id AS purchase_event,
-           CAST(l2 AS BIGINT) AS n_views,
-           CAST(l1 AS BIGINT) AS n_clicks,
-           epoch_us(s2) AS pattern_start_us,
-           epoch_us(run_start) AS pattern_end_us
-    FROM seq
-    WHERE event_type = 'purchase'
-      AND c1 = 'click' AND l1 BETWEEN 1 AND 3
-      AND c2 = 'view'
-      AND run_start <= s2 + INTERVAL 24 HOUR
-      AND epoch_us(run_start) // 1000
-          <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
-    """,
-)
-def pattern_match_recognize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of the generic-CEP showcase: the SAME pattern
-    spec as pattern_match_recognize (``PATTERN (V+ C{1,3} P+)`` within
-    24 h, maximal-run semantics — operators/cep.py) detected
-    INCREMENTALLY with keyed state — Flink CEP's native mode, which
-    Spark has no built-in operator for (window functions are
-    unsupported on streams), so this is applyInPandasWithState running
-    the run-structure automaton the greedy strategy compiles to.
-
-    Per key the state holds a 3-slot run window (the two most recent
-    CLOSED runs + the current run) plus a watermark buffer of not-yet-
-    folded events (array-typed state columns): events fold into the
-    run structure only once the watermark passes them, in full
-    event-time order across batches (Flink CEP's buffering rule —
-    see the ``_pmr_recognize`` docstring). A candidate is born the
-    instant a purchase run OPENS after a view run and a 1..3-click
-    run (both closed by construction at that instant — strict
-    contiguity means nothing can extend them afterwards) and emits at
-    that same fold, because the watermark has necessarily passed its
-    anchor by then (Flink CEP's emission rule). Candidates the final
-    watermark never reaches stay unemitted, so the bounded-replay
-    emission set is deterministic: the batch oracle plus the
-    watermark filter, compared at the millisecond the watermark
-    actually carries (Spark tracks event-time max in ms — both sides
-    floor µs to ms; the session-timeout twin pins the same
-    convention).
-
-    Scale: state per key is O(pattern length) for the run window plus
-    O(events inside the watermark delay) for the buffer — the same
-    bound Flink CEP's event-time NFA keeps (it too buffers
-    out-of-order elements until the watermark); with the 10-minute
-    delay here that is minutes of one key's events, not window state.
-    """
-    ev = (
-        _events_stream(spark, sf_dir)
-        .withWatermark("ts", "10 minutes")
-        .select("user_id", "ts", "event_id", "event_type")
-    )
-    result = ev.groupBy("user_id").applyInPandasWithState(
-        _pmr_recognize,
-        outputStructType=_PMR_OUT_SCHEMA,
-        stateStructType=_PMR_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
-    return run_to_memory(spark, result, mode="append")
+# The streaming CEP automaton lives in cep_stream.py since round 12:
+# the round-11 hardwired V+ C{1,3} P+ handler (formerly _pmr_recognize
+# here) generalized into compile_stream, which compiles any
+# greedy-strategy Pattern spec from operators/cep.py into the same
+# watermark-buffered fold. pattern_match_recognize_stream and
+# pattern_match_alternation_stream are registered there.
 
 
 @query(

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pandas as pd
 import pyspark.sql.functions as F
 import pytest
 
@@ -693,41 +694,77 @@ def test_tws_registration_tracks_protobuf_presence(spark):
     )
 
 
-def test_pattern_match_recognize_stream_parity(spark, max_ts):
-    """Streaming CEP twin: the incremental automaton must emit
-    EXACTLY the batch compiler's matches whose anchor the final
+def _us(iso: str) -> int:
+    return int(
+        dt.datetime.fromisoformat(iso)
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+        * 1e6
+    )
+
+
+def _cep_stream_cases():
+    """(stream_key, batch_key, measure columns, Pattern) for the two
+    compiled streaming CEP keys — the multi-batch and parity tests
+    sweep both, so alternation's canonical relabel is exercised
+    through the REAL compiled handler, not just the bounded one-batch
+    replay."""
+    from flink_large_window_spark.operators.cep import Pattern, Step
+
+    return [
+        (
+            "pattern_match_recognize_stream",
+            "pattern_match_recognize",
+            ("n_views", "n_clicks"),
+            Pattern(
+                steps=(
+                    Step("views", "view", 1, None),
+                    Step("clicks", "click", 1, 3),
+                    Step("purchase", "purchase", 1, None),
+                ),
+                within_hours=24,
+            ),
+        ),
+        (
+            "pattern_match_alternation_stream",
+            "pattern_match_alternation",
+            ("n_eng",),
+            Pattern(
+                steps=(
+                    Step("eng", ("view", "click"), 1, None),
+                    Step("purchase", "purchase", 1, None),
+                ),
+                within_hours=24,
+            ),
+        ),
+    ]
+
+
+@pytest.mark.parametrize("case", range(2))
+def test_pattern_stream_parity(spark, max_ts, case):
+    """Streaming CEP twins: the compiled incremental automaton must
+    emit EXACTLY the batch compiler's matches whose anchor the final
     watermark passed (at the millisecond the watermark carries), and
     nothing else — the strongest parity form (equality, not just the
     subset pair), because a candidate is fully determined the moment
-    its purchase run opens."""
+    its anchor run opens."""
     from flink_large_window_spark.registry import REGISTRY
 
-    def us(iso: str) -> int:
-        return int(
-            dt.datetime.fromisoformat(iso)
-            .replace(tzinfo=dt.timezone.utc)
-            .timestamp()
-            * 1e6
-        )
-
+    stream_key, batch_key, measures, _ = _cep_stream_cases()[case]
     batch = {
-        (
-            r["user_id"], r["purchase_event"], r["n_views"], r["n_clicks"],
-            us(r["pattern_start"]), us(r["pattern_end"]),
-        )
-        for r in REGISTRY["pattern_match_recognize"](spark, SF_SMOKE).collect()
+        (r["user_id"], r["purchase_event"])
+        + tuple(r[m] for m in measures)
+        + (_us(r["pattern_start"]), _us(r["pattern_end"]))
+        for r in REGISTRY[batch_key](spark, SF_SMOKE).collect()
     }
     stream = {
-        (
-            r["user_id"], r["purchase_event"], r["n_views"], r["n_clicks"],
-            r["pattern_start_us"], r["pattern_end_us"],
-        )
-        for r in REGISTRY["pattern_match_recognize_stream"](
-            spark, SF_SMOKE
-        ).collect()
+        (r["user_id"], r["purchase_event"])
+        + tuple(r[m] for m in measures)
+        + (r["pattern_start_us"], r["pattern_end_us"])
+        for r in REGISTRY[stream_key](spark, SF_SMOKE).collect()
     }
-    wm_ms = us((max_ts.replace(tzinfo=None) - WM).isoformat(sep=" ")) // 1000
-    expected = {r for r in batch if r[5] // 1000 <= wm_ms}
+    wm_ms = _us((max_ts.replace(tzinfo=None) - WM).isoformat(sep=" ")) // 1000
+    expected = {r for r in batch if r[-1] // 1000 <= wm_ms}
     assert stream == expected, (
         f"extra: {sorted(stream - expected)[:3]} "
         f"missing: {sorted(expected - stream)[:3]}"
@@ -735,38 +772,71 @@ def test_pattern_match_recognize_stream_parity(spark, max_ts):
     assert stream, "no matches emitted — timers never fired"
 
 
+def _run_compiled_split_stream(spark, d, pat):
+    """Replay part_*.parquet files in `d` one per micro-batch through
+    the compiled automaton for `pat` — the same pipeline
+    cep_stream.pattern_stream builds, pointed at a split directory."""
+    from flink_large_window_spark.operators.cep import (
+        canonicalize_alternation,
+    )
+    from flink_large_window_spark.streaming.cep_stream import (
+        compile_stream,
+    )
+    from flink_large_window_spark.streaming.streams import run_to_memory
+    from flink_large_window_spark.tables import prep
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    prep(spark)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = (
+        stream.withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    if any(len(s.clses()) > 1 for s in pat.steps):
+        ev, pat = canonicalize_alternation(ev, pat)
+    handler, out_schema, state_schema = compile_stream(pat)
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        handler,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")
+
+
 @pytest.mark.parametrize("n_files", [2, 3])
-def test_pattern_match_recognize_stream_multibatch(
-    spark, max_ts, tmp_path, n_files
-):
-    """Cross-batch state continuation: the fixture replay is a single
-    micro-batch (one file), so this test splits events into N files
-    by event time and replays them as N batches (maxFilesPerTrigger=1,
-    modification order = time order). Runs that straddle a file
-    boundary must continue across batches, earlier batches' buffered
-    events must fold once a later batch advances the watermark, and
-    the final emission set must STILL equal the watermark-filtered
-    batch oracle. The 3-way split additionally exercises keys that go
-    SILENT for a whole middle batch while holding run/buffer state —
-    their mid-stream timeout must fold and re-arm without dropping the
-    run window (the round-11 handler keeps state alive mid-stream;
-    the old pending-buffer handler removed it after a fully-drained
-    timeout, which would have restarted a straddling run)."""
+@pytest.mark.parametrize("case", range(2))
+def test_pattern_stream_multibatch(spark, max_ts, tmp_path, n_files, case):
+    """Cross-batch state continuation for the COMPILED automaton: the
+    fixture replay is a single micro-batch (one file), so this test
+    splits events into N files by event time and replays them as N
+    batches (maxFilesPerTrigger=1, modification order = time order).
+    Runs that straddle a file boundary must continue across batches,
+    earlier batches' buffered events must fold once a later batch
+    advances the watermark, and the final emission set must STILL
+    equal the watermark-filtered batch oracle. The 3-way split
+    additionally exercises keys that go SILENT for a whole middle
+    batch while holding run/buffer state — their mid-stream timeout
+    must fold and re-arm without dropping the run window. Swept over
+    BOTH registered patterns, so alternation + ranged quantifiers run
+    the generic fold under real multi-batch replay (round 12 —
+    VERDICT r11 directive 1's done-criterion)."""
     import os
     import time as _time
 
-    import pandas as pd
     import pyarrow.parquet as pq
 
     from flink_large_window_spark.registry import REGISTRY
-    from flink_large_window_spark.streaming.streams import (
-        _PMR_OUT_SCHEMA,
-        _PMR_STATE_SCHEMA,
-        _pmr_recognize,
-        run_to_memory,
-    )
-    from pyspark.sql.streaming.state import GroupStateTimeout
 
+    stream_key, batch_key, measures, pat = _cep_stream_cases()[case]
     src = os.path.join(SF_SMOKE, "events.parquet")
     t = pq.read_table(src)
     ts_series = t["ts"].to_pandas()
@@ -788,111 +858,40 @@ def test_pattern_match_recognize_stream_multibatch(
             penult_cut = hi
         lo = hi
 
-    from flink_large_window_spark.tables import prep
-
-    prep(spark)
-    batch_schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(batch_schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "part_*.parquet")
-        .parquet(d)
-    )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.expr("timestamp_micros(ts div 1000)")
-        )
-    ev = (
-        stream.withWatermark("ts", "10 minutes")
-        .select("user_id", "ts", "event_id", "event_type")
-    )
-    result = ev.groupBy("user_id").applyInPandasWithState(
-        _pmr_recognize,
-        outputStructType=_PMR_OUT_SCHEMA,
-        stateStructType=_PMR_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
+    out = _run_compiled_split_stream(spark, d, pat)
     got = {
-        (
-            r["user_id"], r["purchase_event"], r["n_views"], r["n_clicks"],
-            r["pattern_start_us"], r["pattern_end_us"],
-        )
-        for r in run_to_memory(spark, result, mode="append").collect()
+        (r["user_id"], r["anchor_event"])
+        + tuple(r[f"n_{s.name}"] for s in pat.steps[:-1])
+        + (r["pattern_start_us"], r["pattern_end_us"])
+        for r in out.collect()
     }
-
-    def us(iso: str) -> int:
-        return int(
-            dt.datetime.fromisoformat(iso)
-            .replace(tzinfo=dt.timezone.utc)
-            .timestamp()
-            * 1e6
-        )
-
     batch = {
-        (
-            r["user_id"], r["purchase_event"], r["n_views"], r["n_clicks"],
-            us(r["pattern_start"]), us(r["pattern_end"]),
-        )
-        for r in REGISTRY["pattern_match_recognize"](spark, SF_SMOKE).collect()
+        (r["user_id"], r["purchase_event"])
+        + tuple(r[m] for m in measures)
+        + (_us(r["pattern_start"]), _us(r["pattern_end"]))
+        for r in REGISTRY[batch_key](spark, SF_SMOKE).collect()
     }
-    wm_ms = us((max_ts.replace(tzinfo=None) - WM).isoformat(sep=" ")) // 1000
-    expected = {r for r in batch if r[5] // 1000 <= wm_ms}
+    wm_ms = _us((max_ts.replace(tzinfo=None) - WM).isoformat(sep=" ")) // 1000
+    expected = {r for r in batch if r[-1] // 1000 <= wm_ms}
     assert got == expected, (
         f"extra: {sorted(got - expected)[:3]} "
         f"missing: {sorted(expected - got)[:3]}"
     )
     # the split must actually exercise cross-batch emission: at least
     # one match's anchor lies before the LAST file's range (its fold
-    # happened only after a later batch advanced the watermark). For
-    # the 2-way split that is the first half; the 3-way split's first
-    # third happens to hold no anchors at sf0.001, so the bound is the
-    # penultimate cut.
+    # happened only after a later batch advanced the watermark).
     cut_us = int(penult_cut.value) // 1000  # pandas Timestamp
-    assert any(r[5] <= cut_us for r in got), (
+    assert any(r[-1] <= cut_us for r in got), (
         "split produced no pre-final-batch anchors"
     )
 
 
-def test_pattern_match_recognize_stream_out_of_order_within_watermark(
-    spark, tmp_path
-):
-    """The discriminating case for the round-11 watermark-buffered
-    fold (ADVICE r10 item 1): an event that arrives in a LATER batch
-    than a newer event of the same key, while still inside the
-    watermark. Batch 1 carries view@t0 and purchase@t2; the click@t1
-    between them arrives only in batch 2. Both batches' watermarks
-    trail every key-1 event (a key-2 tail event advances the final
-    watermark past t2), so nothing is dropped and the handler must
-    reassemble event-time order ACROSS batches: the buffered fold
-    sorts (ts, event_id) before touching the run structure and finds
-    the view→click→purchase match. The r10 handler folded batch 1
-    immediately (view run closed, purchase run open) and would have
-    appended the late click AFTER the purchase — zero matches."""
+def _write_batches(tmp_path, *batches):
     import os
     import time as _time
 
     import pyarrow as pa
     import pyarrow.parquet as pq
-
-    from flink_large_window_spark.streaming.streams import (
-        _PMR_OUT_SCHEMA,
-        _PMR_STATE_SCHEMA,
-        _pmr_recognize,
-        run_to_memory,
-    )
-    from flink_large_window_spark.tables import prep
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
-
-    def row(uid, minutes, eid, cls):
-        return {
-            "user_id": uid,
-            "ts": t0 + dt.timedelta(minutes=minutes),
-            "event_id": eid,
-            "event_type": cls,
-        }
 
     schema = pa.schema(
         [
@@ -902,40 +901,123 @@ def test_pattern_match_recognize_stream_out_of_order_within_watermark(
             pa.field("event_type", pa.string()),
         ]
     )
-    batch1 = [row(1, 0, 0, "view"), row(1, 2, 2, "purchase")]
+    d = str(tmp_path)
+    for i, batch in enumerate(batches):
+        if i > 0:
+            _time.sleep(1.1)  # file source orders by modification time
+        pq.write_table(pa.Table.from_pylist(batch, schema=schema),
+                       os.path.join(d, f"part_{i:03d}.parquet"))
+    return d
+
+
+def _event_row(uid, minutes, eid, cls, t0=dt.datetime(2024, 3, 1, 12, 0, 0)):
+    return {
+        "user_id": uid,
+        "ts": t0 + dt.timedelta(minutes=minutes),
+        "event_id": eid,
+        "event_type": cls,
+    }
+
+
+def test_pattern_stream_out_of_order_within_watermark(spark, tmp_path):
+    """The discriminating case for the watermark-buffered fold (ADVICE
+    r10 item 1, now in the COMPILED automaton): an event that arrives
+    in a LATER batch than a newer event of the same key, while still
+    inside the watermark. Batch 1 carries view@t0 and purchase@t2; the
+    click@t1 between them arrives only in batch 2. Both batches'
+    watermarks trail every key-1 event (a key-2 tail event advances
+    the final watermark past t2), so nothing is dropped and the
+    handler must reassemble event-time order ACROSS batches: the
+    buffered fold sorts (ts, event_id) before touching the run
+    structure and finds the view→click→purchase match. An
+    arrival-order fold would have appended the late click AFTER the
+    purchase — zero matches."""
+    from flink_large_window_spark.operators.cep import Pattern, Step
+
+    batch1 = [_event_row(1, 0, 0, "view"), _event_row(1, 2, 2, "purchase")]
     # batch 2: the held-back click@t1 (ts BETWEEN batch 1's events —
     # legal, wm after batch 1 is t2-10min < t0) plus a key-2 tail
     # event 30 minutes later that pushes the final watermark past t2
-    batch2 = [row(1, 1, 1, "click"), row(2, 32, 3, "view")]
-    d = str(tmp_path)
-    pq.write_table(pa.Table.from_pylist(batch1, schema=schema),
-                   os.path.join(d, "part_000.parquet"))
-    _time.sleep(1.1)  # file source orders by modification time
-    pq.write_table(pa.Table.from_pylist(batch2, schema=schema),
-                   os.path.join(d, "part_001.parquet"))
-
-    prep(spark)
-    stream = (
-        spark.readStream.schema(
-            "user_id long, ts timestamp, event_id long, event_type string"
-        )
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "part_*.parquet")
-        .parquet(d)
+    batch2 = [_event_row(1, 1, 1, "click"), _event_row(2, 32, 3, "view")]
+    d = _write_batches(tmp_path, batch1, batch2)
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None),
+            Step("clicks", "click", 1, 3),
+            Step("purchase", "purchase", 1, None),
+        ),
+        within_hours=24,
     )
-    ev = (
-        stream.withWatermark("ts", "10 minutes")
-        .select("user_id", "ts", "event_id", "event_type")
-    )
-    result = ev.groupBy("user_id").applyInPandasWithState(
-        _pmr_recognize,
-        outputStructType=_PMR_OUT_SCHEMA,
-        stateStructType=_PMR_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
+    out = _run_compiled_split_stream(spark, d, pat)
     got = [
-        (r["user_id"], r["purchase_event"], r["n_views"], r["n_clicks"])
-        for r in run_to_memory(spark, result, mode="append").collect()
+        (r["user_id"], r["anchor_event"], r["n_views"], r["n_clicks"])
+        for r in out.collect()
     ]
     assert got == [(1, 2, 1, 1)], got
+
+
+def test_pattern_stream_exact_watermark_tie_folds_in_arrival_order(
+    spark, tmp_path
+):
+    """PINS the documented residual ordering hazard of the
+    watermark-buffered fold (ADVICE r11 item 3): the fold admits
+    events AT the watermark (ts_ms <= wm_ms) while Spark's late-drop
+    contract is strict (ts < wm), so an exact-millisecond tie arriving
+    in a LATER batch can still fold out of event-time order.
+
+    Construction (three batches — the tie must arrive AFTER the fold
+    crossed its millisecond, and the watermark must still equal it so
+    Spark's strict drop admits the event):
+
+    - batch 1: key-1 view@t0 + purchase@T, key-2 marker@T+10min →
+      post-batch-1 watermark is EXACTLY T; everything is buffered
+      (in-batch watermark was 0).
+    - batch 2: a key-2 marker at the SAME T+10min (watermark stays T).
+      Key 1's held-events timer fires at wm=T and the fold admits
+      view and purchase (ts <= T) — the purchase is now folded.
+    - batch 3: the click at the same millisecond T with a SMALLER
+      event_id (event-time order: click BEFORE purchase). The
+      watermark still reads T, so Spark does not drop it (drop is
+      strict <), the fold admits it (<=) — but the purchase already
+      folded, so the click lands after it: run sequence
+      view→purchase→click, zero matches, where a full-order fold
+      would find view→click→purchase.
+
+    Folding strictly (ts_ms < wm_ms) would close this at the cost of
+    breaking oracle parity at the other end: an anchor at exactly the
+    FINAL watermark millisecond would never fold (the final watermark
+    never passes itself), while the oracle's filter admits it
+    (anchor_ms <= wm_ms). The <=-fold is therefore the deliberate
+    choice; this test exists so a future edit cannot widen or
+    silently flip the tie behavior without noticing."""
+    from flink_large_window_spark.operators.cep import Pattern, Step
+
+    batch1 = [
+        _event_row(1, 0, 0, "view"),
+        _event_row(1, 2, 2, "purchase"),
+        _event_row(2, 12, 3, "view"),  # wm after batch 1 == t0+2min == T
+    ]
+    batch2 = [
+        _event_row(2, 12, 4, "view"),  # wm stays T; key-1 timer folds
+    ]
+    # the tie: same millisecond as the already-folded purchase,
+    # smaller event_id
+    batch3 = [
+        _event_row(1, 2, 1, "click"),
+    ]
+    d = _write_batches(tmp_path, batch1, batch2, batch3)
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None),
+            Step("clicks", "click", 1, 3),
+            Step("purchase", "purchase", 1, None),
+        ),
+        within_hours=24,
+    )
+    out = _run_compiled_split_stream(spark, d, pat)
+    got = [
+        (r["user_id"], r["anchor_event"]) for r in out.collect()
+    ]
+    # the purchase folded at the tie in batch 2's PRE-click fold order;
+    # the click lands after it — no match, by documented design
+    assert got == [], got
