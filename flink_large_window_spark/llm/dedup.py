@@ -1063,3 +1063,133 @@ def dedup_embed_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cent_id").applyInPandas(
         cell, schema="doc_id long, n_neardup_09 long"
     )
+
+
+SUBSTR_W = 12  # duplicated-span granularity: 12-word shingles
+
+
+@query(
+    "dedup_substring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(ws[i:i+{SUBSTR_W - 1}], ' ')) AS h
+      FROM toks, UNNEST(generate_series(1, len(ws) - {SUBSTR_W - 1})) AS t(i)
+      WHERE len(ws) >= {SUBSTR_W}
+    ), flagged AS (
+      SELECT doc_id, pos,
+             MIN(doc_id) OVER (PARTITION BY h) AS d_min,
+             MAX(doc_id) OVER (PARTITION BY h) AS d_max
+      FROM sh
+    ), dup AS (
+      SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS island
+      FROM flagged WHERE d_min <> d_max
+    )
+    SELECT doc_id,
+           CAST(MIN(pos) AS BIGINT) AS span_start,
+           CAST(MAX(pos) + {SUBSTR_W - 1} AS BIGINT) AS span_end,
+           CAST(MAX(pos) - MIN(pos) + {SUBSTR_W} AS BIGINT) AS span_tokens
+    FROM dup
+    GROUP BY doc_id, island
+    """,
+)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-SUBSTRING dedup (round 12 — VERDICT r11 directive 6): the
+    training-data curation step none of the whole-doc/LSH keys cover —
+    find spans duplicated ACROSS documents, not documents duplicated
+    wholesale (the Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better" operator class, which uses a suffix array
+    single-node; see the scale note below for the distributed
+    escalation path). Emits one row per MAXIMAL duplicated span:
+    (doc_id, span_start, span_end, span_tokens) in 1-based token
+    positions.
+
+    Method — shingle granularity, pure DataFrame ops:
+    1. tokenize lower(trim(text)) on spaces; docs shorter than
+       SUBSTR_W=12 tokens cannot hold a span and are filtered BEFORE
+       the sequence() (which would otherwise run DESCENDING on a
+       negative length — a Spark footgun worth naming).
+    2. one row per shingle position via
+       explode(transform(sequence(..), i -> struct(pos, md5(slice)))):
+       all-JVM, no Python, fan-out = tokens-per-doc.
+    3. cross-document duplication per shingle WITHOUT a self-join or
+       count-distinct: MIN(doc_id) != MAX(doc_id) over the shingle-
+       hash partition ("appears in ≥2 distinct docs" exactly, and
+       within-doc repeats alone do NOT flag — the cross-document
+       contract).
+    4. gaps-and-islands merge of flagged positions per doc (pos −
+       row_number is constant within a run) → maximal spans, the same
+       encoding the CEP runs relation uses.
+
+    Grouping/shuffling on md5(shingle) (16 bytes), never the shingle
+    text — the same narrow-shuffle rule dedup_exact documents; a
+    128-bit collision across a corpus is negligible (~n²/2¹²⁹), and
+    BOTH engines group on the same md5, so the oracle is
+    hash-function-identical, not just distributionally equal.
+
+    Fixture calibration (w=12): 1032 duplicated shingles across 500
+    docs at sf0.001, merging into cross-doc spans at every SF — the
+    planted duplicate texts make this genuinely selective.
+
+    Scale (100 TB): two shuffles — one on the shingle hash (rows =
+    total tokens; keys near-unique so combiner-friendly and skew-free
+    except for degenerate boilerplate shingles, which are exactly the
+    spans we're hunting), one on doc_id for the islands merge (rows =
+    only the FLAGGED positions, a tiny fraction). The window-over-hash
+    is a streaming aggregate per key group. This shingle-hash method
+    is the distributed stand-in for the suffix-array approach: a
+    suffix array finds duplicated spans of ANY length >= threshold,
+    while shingles quantize to w-token resolution (a duplicated span
+    of w+k tokens is found exactly; one of w-1 is missed). The
+    escalation path when sub-w resolution matters: distributed suffix
+    construction via DC3/prefix-doubling over Spark sorts — O(log n)
+    sorted shuffles — or per-partition suffix automata over
+    repartitionByRange'd shards; not needed while curation pipelines
+    standardly use 50-token windows (w here is 12 to exercise the
+    operator on fixture-sized docs).
+    """
+    prep(spark)
+    docs = table(spark, sf_dir, "documents")
+    w = SUBSTR_W
+    toks = docs.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), " ").alias("ws"),
+    ).filter(F.size("ws") >= w)
+    sh = toks.select(
+        "doc_id",
+        F.expr(
+            f"explode(transform(sequence(1, size(ws) - {w - 1}), "
+            f"i -> struct(i AS pos, "
+            f"md5(array_join(slice(ws, i, {w}), ' ')) AS h)))"
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    w_h = Window.partitionBy("h")
+    flagged = sh.select(
+        "doc_id",
+        "pos",
+        (
+            F.min("doc_id").over(w_h) != F.max("doc_id").over(w_h)
+        ).alias("is_dup"),
+    ).filter("is_dup")
+    w_d = Window.partitionBy("doc_id").orderBy("pos")
+    islands = flagged.select(
+        "doc_id",
+        "pos",
+        (F.col("pos") - F.row_number().over(w_d)).alias("island"),
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (w - 1)).cast("long").alias("span_end"),
+            (F.max("pos") - F.min("pos") + w).cast("long").alias(
+                "span_tokens"
+            ),
+        )
+        .drop("island")
+    )

@@ -464,3 +464,73 @@ def test_ivf_quantizer_degenerate_head(spark, tmp_path_factory):
         .collect()
     )
     assert counts[0]["count"] == len(mat)  # one row per vector survives
+
+
+def test_dedup_substring_planted_spans(spark):
+    """dedup_substring (round 12): planted-corpus semantics the fixture
+    oracle check can't discriminate — (a) a span shared by two docs is
+    found in BOTH with exact 1-based token bounds and maximal merge,
+    (b) a shingle repeated WITHIN one doc only does not flag (the
+    cross-document contract), (c) docs shorter than the shingle width
+    are silently skipped, not errors. Both engines compared
+    cell-for-cell on the planted corpus."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark.llm.dedup import SUBSTR_W
+    from flink_large_window_spark.registry import ORACLES, REGISTRY
+    from flink_large_window_spark.scratch import scratch_dir
+
+    w = SUBSTR_W
+    shared = " ".join(f"s{i}" for i in range(w + 2))  # w+2-token span
+    filler_a = " ".join(f"a{i}" for i in range(5))
+    filler_b = " ".join(f"b{i}" for i in range(3))
+    # doc 0: 5 filler + shared       → span at tokens 6..6+w+1
+    # doc 1: shared + 3 filler       → span at tokens 1..w+2
+    # doc 2: a w-shingle repeated TWICE within the same doc, nowhere
+    #        else — must not flag
+    # doc 3: shorter than w tokens — filtered, no error
+    rep = " ".join(f"r{i}" for i in range(w))
+    texts = [
+        f"{filler_a} {shared}",
+        f"{shared} {filler_b}",
+        f"{rep} {rep}",
+        "tiny doc",
+    ]
+    d = scratch_dir("flws_substr_sf_")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["synthetic"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    rows = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in REGISTRY["dedup_substring"](spark, d).collect()
+    }
+    want = {
+        (0, 6, 5 + w + 2, w + 2),  # after 5 filler tokens
+        (1, 1, w + 2, w + 2),      # at the start
+    }
+    assert rows == want, rows
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    oracle = {
+        (int(a), int(b), int(c), int(t))
+        for a, b, c, t in con.execute(ORACLES["dedup_substring"]).fetchall()
+    }
+    assert oracle == rows, "Spark and DuckDB disagree on the planted corpus"
