@@ -781,6 +781,170 @@ def stateful_session_timeout_stream(spark: SparkSession, sf_dir: str) -> DataFra
     return run_to_memory(spark, result, mode="append")
 
 
+#: Idle-key state TTL (Flink ``StateTtlConfig`` analogue): state not
+#: written to for this long (event time) is expired and its contents
+#: DISCARDED — the accounting row below records the eviction, it does
+#: not "emit the session" (that is stateful_session_timeout_stream's
+#: contract; TTL'd state is garbage-collected, not flushed).
+_STATE_TTL_US = 60 * 60 * 1_000_000
+
+_TTL_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("evict_at_us", LongType()),
+        StructField("last_seen_us", LongType()),
+        StructField("n_discarded", LongType()),
+    ]
+)
+_TTL_STATE_SCHEMA = StructType(
+    [
+        StructField("first", LongType()),
+        StructField("last", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def make_ttl_machine():
+    """Build the keyed TTL state machine as a CLOSURE (cloudpickle
+    ships it by value — workers never import this package; same rule
+    as stateful_count_session_stream). Factory is module-level so the
+    multi-batch pytest replays crafted micro-batches through the exact
+    shipped handler. Semantics in stateful_session_ttl_stream's
+    docstring."""
+    ttl_us = _STATE_TTL_US
+
+    def ttl_machine(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        out = []
+        if state.hasTimedOut:
+            first, last, n = state.get
+            out.append((key[0], last + ttl_us, last, n))
+            state.remove()
+        else:
+            first, last, n = state.get if state.exists else (None, None, 0)
+            whole = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            if len(whole):
+                # One whole-batch sort: chunk iteration carries no
+                # cross-chunk order guarantee.
+                whole = whole.sort_values(["ts", "event_id"])
+                for ts in whole["ts"]:
+                    ts_us = int(ts.value) // 1_000
+                    if last is not None and ts_us - last >= ttl_us:
+                        # lazy expiry on access (last_write + ttl <= now)
+                        out.append((key[0], last + ttl_us, last, n))
+                        first, last, n = None, None, 0
+                    if first is None:
+                        first, last, n = ts_us, ts_us, 1
+                    else:
+                        last, n = max(last, ts_us), n + 1
+            if first is not None:
+                state.update((first, last, n))
+                state.setTimeoutTimestamp((last + ttl_us) // 1_000)
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "evict_at_us": [r[1] for r in out],
+                "last_seen_us": [r[2] for r in out],
+                "n_discarded": [r[3] for r in out],
+            }
+        )
+
+    return ttl_machine
+
+
+@query(
+    "stateful_session_ttl_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gap_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, event_id, us,
+             CASE WHEN gap_us IS NULL OR gap_us >= 3600000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), gens AS (
+      SELECT user_id, us,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS gen
+      FROM marked
+    ), agg AS (
+      SELECT user_id, gen,
+             MAX(us) AS last_seen_us,
+             COUNT(*) AS n_discarded
+      FROM gens GROUP BY user_id, gen
+    ), latest AS (
+      SELECT user_id, MAX(gen) AS maxg FROM agg GROUP BY user_id
+    )
+    SELECT a.user_id,
+           a.last_seen_us + 3600000000 AS evict_at_us,
+           a.last_seen_us, a.n_discarded
+    FROM agg a JOIN latest l USING (user_id)
+    WHERE a.gen < l.maxg
+       OR a.last_seen_us + 3600000000
+          < epoch_us((SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE)
+    """,
+)
+def stateful_session_ttl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed-state TTL with idle-key eviction — Flink's
+    ``StateTtlConfig`` (OnCreateAndWrite update type, 1h TTL) mapped
+    onto event-time timers (VERDICT r11 item 7 / ADVICE r11 item 4).
+
+    Per user the state is a running (first_seen, last_seen, n_events)
+    blob refreshed by every write. Two expiry paths, both discarding
+    the blob rather than emitting it as a result:
+
+    - **Timer eviction**: after each batch the handler arms an
+      event-time timer at last_seen + TTL; when the watermark passes
+      it, the state is removed with no new input — the idle-key
+      garbage collection Flink runs in the background.
+    - **Lazy eviction on access**: an event arriving ≥ TTL after
+      last_seen finds the state already past its deadline (the timer
+      just hasn't fired because the watermark lags the data). Flink's
+      TTL reader treats ``last_write + ttl <= now`` as expired on
+      access; the handler mirrors that, dropping the old blob and
+      starting a fresh generation from the new event.
+
+    Output is the state-size ACCOUNTING stream (the way
+    stream_late_drop pins drop counts): one row per evicted blob —
+    (user_id, evict_at_us = last_seen + TTL, last_seen_us,
+    n_discarded). ``evict_at_us`` is the deterministic expiry instant,
+    not the discovery time, so both expiry paths emit identical rows
+    and the emission set is SQL-derivable: every idle gap ≥ TTL in the
+    per-key event sequence evicts one blob, plus the final blob iff
+    the terminal watermark passed its deadline. State still live at
+    replay end is never emitted (tests/test_streaming_parity.py pins
+    that evicted keys emit nothing after their TTL and that a
+    post-eviction generation restarts its count from zero — the state
+    was really dropped, not carried).
+
+    At 100 TB this is the pattern that keeps a long-running keyed
+    aggregation's state proportional to ACTIVE keys rather than
+    ever-seen keys: per key the state is O(1), and the timer bounds
+    its lifetime to TTL past the last write.
+    """
+    ev = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "event_id")
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        make_ttl_machine(),
+        outputStructType=_TTL_OUT_SCHEMA,
+        stateStructType=_TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")
+
+
 # The streaming CEP automaton lives in cep_stream.py since round 12:
 # the round-11 hardwired V+ C{1,3} P+ handler (formerly _pmr_recognize
 # here) generalized into compile_stream, which compiles any

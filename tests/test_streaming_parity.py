@@ -1021,3 +1021,92 @@ def test_pattern_stream_exact_watermark_tie_folds_in_arrival_order(
     # the purchase folded at the tie in batch 2's PRE-click fold order;
     # the click lands after it — no match, by documented design
     assert got == [], got
+
+
+def test_state_ttl_evicts_idle_keys(spark, tmp_path):
+    """State-size accounting for the idle-key TTL handler (VERDICT r11
+    item 7 / ADVICE r11 item 4): a key idle past the 1h TTL has its
+    state DROPPED — the eviction row records exactly what was
+    discarded, an evicted key emits nothing further until new data
+    arrives, and the post-eviction generation restarts its count from
+    zero (the state was really removed, not carried).
+
+    Crafted three-batch replay (t0 = 2024-03-01 12:00):
+
+    - batch 1: user 1 at t0, t0+5m, t0+10m; user 2 at t0.
+    - batch 2: user 2 at t0+90m → watermark t0+80m. User 1's timer
+      (deadline t0+70m) fires in the trailing no-data batch: timer
+      eviction (n=3) with NO user-1 input in the batch.
+    - batch 3: user 1 at t0+180m, t0+185m (a fresh generation); user 2
+      at t0+300m → final watermark t0+290m > t0+185m+60m: the second
+      user-1 blob evicts with n=2 — not 5.
+
+    User 2's gaps (90m, 210m) are both ≥ TTL, so its first two blobs
+    evict lazily on access; its final blob (last=t0+300m) is still
+    live at replay end and must NOT emit.
+    """
+    from flink_large_window_spark.streaming.streams import (
+        _TTL_OUT_SCHEMA,
+        _TTL_STATE_SCHEMA,
+        make_ttl_machine,
+        run_to_memory,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    batch1 = [
+        _event_row(1, 0, 0, "view"),
+        _event_row(1, 5, 1, "view"),
+        _event_row(1, 10, 2, "view"),
+        _event_row(2, 0, 3, "view"),
+    ]
+    batch2 = [_event_row(2, 90, 4, "view")]
+    batch3 = [
+        _event_row(1, 180, 5, "view"),
+        _event_row(1, 185, 6, "view"),
+        _event_row(2, 300, 7, "view"),
+    ]
+    d = _write_batches(tmp_path, batch1, batch2, batch3)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = stream.withWatermark("ts", "10 minutes").select(
+        "user_id", "ts", "event_id"
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        make_ttl_machine(),
+        outputStructType=_TTL_OUT_SCHEMA,
+        stateStructType=_TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = run_to_memory(spark, result, mode="append")
+    got = {
+        (r["user_id"], r["evict_at_us"], r["last_seen_us"], r["n_discarded"])
+        for r in out.collect()
+    }
+
+    t0_us = int(
+        dt.datetime(2024, 3, 1, 12, 0, 0)
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+        * 1e6
+    )
+    m = 60 * 1_000_000
+    expected = {
+        # user 1 gen 1: timer eviction after batch 2 — n=3
+        (1, t0_us + 70 * m, t0_us + 10 * m, 3),
+        # user 1 gen 2: timer eviction after batch 3 — n=2 (NOT 5)
+        (1, t0_us + 245 * m, t0_us + 185 * m, 2),
+        # user 2: lazy evictions on each ≥TTL access gap
+        (2, t0_us + 60 * m, t0_us, 1),
+        (2, t0_us + 150 * m, t0_us + 90 * m, 1),
+        # user 2's final blob (last=t0+300m) is live — never emitted
+    }
+    assert got == expected, (
+        f"extra: {sorted(got - expected)} missing: {sorted(expected - got)}"
+    )
