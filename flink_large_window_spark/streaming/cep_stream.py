@@ -43,15 +43,19 @@ How the compiled automaton works (per key):
 
 Compilable subset (validated by :func:`compile_stream`): any
 greedy-strategy pattern — ranged/unbounded quantifiers, alternation,
-NULL-safe runs, within bounds. Rejected with a clear error, each for
-a semantic (not implementation) reason:
+NULL-safe runs, within bounds, and (round 12) iterative-condition
+guards: non-final guards with any aggregate (their runs are CLOSED at
+candidacy) and final-step guards aggregating with ``first`` (the one
+anchor aggregate fixed the instant the run opens). Guarded patterns
+carry the five per-run value aggregates in the extended state schema
+(:data:`STREAM_STATE_SCHEMA_VAL`); unguarded patterns keep the base
+schema byte-identical. Rejected with a clear error, each for a
+semantic (not implementation) reason:
 
-- **guards on the final step**: their aggregates range over the
-  MAXIMAL anchor run, which is unknowable at incremental emission
-  time (the run is still open) — emitting early would change the
-  value the batch oracle computes. Non-final guards would be sound
-  (closed runs) but are deferred until a use case needs them.
-- **exact=True on the final step**: same maximal-run dependency.
+- **final-step guards with any aggregate but 'first'** and
+  **exact=True on the final step**: both range over the MAXIMAL
+  anchor run, which is still open at incremental emission time —
+  emitting early would change the value the batch oracle computes.
 - **optional steps / skip strategies**: expansion-based in batch;
   a streaming twin would union automata — out of scope here.
 
@@ -74,13 +78,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
     StructType,
 )
 
-from ..operators.cep import Pattern, Step, canonicalize_alternation
+from ..operators.cep import (
+    GUARD_CMPS,
+    Guard,
+    Pattern,
+    Step,
+    canonicalize_alternation,
+)
 from ..registry import query
 from .streams import _events_stream, run_to_memory
 
@@ -108,12 +119,44 @@ STREAM_STATE_SCHEMA = StructType(
 )
 
 
+#: Extension of STREAM_STATE_SCHEMA for GUARDED patterns: per-run
+#: value aggregates (first/last/min/max/sum — the same five
+#: runs_relation computes) for the closed-run window, the open run,
+#: and the watermark buffer's raw values. NULL values are NaN-encoded
+#: inside the double arrays (array elements survive the state store
+#: either way; NaN is the unambiguous in-band choice because a real
+#: NaN compares false in every guard exactly like SQL NULL).
+#: Unguarded patterns keep the base schema byte-identical — the two
+#: shipped round-11/12 stream keys' state layout does not change.
+STREAM_STATE_SCHEMA_VAL = StructType(
+    list(STREAM_STATE_SCHEMA.fields)
+    + [
+        StructField("win_vf", ArrayType(DoubleType())),
+        StructField("win_vl", ArrayType(DoubleType())),
+        StructField("win_vmn", ArrayType(DoubleType())),
+        StructField("win_vmx", ArrayType(DoubleType())),
+        StructField("win_vsm", ArrayType(DoubleType())),
+        StructField("cur_vf", DoubleType()),
+        StructField("cur_vl", DoubleType()),
+        StructField("cur_vmn", DoubleType()),
+        StructField("cur_vmx", DoubleType()),
+        StructField("cur_vsm", DoubleType()),
+        StructField("buf_val", ArrayType(DoubleType())),
+    ]
+)
+
+#: Guard aggregate -> slot in the per-run value-aggregate tuple.
+_VA_SLOT = {"first": 0, "last": 1, "min": 2, "max": 3, "sum": 4}
+
+
 def stream_out_schema(pat: Pattern) -> StructType:
     """Emission schema for a compiled pattern: the key, the anchor
     run's first event id, one consumed-count measure per NON-final
     step (the final step's maximal length is unknowable at incremental
     emission time — the batch keys built on this twin likewise emit
-    measures for steps[:-1] only), and the pattern's start/end
+    measures for steps[:-1] only), for each guarded step the guard's
+    two sides as ``g_<name>`` / ``g_<name>_ref`` (mirroring
+    compile_greedy's emission), and the pattern's start/end
     timestamps in epoch µs."""
     fields = [
         StructField(pat.key, LongType()),
@@ -122,6 +165,10 @@ def stream_out_schema(pat: Pattern) -> StructType:
     fields += [
         StructField(f"n_{s.name}", LongType()) for s in pat.steps[:-1]
     ]
+    for s in pat.steps:
+        if s.guard is not None:
+            fields.append(StructField(f"g_{s.name}", DoubleType()))
+            fields.append(StructField(f"g_{s.name}_ref", DoubleType()))
     fields += [
         StructField("pattern_start_us", LongType()),
         StructField("pattern_end_us", LongType()),
@@ -147,16 +194,20 @@ def compile_stream(pat: Pattern):
         )
     if pat.skip != "past_last":
         raise ValueError("streaming CEP supports skip='past_last' only")
-    if last.guard is not None or last.exact:
+    if last.exact:
         raise ValueError(
-            "streaming CEP cannot evaluate final-step guard/exact "
-            "semantics: both depend on the MAXIMAL anchor run, which "
-            "is still open at incremental emission time"
+            "streaming CEP cannot evaluate final-step exact semantics:"
+            " it depends on the MAXIMAL anchor run, which is still"
+            " open at incremental emission time"
         )
-    if any(s.guard is not None for s in pat.steps):
+    if last.guard is not None and last.guard.agg != "first":
         raise ValueError(
-            "streaming CEP does not compile guards yet (non-final "
-            "guards would be sound over closed runs; deferred)"
+            "a final-step guard must aggregate with 'first': every "
+            "other aggregate ranges over the MAXIMAL anchor run, "
+            "which is still open at incremental emission time — "
+            "'first' is fixed the moment the anchor run opens "
+            "(round 12; non-final guards may use any aggregate, "
+            "their runs are closed)"
         )
     if any(len(s.clses()) > 1 for s in pat.steps):
         raise ValueError(
@@ -180,37 +231,96 @@ def compile_stream(pat: Pattern):
     out_schema = stream_out_schema(pat)
     out_cols = [f.name for f in out_schema.fields]
     ts_col, id_col, cls_col = pat.ts, pat.order_id, pat.cls_col
+    # Iterative conditions (round 12): plain-python guard spec —
+    # (this step index, this agg slot, cmp, ref step index, ref agg
+    # slot, factor), step index k_closed = the anchor (open run).
+    # Guards are evaluated at candidacy and their sides re-derived at
+    # emit from win/cur (NOT cached in state): the closed window
+    # cannot shift while the anchor run stays open, so a pend-ing
+    # match re-reads identical values even a batch later.
+    step_idx = {s.name: i for i, s in enumerate(pat.steps)}
+    guard_specs = tuple(
+        (
+            i,
+            _VA_SLOT[s.guard.agg],
+            GUARD_CMPS[s.guard.cmp],
+            step_idx[s.guard.ref_step],
+            _VA_SLOT[s.guard.ref_agg],
+            s.guard.factor,
+        )
+        for i, s in enumerate(pat.steps)
+        if s.guard is not None
+    )
+    needs_val = bool(guard_specs)
+    val_col = pat.val_col
+    state_schema = STREAM_STATE_SCHEMA_VAL if needs_val else STREAM_STATE_SCHEMA
+    nan = float("nan")
 
     def handler(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        def dec(v):  # NaN-encoded NULL back to None
+            return None if v is None or v != v else float(v)
+
         if state.exists:
-            (w_cls, w_nul, w_len, w_start,
-             cc, c_nul, cl, cs, cf, pend,
-             b_id, b_us, b_cls, b_nul) = state.get
-            win = [
-                (None if n else c, int(ln), int(st))
-                for c, n, ln, st in zip(w_cls, w_nul, w_len, w_start)
-            ]
+            if needs_val:
+                (w_cls, w_nul, w_len, w_start,
+                 cc, c_nul, cl, cs, cf, pend,
+                 b_id, b_us, b_cls, b_nul,
+                 w_vf, w_vl, w_vmn, w_vmx, w_vsm,
+                 c_vf, c_vl, c_vmn, c_vmx, c_vsm,
+                 b_val) = state.get
+                win = [
+                    (None if n else c, int(ln), int(st),
+                     (dec(vf), dec(vl), dec(mn), dec(mx), dec(sm)))
+                    for c, n, ln, st, vf, vl, mn, mx, sm in zip(
+                        w_cls, w_nul, w_len, w_start,
+                        w_vf, w_vl, w_vmn, w_vmx, w_vsm,
+                    )
+                ]
+                c_va = [dec(c_vf), dec(c_vl), dec(c_vmn),
+                        dec(c_vmx), dec(c_vsm)]
+                buf = [
+                    (int(u), int(i), None if n else c, dec(v))
+                    for u, i, c, n, v in zip(
+                        b_us, b_id, b_cls, b_nul, b_val
+                    )
+                ]
+            else:
+                (w_cls, w_nul, w_len, w_start,
+                 cc, c_nul, cl, cs, cf, pend,
+                 b_id, b_us, b_cls, b_nul) = state.get
+                win = [
+                    (None if n else c, int(ln), int(st), None)
+                    for c, n, ln, st in zip(w_cls, w_nul, w_len, w_start)
+                ]
+                c_va = None
+                buf = [
+                    (int(u), int(i), None if n else c, None)
+                    for u, i, c, n in zip(b_us, b_id, b_cls, b_nul)
+                ]
             if c_nul:
                 cc = None
-            buf = [
-                (int(u), int(i), None if n else c)
-                for u, i, c, n in zip(b_us, b_id, b_cls, b_nul)
-            ]
         else:
             win, buf = [], []
-            cc = cl = cs = cf = None
+            cc = cl = cs = cf = c_va = None
             pend = 0
         wm_ms = state.getCurrentWatermarkMs()
         if not state.hasTimedOut:
             for chunk in pdfs:
-                for ts, eid, cls in zip(
-                    chunk[ts_col], chunk[id_col], chunk[cls_col]
+                vals = (
+                    chunk[val_col]
+                    if needs_val
+                    else [None] * len(chunk)
+                )
+                for ts, eid, cls, val in zip(
+                    chunk[ts_col], chunk[id_col], chunk[cls_col], vals
                 ):
                     buf.append(
                         (int(ts.value) // 1_000, int(eid),
-                         None if pd.isna(cls) else cls)
+                         None if pd.isna(cls) else cls,
+                         None if val is None or pd.isna(val)
+                         else float(val))
                     )
         ready = sorted(
             (e for e in buf if e[0] // 1000 <= wm_ms),
@@ -219,12 +329,33 @@ def compile_stream(pat: Pattern):
         hold = [e for e in buf if e[0] // 1000 > wm_ms]
         out = []
 
+        def run_va(i: int):
+            """Value aggregates of step i's run at candidacy: closed
+            runs from the window; the anchor (i == k_closed) exposes
+            only 'first' — fixed at open (compile_stream validation
+            rejects other anchor aggregates)."""
+            if i == k_closed:
+                return (c_va[0], None, None, None, None)
+            return win[-k_closed + i][3]
+
+        def guards_ok() -> bool:
+            for ti, ta, cmp_fn, ri, ra, factor in guard_specs:
+                lhs = run_va(ti)[ta]
+                rhs = run_va(ri)[ra]
+                # None (SQL NULL; NaN-encoded in state) never matches
+                if lhs is None or rhs is None:
+                    return False
+                if not cmp_fn(lhs, rhs * factor):
+                    return False
+            return True
+
         def candidate(anchor_start_us: int) -> bool:
-            """Closed-run window vs steps[:-1] + the within bound —
-            fully determined the instant the anchor run opens."""
+            """Closed-run window vs steps[:-1] + the within bound +
+            guards — fully determined the instant the anchor run
+            opens."""
             if len(win) < k_closed:
                 return False
-            for (m_cls, m_min, m_max), (r_cls, r_len, _) in zip(
+            for (m_cls, m_min, m_max), (r_cls, r_len, _, _) in zip(
                 mids, win[-k_closed:] if k_closed else []
             ):
                 if r_cls != m_cls or r_len < m_min:
@@ -234,22 +365,34 @@ def compile_stream(pat: Pattern):
             if within_us is not None and k_closed:
                 if anchor_start_us > win[-k_closed][2] + within_us:
                     return False
-            return True
+            return not guard_specs or guards_ok()
 
         def emit() -> None:
             """Anchor run (cur) qualified: measures come from the
             closed window, which cannot shift while cur stays open."""
             row = [key[0], int(cf)]
             row += [int(r[1]) for r in win[-k_closed:]] if k_closed else []
+            for ti, ta, _cmp, ri, ra, _f in guard_specs:
+                row.append(run_va(ti)[ta])
+                row.append(run_va(ri)[ra])
             start = win[-k_closed][2] if k_closed else cs
             row += [int(start), int(cs)]
             out.append(tuple(row))
 
-        for us, eid, cls in ready:
+        for us, eid, cls, val in ready:
             # cur_len is the open-run flag: a NULL class is a
             # legitimate run of its own, distinct from "no run yet".
             if cl is not None and cls == cc:
                 cl += 1
+                if needs_val:
+                    # last = value of the run's last event (NULL
+                    # included — max_by semantics); min/max/sum skip
+                    # NULLs like their SQL counterparts
+                    c_va[1] = val
+                    if val is not None:
+                        c_va[2] = val if c_va[2] is None else min(c_va[2], val)
+                        c_va[3] = val if c_va[3] is None else max(c_va[3], val)
+                        c_va[4] = val if c_va[4] is None else c_va[4] + val
                 if pend and cl == anchor_min:
                     emit()
                     pend = 0
@@ -257,31 +400,42 @@ def compile_stream(pat: Pattern):
             # class change: close the current run, shift the window,
             # open the new run
             if cl is not None:
-                win.append((cc, cl, cs))
+                win.append((cc, cl, cs, tuple(c_va) if needs_val else None))
                 del win[: max(0, len(win) - k_closed)]
                 pend = 0
             cc, cl, cs, cf = cls, 1, us, eid
+            if needs_val:
+                c_va = [val, val, val, val, val]
             if cls == anchor_cls and candidate(us):
                 if anchor_min == 1:
                     emit()
                     pend = 0
                 else:
                     pend = 1
-        state.update(
-            (
-                ["" if r[0] is None else r[0] for r in win],
-                [1 if r[0] is None else 0 for r in win],
-                [r[1] for r in win],
-                [r[2] for r in win],
-                "" if cc is None else cc,
-                1 if (cl is not None and cc is None) else 0,
-                cl, cs, cf, pend,
-                [e[1] for e in hold],
-                [e[0] for e in hold],
-                ["" if e[2] is None else e[2] for e in hold],
-                [1 if e[2] is None else 0 for e in hold],
-            )
+        base = (
+            ["" if r[0] is None else r[0] for r in win],
+            [1 if r[0] is None else 0 for r in win],
+            [r[1] for r in win],
+            [r[2] for r in win],
+            "" if cc is None else cc,
+            1 if (cl is not None and cc is None) else 0,
+            cl, cs, cf, pend,
+            [e[1] for e in hold],
+            [e[0] for e in hold],
+            ["" if e[2] is None else e[2] for e in hold],
+            [1 if e[2] is None else 0 for e in hold],
         )
+        if needs_val:
+            def enc(v):
+                return nan if v is None else float(v)
+
+            cur = c_va if c_va is not None else (None,) * 5
+            base = base + tuple(
+                [[enc(r[3][k]) for r in win] for k in range(5)]
+                + [enc(cur[k]) for k in range(5)]
+                + [[enc(e[3]) for e in hold]]
+            )
+        state.update(base)
         if hold:
             state.setTimeoutTimestamp(
                 max(min(e[0] for e in hold) // 1000 - 1, wm_ms + 1)
@@ -290,7 +444,7 @@ def compile_stream(pat: Pattern):
             {c: [r[i] for r in out] for i, c in enumerate(out_cols)}
         )
 
-    return handler, out_schema, STREAM_STATE_SCHEMA
+    return handler, out_schema, state_schema
 
 
 def pattern_stream(
@@ -301,10 +455,15 @@ def pattern_stream(
 ) -> DataFrame:
     """events.parquet as a bounded replay → canonicalize alternation
     (row-local, streaming-safe) → compiled automaton → memory sink."""
+    cols = [pat.key, pat.ts, pat.order_id, pat.cls_col]
+    if pat.val_col is not None and any(
+        s.guard is not None for s in pat.steps
+    ):
+        cols.append(pat.val_col)
     ev = (
         _events_stream(spark, sf_dir)
         .withWatermark(pat.ts, watermark)
-        .select(pat.key, pat.ts, pat.order_id, pat.cls_col)
+        .select(*cols)
     )
     if any(len(s.clses()) > 1 for s in pat.steps):
         ev, pat = canonicalize_alternation(ev, pat)
@@ -465,6 +624,101 @@ def pattern_match_alternation_stream(
         "user_id",
         F.col("anchor_event").alias("purchase_event"),
         "n_eng",
+        "pattern_start_us",
+        "pattern_end_us",
+    )
+
+
+@query(
+    "pattern_detect_value_guard_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS run_start, COUNT(*) AS run_len,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id,
+             ARG_MIN(value, rn) AS val_first, MAX(value) AS val_max
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_start, run_len, first_id, val_first,
+             LAG(event_type, 1) OVER w AS c1, LAG(run_len, 1) OVER w AS l1,
+             LAG(run_start, 1) OVER w AS s1, LAG(val_max, 1) OVER w AS m1
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    )
+    SELECT user_id,
+           first_id AS purchase_event,
+           CAST(l1 AS BIGINT) AS n_views,
+           ROUND(val_first, 4) AS purchase_val,
+           ROUND(m1, 4) AS views_max_val,
+           epoch_us(s1) AS pattern_start_us,
+           epoch_us(run_start) AS pattern_end_us
+    FROM seq
+    WHERE event_type = 'purchase'
+      AND c1 = 'view'
+      AND val_first > m1
+      AND run_start <= s1 + INTERVAL 24 HOUR
+      AND epoch_us(run_start) // 1000
+          <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
+    """,
+)
+def pattern_detect_value_guard_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_detect_value_guard — the iterative
+    condition ([FLINK-API] ``IterativeCondition``) evaluated
+    INCREMENTALLY: ``PATTERN (V+ P+)`` within 24 h where the purchase
+    matches only if its value exceeds the max value across the
+    preceding view run (round 12, extending VERDICT r11 directives
+    1+2 into the compiled automaton).
+
+    Why this is streamable at all: the guard's reference side (max
+    over the view run) ranges over a CLOSED run — fixed the moment
+    the anchor run opens — and its anchor side aggregates with
+    'first', the one aggregate knowable at that same instant
+    (compile_stream rejects any other anchor aggregate with the
+    maximal-run explanation). The automaton therefore needs only the
+    five per-run value aggregates riding the closed-run window state
+    (STREAM_STATE_SCHEMA_VAL) — no event values are retained beyond
+    the watermark buffer, so per-key state stays O(pattern length +
+    watermark delay) exactly as the unguarded automaton.
+
+    Oracle = the batch key's SQL (same runs algebra, same guard
+    conjunction) with µs timestamps plus the ms-aligned
+    closed-before-final-watermark filter, the convention every
+    compiled stream key shares. Guard sides emit as purchase_val /
+    views_max_val (rounded 4dp both engines — the float-output rule).
+    Multi-batch parity is pinned in tests/test_streaming_parity.py
+    (the guard case joined the compiled-handler sweep).
+    """
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None),
+            Step(
+                "purchase",
+                "purchase",
+                1,
+                None,
+                guard=Guard("first", ">", "views", "max"),
+            ),
+        ),
+        within_hours=24,
+        val_col="value",
+    )
+    m = pattern_stream(spark, sf_dir, pat)
+    return m.select(
+        "user_id",
+        F.col("anchor_event").alias("purchase_event"),
+        "n_views",
+        F.round("g_purchase", 4).alias("purchase_val"),
+        F.round("g_purchase_ref", 4).alias("views_max_val"),
         "pattern_start_us",
         "pattern_end_us",
     )

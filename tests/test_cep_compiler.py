@@ -715,3 +715,50 @@ def test_horizon_rejects_quantified_or_within_pattern(spark):
             df, Pattern(steps=(Step("c", "click", 2, 2),)),
             anchor_cls="click", target_cls="purchase", hours=6, at_least=1,
         )
+
+
+def test_stream_compile_guard_validation():
+    """compile_stream (round 12): non-final guards compile with any
+    aggregate; a final-step guard compiles ONLY with 'first' (every
+    other aggregate ranges over the still-open maximal anchor run);
+    guarded patterns get the extended value-aggregate state schema
+    while unguarded patterns keep the base schema exactly."""
+    from flink_large_window_spark.streaming.cep_stream import (
+        STREAM_STATE_SCHEMA,
+        STREAM_STATE_SCHEMA_VAL,
+        compile_stream,
+    )
+
+    def pat(anchor_guard=None, mid_guard=None):
+        return Pattern(
+            steps=(
+                Step("views", "view", 1, None),
+                Step("clicks", "click", 1, 3, guard=mid_guard),
+                Step("purchase", "purchase", 1, None, guard=anchor_guard),
+            ),
+            within_hours=24,
+            val_col="value",
+        )
+
+    # unguarded: base schema, byte-identical layout
+    _, _, schema = compile_stream(pat())
+    assert schema == STREAM_STATE_SCHEMA
+    # final-step guard with 'first' compiles, extended schema
+    _, out, schema = compile_stream(
+        pat(anchor_guard=Guard("first", ">", "views", "max"))
+    )
+    assert schema == STREAM_STATE_SCHEMA_VAL
+    assert [f.name for f in out.fields] == [
+        "user_id", "anchor_event", "n_views", "n_clicks",
+        "g_purchase", "g_purchase_ref",
+        "pattern_start_us", "pattern_end_us",
+    ]
+    # non-final guard may use ANY aggregate (closed run)
+    _, _, schema = compile_stream(
+        pat(mid_guard=Guard("sum", "<=", "views", "max", factor=2.0))
+    )
+    assert schema == STREAM_STATE_SCHEMA_VAL
+    # final-step guard with a maximal-run aggregate is rejected
+    for agg in ("last", "min", "max", "sum"):
+        with pytest.raises(ValueError, match="first"):
+            compile_stream(pat(anchor_guard=Guard(agg, ">", "views", "max")))

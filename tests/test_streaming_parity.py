@@ -704,12 +704,17 @@ def _us(iso: str) -> int:
 
 
 def _cep_stream_cases():
-    """(stream_key, batch_key, measure columns, Pattern) for the two
+    """(stream_key, batch_key, measure columns, Pattern) for the
     compiled streaming CEP keys — the multi-batch and parity tests
-    sweep both, so alternation's canonical relabel is exercised
-    through the REAL compiled handler, not just the bounded one-batch
+    sweep all of them, so alternation's canonical relabel AND the
+    guarded value-aggregate state (round 12) are exercised through
+    the REAL compiled handler, not just the bounded one-batch
     replay."""
-    from flink_large_window_spark.operators.cep import Pattern, Step
+    from flink_large_window_spark.operators.cep import (
+        Guard,
+        Pattern,
+        Step,
+    )
 
     return [
         (
@@ -737,17 +742,38 @@ def _cep_stream_cases():
                 within_hours=24,
             ),
         ),
+        (
+            "pattern_detect_value_guard_stream",
+            "pattern_detect_value_guard",
+            ("n_views", "purchase_val", "views_max_val"),
+            Pattern(
+                steps=(
+                    Step("views", "view", 1, None),
+                    Step(
+                        "purchase",
+                        "purchase",
+                        1,
+                        None,
+                        guard=Guard("first", ">", "views", "max"),
+                    ),
+                ),
+                within_hours=24,
+                val_col="value",
+            ),
+        ),
     ]
 
 
-@pytest.mark.parametrize("case", range(2))
+@pytest.mark.parametrize("case", range(3))
 def test_pattern_stream_parity(spark, max_ts, case):
     """Streaming CEP twins: the compiled incremental automaton must
     emit EXACTLY the batch compiler's matches whose anchor the final
     watermark passed (at the millisecond the watermark carries), and
     nothing else — the strongest parity form (equality, not just the
     subset pair), because a candidate is fully determined the moment
-    its anchor run opens."""
+    its anchor run opens. Case 2 (round 12) runs the GUARDED pattern,
+    so the float guard sides (rounded 4dp by both keys) ride the
+    compared tuples too."""
     from flink_large_window_spark.registry import REGISTRY
 
     stream_key, batch_key, measures, _ = _cep_stream_cases()[case]
@@ -787,18 +813,19 @@ def _run_compiled_split_stream(spark, d, pat):
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     prep(spark)
+    guarded = any(s.guard is not None for s in pat.steps)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    cols = ["user_id", "ts", "event_id", "event_type"]
+    if guarded:
+        schema += ", value double"
+        cols.append("value")
     stream = (
-        spark.readStream.schema(
-            "user_id long, ts timestamp, event_id long, event_type string"
-        )
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "part_*.parquet")
         .parquet(d)
     )
-    ev = (
-        stream.withWatermark("ts", "10 minutes")
-        .select("user_id", "ts", "event_id", "event_type")
-    )
+    ev = stream.withWatermark("ts", "10 minutes").select(*cols)
     if any(len(s.clses()) > 1 for s in pat.steps):
         ev, pat = canonicalize_alternation(ev, pat)
     handler, out_schema, state_schema = compile_stream(pat)
@@ -813,7 +840,7 @@ def _run_compiled_split_stream(spark, d, pat):
 
 
 @pytest.mark.parametrize("n_files", [2, 3])
-@pytest.mark.parametrize("case", range(2))
+@pytest.mark.parametrize("case", range(3))
 def test_pattern_stream_multibatch(spark, max_ts, tmp_path, n_files, case):
     """Cross-batch state continuation for the COMPILED automaton: the
     fixture replay is a single micro-batch (one file), so this test
@@ -859,9 +886,18 @@ def test_pattern_stream_multibatch(spark, max_ts, tmp_path, n_files, case):
         lo = hi
 
     out = _run_compiled_split_stream(spark, d, pat)
+    # Guarded case: the raw guard sides round to 4dp (same F.round the
+    # registered keys apply) so the float columns compare exactly.
+    guard_cols = []
+    for s in pat.steps:
+        if s.guard is not None:
+            guard_cols += [f"g_{s.name}", f"g_{s.name}_ref"]
+    for c in guard_cols:
+        out = out.withColumn(c, F.round(F.col(c), 4))
     got = {
         (r["user_id"], r["anchor_event"])
         + tuple(r[f"n_{s.name}"] for s in pat.steps[:-1])
+        + tuple(r[c] for c in guard_cols)
         + (r["pattern_start_us"], r["pattern_end_us"])
         for r in out.collect()
     }
