@@ -16,7 +16,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import query
-from ..tables import prep, row_count, spread_small_corpus, table
+from ..tables import (
+    prep,
+    row_count,
+    spread_small_corpus,
+    table,
+    table_sql_ref,
+)
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -504,3 +510,114 @@ def llm_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
     )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS w
+      FROM documents
+    ), base AS (
+      SELECT doc_id, w, len(w) AS n_words FROM docs
+    ), words AS (
+      SELECT doc_id, UNNEST(w) AS word FROM base
+    ), wstats AS (
+      SELECT doc_id, COUNT(*) AS n_w, COUNT(DISTINCT word) AS n_dw
+      FROM words GROUP BY doc_id
+    ), bigrams AS (
+      SELECT doc_id,
+             UNNEST(list_transform(generate_series(1, n_words - 1),
+                    i -> w[i] || ' ' || w[i + 1])) AS g
+      FROM base WHERE n_words >= 2
+    ), bgc AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM bigrams GROUP BY doc_id, g
+    ), bgstats AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg
+      FROM bgc GROUP BY doc_id
+    ), trigrams AS (
+      SELECT doc_id,
+             UNNEST(list_transform(generate_series(1, n_words - 2),
+                    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+      FROM base WHERE n_words >= 3
+    ), tgstats AS (
+      SELECT doc_id, COUNT(*) AS n_tg, COUNT(DISTINCT g) AS n_dtg
+      FROM trigrams GROUP BY doc_id
+    )
+    SELECT ws.doc_id,
+           ws.n_w AS n_words,
+           ROUND(1.0 - CAST(ws.n_dw AS DOUBLE) / ws.n_w, 6)
+             AS dup_word_frac,
+           ROUND(CAST(b.top_c AS DOUBLE) / b.n_bg, 6)
+             AS top_bigram_frac,
+           ROUND(1.0 - CAST(t.n_dtg AS DOUBLE) / t.n_tg, 6)
+             AS dup_trigram_frac
+    FROM wstats ws
+    LEFT JOIN bgstats b USING (doc_id)
+    LEFT JOIN tgstats t USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1 —
+    public paper): per document the duplicate-word fraction, the
+    fraction of bigram mass claimed by the single most frequent
+    bigram, and the duplicate-trigram fraction — the repetition
+    filters every pre-training curation pipeline applies alongside
+    text_quality_score's length/punct/stopword features. Documents
+    too short for an n-gram level emit NULL for that fraction (LEFT
+    JOIN), never a fake 0 — a 1-word doc has no bigram evidence
+    either way.
+
+    Shape at 100 TB: explode-then-aggregate, all JVM. Tokens shuffle
+    once per n-gram level keyed by (doc_id[, gram]) with map-side
+    partial aggregation collapsing repeats before the exchange —
+    linear in corpus tokens, no per-doc quadratic term (the row-local
+    HOF alternative computes each distinct gram's count by rescanning
+    the gram array: O(L**2) per doc, unusable for book-length docs).
+    One spark.sql CTE chain (single analysis pass, SCALING.md §12);
+    the oracle mirrors it CTE-for-CTE with 1-based list indexing.
+    """
+    prep(spark)
+    docs = table_sql_ref(spark, sf_dir, "documents")
+    return spark.sql(f"""
+    WITH docs AS (
+      SELECT doc_id, split(lower(text), ' ') AS w
+      FROM {docs}
+    ), base AS (
+      SELECT doc_id, w, size(w) AS n_words FROM docs
+    ), words AS (
+      SELECT doc_id, explode(w) AS word FROM base
+    ), wstats AS (
+      SELECT doc_id, COUNT(*) AS n_w, COUNT(DISTINCT word) AS n_dw
+      FROM words GROUP BY doc_id
+    ), bigrams AS (
+      SELECT doc_id,
+             explode(transform(sequence(0, n_words - 2),
+                     i -> concat(w[i], ' ', w[i + 1]))) AS g
+      FROM base WHERE n_words >= 2
+    ), bgc AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM bigrams GROUP BY doc_id, g
+    ), bgstats AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg
+      FROM bgc GROUP BY doc_id
+    ), trigrams AS (
+      SELECT doc_id,
+             explode(transform(sequence(0, n_words - 3),
+                     i -> concat(w[i], ' ', w[i + 1], ' ', w[i + 2]))) AS g
+      FROM base WHERE n_words >= 3
+    ), tgstats AS (
+      SELECT doc_id, COUNT(*) AS n_tg, COUNT(DISTINCT g) AS n_dtg
+      FROM trigrams GROUP BY doc_id
+    )
+    SELECT ws.doc_id,
+           ws.n_w AS n_words,
+           ROUND(1.0 - CAST(ws.n_dw AS DOUBLE) / ws.n_w, 6)
+             AS dup_word_frac,
+           ROUND(CAST(b.top_c AS DOUBLE) / b.n_bg, 6)
+             AS top_bigram_frac,
+           ROUND(1.0 - CAST(t.n_dtg AS DOUBLE) / t.n_tg, 6)
+             AS dup_trigram_frac
+    FROM wstats ws
+    LEFT JOIN bgstats b USING (doc_id)
+    LEFT JOIN tgstats t USING (doc_id)
+    """)
