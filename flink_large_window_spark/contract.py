@@ -206,6 +206,9 @@ _R06_EXTRAS: frozenset[str] = frozenset(
 _R10_EXTRAS: frozenset[str] = frozenset(
     {"pattern_match_recognize", "pattern_match_recognize_stream"}
 )
+# round 11 first exposure (CORRECTNESS_r11.json): the alternation
+# showcase added late r11, appended as the r11 window's 50th key.
+_R11_EXTRAS: frozenset[str] = frozenset({"pattern_match_alternation"})
 DRIVER_CHECKED: frozenset[str] = (
     frozenset(CONTRACT_KEYS)
     | _R01_EXTRAS
@@ -214,88 +217,78 @@ DRIVER_CHECKED: frozenset[str] = (
     | _R05_EXTRAS
     | _R06_EXTRAS
     | _R10_EXTRAS
+    | _R11_EXTRAS
 )
 
-# Round 11 (VERDICT r10 items 1-2 + ADVICE r10): the window's job
-# stays RECENCY. Leads are the four keys whose shipped text changed
-# BEHAVIORALLY after their last driver stamp: pattern_detect_cep (r6
-# evidence) and pattern_detect_followedby (r8) — the only two keys
-# VERDICT r10 flagged weak, rewired through the r10 CEP compiler after
-# their stamps — then pattern_match_recognize (r10 stamp; cep.py
-# gained alternation canonicalization + two advisor guards in r11) and
-# pattern_match_recognize_stream (r10 stamp; the r11 handler rewrite:
-# watermark-buffered fold per ADVICE r10 item 1, multibatch parity +
-# 10x battery re-verified locally). Then the winfn cohort
-# (window_functions.py churned by the r10 rewire on r6/r8 evidence),
-# the r6-evidence drain VERDICT item 1 names (multimodal ×4, the five
-# r1-extras joins, q3/q5, scan_file_metadata, sink_parquet_partitioned,
-# sql_entry_exists — completion criterion: after this sweep no
-# SQL-oracle key's evidence predates r7), the tpch.py deferrals
-# (q13/q21/q22 promised from r10, r7 evidence; q9 r8), and the 15
-# streaming twins promised from r10 (r9 evidence; streams.py churned
-# by the tWS comment block in r10 and the pmr handler rewrite in r11 —
-# file-granular over-approximation, rechecked per the staleness
-# policy). Deferred to r12, documented: q8_market_share (r8 evidence,
-# no partsupp contact, cosmetic file churn only — one over budget,
-# the r10 q22 precedent), stream_allowed_lateness_reemit and
-# stream_watermark_skew (r10 evidence — the freshest on the board;
-# their only r11 churn is the pmr handler rewrite, which is behavioral
-# solely for pattern_match_recognize_stream, itself in the window),
-# and the rows-only keys (no hash-window slot by policy; compensating
-# pytests per tests/test_rows_only.py). The unchecked tail appends
-# pattern_match_alternation (new r11 key) for exactly 50.
-# Generated with tools/staleness.py (evidence capped at r10 — the
-# round this rotation was derived from); ordering pinned by
-# tests/test_contract.py.
+# Round 12 rotation (VERDICT r11 items 5 + this round's work; derived
+# with tools/staleness.py, evidence capped at r11). Leads are the
+# EIGHT never-stamped round-12 keys: the CEP extension wave
+# (iterative-condition guards batch+stream, optional steps,
+# after-match skip strategies, the alternation stream twin), the
+# state-TTL demonstration, exact-substring dedup, and the
+# Gopher-repetition signals. Then the behavioral re-stamps:
+# pattern_match_alternation (the canonical token separator changed
+# '|' -> unit separator in BOTH engines after its r11 stamp — ADVICE
+# r11 item 1), pattern_match_recognize{,_stream} (cep.py/cep_stream.py
+# churn: guard compilation; unguarded behavior is pinned identical by
+# the parity suite but the shipped text is new), and the two
+# streams.py stateful twins adjacent to the TTL addition. Then the
+# three keys deferred FROM r11 with a written promise
+# (q8_market_share, stream_allowed_lateness_reemit,
+# stream_watermark_skew), the SIX rows-only keys (VERDICT r11 item 5:
+# their driver evidence is 7-11 rounds old — the no-hash-slot policy
+# yields this round, by explicit directive), the dedup.py cohort (r10
+# evidence, file churn = dedup_substring), seven of the nine
+# text.py-cohort keys (r10 evidence, file churn = the repetition-
+# signals append; two deferred, see RECHECK_DEFERRALS), and the 13
+# remaining streaming twins (r11 evidence; streams.py churned for the
+# TTL machine). Exactly 50.
 RECHECK_KEYS: tuple[str, ...] = (
-    # behavioral-change leads (VERDICT r10 item 1 + this round's CEP
-    # work): the two compiler-rewired keys whose stamps predate the
-    # rewire, then the two r10-stamped CEP keys whose files changed
-    # behaviorally again in r11
-    "pattern_detect_cep",
-    "pattern_detect_followedby",
+    # never-stamped round-12 keys (leads)
+    "pattern_detect_value_guard",
+    "pattern_match_optional",
+    "pattern_match_afterskip",
+    "pattern_match_alternation_stream",
+    "pattern_detect_value_guard_stream",
+    "stateful_session_ttl_stream",
+    "dedup_substring",
+    "text_repetition_stats",
+    # behavioral re-stamps
+    "pattern_match_alternation",
     "pattern_match_recognize",
     "pattern_match_recognize_stream",
-    # winfn cohort: window_functions.py churned in r10 (the compiler
-    # rewire) on r6 evidence...
-    "winfn_row_number_topk",
-    "winfn_rank_dense",
-    "winfn_ntile",
-    "winfn_lag_lead",
-    "winfn_running_sum",
-    "winfn_moving_avg_range",
-    "winfn_first_last",
-    "winfn_running_distinct",
-    # ...and on r8 evidence
-    "winfn_percent_rank_cume",
-    "winfn_nth_value",
-    "winfn_moving_stddev",
-    "winfn_first_ignore_nulls",
-    # r6-evidence drain (VERDICT r10 item 1's named cohort; after this
-    # sweep no SQL-oracle evidence predates r7)
-    "multimodal_vec_stats",
-    "multimodal_doc_join",
-    "multimodal_embed_quantize",
-    "multimodal_blob_features",
-    "join_asof_forward",
-    "join_dynamic_partition_pruning",
-    "join_interval_banded",
-    "join_null_safe",
-    "join_strategy_hints",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "scan_file_metadata",
-    "sink_parquet_partitioned",
-    "sql_entry_exists",
-    # tpch.py deferrals: q13/q21/q22 promised from r10 (r7 evidence,
-    # post-stamp churn), q9 (r8 evidence; no partsupp contact — cost
-    # is modeled from p_retailprice — but tpch.py churned r10)
-    "q13_customer_distribution",
-    "q21_waiting_supplier",
-    "q22_global_sales",
-    "q9_product_profit",
-    # the 15 streaming twins promised from r10 (r9 evidence; slowest
-    # last per the r3 timing order)
+    "stateful_count_session_stream",
+    "stateful_session_timeout_stream",
+    # r11 deferrals, promised for r12
+    "q8_market_share",
+    "stream_allowed_lateness_reemit",
+    "stream_watermark_skew",
+    # rows-only sextet (VERDICT r11 item 5)
+    "agg_approx_percentile",
+    "agg_approx_count_distinct",
+    "agg_hll_sketch_merge",
+    "source_rate_stream",
+    "stream_late_drop",
+    "window_large_day_stream",
+    # dedup.py cohort (r10 evidence, post-stamp file churn)
+    "dedup_cluster_cc",
+    "dedup_embed_cosine",
+    "dedup_embed_cosine_ivf",
+    "dedup_exact",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    # text.py cohort (r10 evidence, post-stamp file churn; two
+    # append-only deferrals below)
+    "llm_corpus_pipeline",
+    "text_fingerprint_rolling",
+    "text_lang_stats",
+    "text_langid_ngram",
+    "text_quality_score",
+    "text_tfidf_topterms",
+    "text_token_count_bpe",
+    # streaming twins (r11 evidence, streams.py churn), slowest last
     "stream_static_enrich",
     "stream_foreachbatch_upsert",
     "join_interval_stream",
@@ -309,19 +302,8 @@ RECHECK_KEYS: tuple[str, ...] = (
     "stream_stream_full_outer",
     "stream_rule_update_enrich",
     "stream_checkpoint_restart",
-    "stateful_count_session_stream",
-    "stateful_session_timeout_stream",
 )
 
-# Round-5 priority: after the r4 window, 27 registered keys still
-# have no driver CORRECTNESS row (10 SQL-oracle + 17 rows-only).
-# Ordered SQL-oracle keys first (asof variant, CEP absence, format
-# round-trips, physical-plan keys, the two hash-checkable streaming
-# keys), then rows-only batch keys (each pytest-covered), then the
-# streaming twins slowest-last. New round-5 keys are appended to
-# their family group so they also land inside the 50-key window;
-# with ≤50 unchecked keys remaining, round 5 should complete driver
-# coverage of the whole registry.
 PRIORITY_EXTRAS: tuple[str, ...] = (
     # TPC-H battery (operators/tpch.py)
     "q4_order_priority",
@@ -430,20 +412,19 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
 # be re-justified or drained every round: a key may not sit here with
 # a stale rationale.
 RECHECK_DEFERRALS: dict[str, str] = {
-    "q8_market_share": (
-        "r8 evidence; tpch.py churn (r10 re-plan) is cosmetic for q8 —"
-        " no partsupp contact, its own text unchanged; one over the"
-        " 50-key budget (the r10 q22 precedent) — recheck r12"
+    # The r11 deferrals (q8_market_share, stream_allowed_lateness_
+    # reemit, stream_watermark_skew) are DRAINED into the r12 window
+    # as promised. New deferrals, both the same shape:
+    "text_ngrams": (
+        "r10 evidence; the only post-stamp text.py churn is the"
+        " round-12 text_repetition_stats APPEND at end-of-file — this"
+        " key's own text is unchanged since its stamp, and the"
+        " repetition key itself leads the window; two over the 50-key"
+        " budget — recheck r13"
     ),
-    "stream_allowed_lateness_reemit": (
-        "r10 evidence, the freshest on the board; the only r11"
-        " streams.py churn is the pmr watermark-buffer rewrite,"
-        " behavioral solely for pattern_match_recognize_stream (in"
-        " window) — recheck r12"
-    ),
-    "stream_watermark_skew": (
-        "same as stream_allowed_lateness_reemit — r10 evidence, r11"
-        " churn confined to the pmr handler — recheck r12"
+    "text_tokenize_wordcount": (
+        "same as text_ngrams — r10 evidence, append-only text.py"
+        " churn, own text unchanged — recheck r13"
     ),
 }
 

@@ -84,10 +84,34 @@ def test_rotation_tail_fits_window():
     )
 
 
+#: The declared rows-only keys (no SQL oracle BY DESIGN — approx
+#: sketches, wall-clock rate smoke, runtime drop accounting; each
+#: carries a compensating pytest). The r12 window deliberately spends
+#: six slots on them (VERDICT r11 item 5: their rows>0 driver evidence
+#: was 7–11 rounds old); any OTHER oracle-less key in the window is
+#: still a bug.
+ROWS_ONLY_KEYS = frozenset(
+    {
+        "agg_approx_percentile",
+        "agg_approx_count_distinct",
+        "agg_hll_sketch_merge",
+        "source_rate_stream",
+        "stream_late_drop",
+        "window_large_day_stream",
+    }
+)
+
+
 def test_recheck_keys_have_sql_oracles():
-    # The whole point of the recheck is hash-match evidence.
+    # The point of a recheck slot is hash-match evidence — except the
+    # six declared rows-only keys rotated in by VERDICT r11 item 5,
+    # whose weaker rows>0 evidence is exactly what needed refreshing.
     oracles = api.oracle_sql()
-    missing = [k for k in RECHECK_KEYS if k not in oracles]
+    missing = [
+        k
+        for k in RECHECK_KEYS
+        if k not in oracles and k not in ROWS_ONLY_KEYS
+    ]
     assert not missing, f"recheck keys without SQL oracle: {missing}"
 
 
@@ -134,7 +158,7 @@ def test_window_covers_changed_since_stamp_keys():
     inside the driver's 50-key window or carry a documented
     justification in contract.RECHECK_DEFERRALS. A future rewire that
     forgets to rotate its keys into the window fails here instead of
-    shipping stamp-less. Evidence capped at r10 (the round this
+    shipping stamp-less. Evidence capped at r11 (the round the r12
     rotation was derived from — the r7 lesson: a rotation test must
     not read the very sweep it pins)."""
     import os
@@ -147,7 +171,7 @@ def test_window_covers_changed_since_stamp_keys():
 
     from flink_large_window_spark.contract import RECHECK_DEFERRALS
 
-    uncovered = window_gaps(upto=10)
+    uncovered = window_gaps(upto=11)
     assert not uncovered, (
         f"changed-since-stamp SQL-oracle keys outside the window and "
         f"undocumented: {sorted(uncovered)}"
@@ -158,86 +182,66 @@ def test_window_covers_changed_since_stamp_keys():
     assert not double, f"RECHECK_DEFERRALS entries also in window: {double}"
 
 
-def test_round11_recheck_window_shape():
-    """The round-11 window (VERDICT r10 items 1-2): 49 RECHECK keys +
-    the never-stamped pattern_match_alternation tail = 50 SQL-oracle
-    keys. Leads (4) are this round's behavioral-change set —
-    pattern_detect_cep / pattern_detect_followedby (VERDICT r10's one
-    weak item: r10 compiler rewire postdates their r6/r8 stamps) and
-    the two r10-stamped CEP keys whose files changed behaviorally in
-    r11 (cep.py alternation canonicalization + guards; streams.py
-    watermark-buffered pmr handler). Then the winfn cohort
-    (window_functions.py r10 churn on r6/r8 evidence), the r6-evidence
-    drain VERDICT item 1 names (completion criterion: after the r11
-    sweep no SQL-oracle evidence predates r7), the tpch.py deferrals
-    (q13/q21/q22/q9), and the 15 streaming twins promised from r10.
-    Deferred to r12, documented in contract.py: q8_market_share and
-    the two r10-stamped streams twins. Derivation lives in
-    tools/staleness.py; evidence is computed from the CORRECTNESS
-    files themselves so a stale hardcoded list cannot drift."""
+def test_round12_recheck_window_shape():
+    """The round-12 window (VERDICT r11 items 1-3 + 5-7): exactly 50
+    RECHECK keys, no unchecked tail — the eight never-stamped round-12
+    keys LEAD (the CEP extension wave: guards batch+stream, optional
+    steps, skip strategies, the alternation stream twin; plus the
+    state-TTL demonstration, exact-substring dedup, and the
+    Gopher-repetition signals), then the behavioral re-stamps (the
+    alternation token-separator change postdates the r11 stamps; the
+    guard compilation churned cep_stream.py; the TTL machine churned
+    streams.py), the three r11 deferrals drained as promised, the SIX
+    rows-only keys (VERDICT r11 item 5 — their rows>0 evidence was
+    7–11 rounds old), and the dedup/text/streaming stale cohorts.
+    Derivation lives in tools/staleness.py; evidence is computed from
+    the CORRECTNESS files themselves (capped at r11, the round this
+    rotation was derived from) so a stale hardcoded list cannot
+    drift."""
     import os
     import sys
 
-    assert len(RECHECK_KEYS) == DRIVER_PREFIX_BUDGET - 1
-    assert len(set(RECHECK_KEYS)) == DRIVER_PREFIX_BUDGET - 1
+    assert len(RECHECK_KEYS) == DRIVER_PREFIX_BUDGET
+    assert len(set(RECHECK_KEYS)) == DRIVER_PREFIX_BUDGET
     q = api.queries()
     oracles = api.oracle_sql()
-    assert all(k in q and k in oracles for k in RECHECK_KEYS)
-    # the one window slot not in RECHECK_KEYS is the never-stamped
-    # r11 key, appended by the unchecked-extras tail
-    assert list(q)[DRIVER_PREFIX_BUDGET - 1] == "pattern_match_alternation"
+    assert all(k in q for k in RECHECK_KEYS)
+    assert all(
+        k in oracles for k in RECHECK_KEYS if k not in ROWS_ONLY_KEYS
+    )
+    # the window IS the prefix — no unchecked tail this round
+    assert list(q)[:DRIVER_PREFIX_BUDGET] == list(RECHECK_KEYS)
+    # VERDICT r11 item 5 done-criterion: all six rows-only keys get
+    # r12 driver evidence
+    assert ROWS_ONLY_KEYS <= set(RECHECK_KEYS)
 
-    N_LEADS = 4
-    assert list(RECHECK_KEYS[:N_LEADS]) == [
-        "pattern_detect_cep",
-        "pattern_detect_followedby",
-        "pattern_match_recognize",
-        "pattern_match_recognize_stream",
-    ]
-
+    N_LEADS = 8
     tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
     if tools_dir not in sys.path:
         sys.path.insert(0, tools_dir)
     from staleness import commits_since_stamp, evidence_rounds, key_files
 
-    # The lead-section selection criterion, checked mechanically:
-    # under r01..r10 evidence, every lead has file commits AFTER its
-    # evidence round's driver marker — the shipped text was never
-    # driver-stamped. Stable over time: commits only accumulate, and
-    # capped evidence is immutable.
+    # Lead-section selection criterion, checked mechanically: under
+    # r01..r11 evidence every lead is NEVER-STAMPED (post_stamp
+    # sentinel -1). Stable over time: capped evidence is immutable.
     kf = key_files()
-    ev = evidence_rounds(upto=10)
+    ev = evidence_rounds(upto=11)
     post = commits_since_stamp(
         ev, {k: kf[k] for k in RECHECK_KEYS[:N_LEADS]}
     )
-    not_post = [k for k in RECHECK_KEYS[:N_LEADS] if post[k] <= 0]
-    assert not not_post, (
-        f"window leads claim changed-after-stamp but post_stamp<=0: "
-        f"{not_post}"
+    not_new = [k for k in RECHECK_KEYS[:N_LEADS] if post[k] != -1]
+    assert not not_new, (
+        f"window leads claim never-stamped but have evidence: {not_new}"
     )
 
-    # completion criterion: every SQL-oracle key whose evidence
-    # predates round 7 is inside the window, so the r11 sweep leaves
-    # no SQL-oracle evidence older than r7. (Evidence capped at r10 —
-    # the round this rotation was derived from; the r11 sweep will
-    # write CORRECTNESS_r11.json and must not retroactively change
-    # the rotation's inputs.)
-    pre_r7_sql = {k for k, er in ev.items() if er < 7 and k in oracles}
-    window = set(RECHECK_KEYS)
-    missing = pre_r7_sql - window
-    assert not missing, (
-        f"SQL-oracle keys with pre-r7 evidence left out of the window: "
-        f"{sorted(missing)}"
-    )
-
-    # Fresh evidence burns a slot only for a behavioral change: the
-    # only r10-stamped keys allowed in the window are the two CEP
-    # showcase keys whose implementation files changed behaviorally
-    # in r11 (the other r10-stamped streams.py twins defer to r12 —
-    # their r11 churn is the pmr handler, not their own code).
-    fresh = [k for k in RECHECK_KEYS if ev.get(k, 0) >= 10]
-    outside_leads = [k for k in fresh if k not in RECHECK_KEYS[:N_LEADS]]
-    assert not outside_leads, (
-        f"r10-stamped keys outside the behavioral-change leads: "
-        f"{outside_leads}"
+    # Fresh evidence burns a slot only for a behavioral change: every
+    # r11-stamped key in the window must have file commits after the
+    # r11 driver marker (the recency policy — unchanged keys with old
+    # evidence do not need slots; changed ones do).
+    fresh = [k for k in RECHECK_KEYS if ev.get(k, 0) >= 11]
+    post_fresh = commits_since_stamp(ev, {k: kf[k] for k in fresh})
+    unchanged_fresh = [k for k in fresh if post_fresh[k] <= 0]
+    assert not unchanged_fresh, (
+        f"r11-stamped keys in the window without post-stamp churn: "
+        f"{unchanged_fresh}"
     )

@@ -73,6 +73,15 @@ FAMILIES = {
             # the set-class canonical map is a row-local expression,
             # same one-shuffle runs-relation plan
             "pattern_match_alternation",
+            # round 12: the CEP extension wave — iterative-condition
+            # guard (per-run value aggregates ride the same runs
+            # relation), optional-step variant expansion (union over
+            # one shared runs subtree), and after-match skip
+            # strategies (row-local explode over matched anchors);
+            # plus exact-substring dedup's cousin on events is N/A —
+            # dedup_substring probes through the text family
+            "pattern_detect_value_guard", "pattern_match_optional",
+            "pattern_match_afterskip",
         ],
     },
     "text": {
@@ -85,6 +94,10 @@ FAMILIES = {
             "text_langid_ngram", "corpus_contamination_check",
             "corpus_mix_rebalance", "corpus_pack_chunks",
             "multimodal_doc_join", "llm_corpus_pipeline",
+            # round 12: paragraph-granularity duplicated-span
+            # detection and the Gopher repetition signals — both
+            # explode-then-aggregate, linear in corpus tokens
+            "dedup_substring", "text_repetition_stats",
         ],
     },
     "similarity": {
@@ -134,6 +147,13 @@ FAMILIES = {
             # round 10: the streaming CEP twin (incremental automaton,
             # array-state pending buffer + event-time timer emission)
             "pattern_match_recognize_stream",
+            # round 12: the compiled-automaton extensions — the
+            # alternation stream twin, the guarded stream twin (value
+            # aggregates in run-window state), and the state-TTL
+            # eviction accounting machine
+            "pattern_match_alternation_stream",
+            "pattern_detect_value_guard_stream",
+            "stateful_session_ttl_stream",
         ],
     },
 }
