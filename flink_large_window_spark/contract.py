@@ -220,11 +220,12 @@ DRIVER_CHECKED: frozenset[str] = (
     | _R11_EXTRAS
 )
 
-# Round 12 rotation (VERDICT r11 items 5 + this round's work; derived
+# Round 12 rotation (VERDICT r11 item 5 + this round's work; derived
 # with tools/staleness.py, evidence capped at r11). Leads are the
-# EIGHT never-stamped round-12 keys: the CEP extension wave
-# (iterative-condition guards batch+stream, optional steps,
-# after-match skip strategies, the alternation stream twin), the
+# NINE never-stamped round-12 keys: the CEP extension wave
+# (iterative-condition guards batch+stream, optional steps batch+
+# stream, after-match skip strategies, the alternation stream
+# twin), the
 # state-TTL demonstration, exact-substring dedup, and the
 # Gopher-repetition signals. Then the behavioral re-stamps:
 # pattern_match_alternation (the canonical token separator changed
@@ -240,9 +241,10 @@ DRIVER_CHECKED: frozenset[str] = (
 # yields this round, by explicit directive), the dedup.py cohort (r10
 # evidence, file churn = dedup_substring), seven of the nine
 # text.py-cohort keys (r10 evidence, file churn = the repetition-
-# signals append; two deferred, see RECHECK_DEFERRALS), and the 13
-# remaining streaming twins (r11 evidence; streams.py churned for the
-# TTL machine). Exactly 50.
+# signals append; two deferred, see RECHECK_DEFERRALS), and 12 of
+# the 13 remaining streaming twins (r11 evidence; streams.py churned
+# for the TTL machine; stream_checkpoint_restart deferred, see
+# RECHECK_DEFERRALS). Exactly 50.
 RECHECK_KEYS: tuple[str, ...] = (
     # never-stamped round-12 keys (leads)
     "pattern_detect_value_guard",
@@ -250,6 +252,7 @@ RECHECK_KEYS: tuple[str, ...] = (
     "pattern_match_afterskip",
     "pattern_match_alternation_stream",
     "pattern_detect_value_guard_stream",
+    "pattern_match_optional_stream",
     "stateful_session_ttl_stream",
     "dedup_substring",
     "text_repetition_stats",
@@ -301,7 +304,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     "stream_stream_left_outer",
     "stream_stream_full_outer",
     "stream_rule_update_enrich",
-    "stream_checkpoint_restart",
 )
 
 PRIORITY_EXTRAS: tuple[str, ...] = (
@@ -425,6 +427,14 @@ RECHECK_DEFERRALS: dict[str, str] = {
     "text_tokenize_wordcount": (
         "same as text_ngrams — r10 evidence, append-only text.py"
         " churn, own text unchanged — recheck r13"
+    ),
+    "stream_checkpoint_restart": (
+        "r11 evidence (freshest streaming class); the only post-stamp"
+        " streams.py churn is the round-12 state-TTL APPEND (new"
+        " functions between existing ones — no existing line touched)"
+        " and its own text is unchanged; displaced by the late-round"
+        " pattern_match_optional_stream lead, one over the 50-key"
+        " budget — recheck r13"
     ),
 }
 

@@ -52,12 +52,25 @@ carry the five per-run value aggregates in the extended state schema
 schema byte-identical. Rejected with a clear error, each for a
 semantic (not implementation) reason:
 
+Optional steps (``min_count=0``, non-final) also compile: no automaton
+union is needed because expand_optional's variants are mutually
+exclusive per anchor, so candidacy tries each variant's step list
+against the same closed-run window suffix (pattern_match_optional_
+stream). Rejected with a clear error, each for a semantic (not
+implementation) reason:
+
 - **final-step guards with any aggregate but 'first'** and
   **exact=True on the final step**: both range over the MAXIMAL
   anchor run, which is still open at incremental emission time —
   emitting early would change the value the batch oracle computes.
-- **optional steps / skip strategies**: expansion-based in batch;
-  a streaming twin would union automata — out of scope here.
+- **optional steps combined with guards**: guard step-indexing
+  assumes the full step list while variants drop steps — would need
+  per-variant guard remapping (batch compile_pattern handles the
+  combination).
+- **non-default skip strategies**: the to_next / no_skip sub-match
+  expansions are start-dimension enumerations the batch compiler
+  derives row-locally; the incremental form stays one-match-per-
+  anchor (Flink's skipPastLastEvent).
 
 Scale: state per key is O(pattern length) for the run window plus
 O(events inside the watermark delay) for the buffer — the same bound
@@ -91,6 +104,7 @@ from ..operators.cep import (
     Pattern,
     Step,
     canonicalize_alternation,
+    expand_optional,
 )
 from ..registry import query
 from .streams import _events_stream, run_to_memory
@@ -186,11 +200,19 @@ def compile_stream(pat: Pattern):
     automaton is a single class string.
     """
     last = pat.steps[-1]
-    if any(s.min_count == 0 for s in pat.steps):
+    has_optional = any(s.min_count == 0 for s in pat.steps)
+    if last.min_count == 0:
         raise ValueError(
-            "streaming CEP does not compile optional steps (batch "
-            "expands them into variant sub-patterns; a streaming twin "
-            "would union automata)"
+            "the final (anchor) step cannot be optional — a pattern "
+            "must end on a concrete anchor run"
+        )
+    if has_optional and any(s.guard is not None for s in pat.steps):
+        raise ValueError(
+            "streaming CEP compiles optional steps and guards, but "
+            "not combined: guard step-indexing assumes the full step "
+            "list while variants drop steps — compose would need "
+            "per-variant guard remapping (batch compile_pattern "
+            "handles the combination; split the pattern or run batch)"
         )
     if pat.skip != "past_last":
         raise ValueError("streaming CEP supports skip='past_last' only")
@@ -216,11 +238,26 @@ def compile_stream(pat: Pattern):
         )
 
     # Plain-python spec (closure must pickle to executors without
-    # dragging Pattern/Step class state along).
-    mids = tuple(
-        (s.cls, s.min_count, s.max_count) for s in pat.steps[:-1]
+    # dragging Pattern/Step class state along). Optional steps
+    # (round 12) compile as VARIANTS over the SAME closed-run window:
+    # expand_optional's present/absent sub-patterns are mutually
+    # exclusive per anchor under maximal-run contiguity (its batch
+    # proof), so candidacy tries each variant's non-final step list
+    # against the window suffix and at most one matches — no automaton
+    # union, no extra state; the window is sized by the FULL step
+    # list. A non-optional pattern is the one-variant special case
+    # (identical checks to the pre-r12 single-mids path).
+    step_names = tuple(s.name for s in pat.steps[:-1])
+    variants = tuple(
+        (
+            tuple(
+                (s.cls, s.min_count, s.max_count) for s in v.steps[:-1]
+            ),
+            tuple(s.name for s in v.steps[:-1]),
+        )
+        for v, _dropped in expand_optional(pat)
     )
-    k_closed = len(mids)
+    k_closed = len(pat.steps) - 1
     anchor_cls = last.cls
     anchor_min = last.min_count
     within_us = (
@@ -349,33 +386,54 @@ def compile_stream(pat: Pattern):
                     return False
             return True
 
-        def candidate(anchor_start_us: int) -> bool:
-            """Closed-run window vs steps[:-1] + the within bound +
-            guards — fully determined the instant the anchor run
-            opens."""
-            if len(win) < k_closed:
-                return False
-            for (m_cls, m_min, m_max), (r_cls, r_len, _, _) in zip(
-                mids, win[-k_closed:] if k_closed else []
-            ):
-                if r_cls != m_cls or r_len < m_min:
-                    return False
-                if m_max is not None and r_len > m_max:
-                    return False
-            if within_us is not None and k_closed:
-                if anchor_start_us > win[-k_closed][2] + within_us:
-                    return False
-            return not guard_specs or guards_ok()
+        def candidate(anchor_start_us: int) -> int:
+            """Closed-run window vs each variant's non-final steps +
+            the within bound + guards — fully determined the instant
+            the anchor run opens. Returns the matched variant index,
+            -1 if none (at most one matches: the variants are
+            mutually exclusive per anchor, expand_optional's proof)."""
+            for vi, (v_mids, _names) in enumerate(variants):
+                k = len(v_mids)
+                if len(win) < k:
+                    continue
+                ok = True
+                for (m_cls, m_min, m_max), (r_cls, r_len, _, _) in zip(
+                    v_mids, win[-k:] if k else []
+                ):
+                    if r_cls != m_cls or r_len < m_min or (
+                        m_max is not None and r_len > m_max
+                    ):
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                if within_us is not None and k:
+                    if anchor_start_us > win[-k][2] + within_us:
+                        continue
+                if guard_specs and not guards_ok():
+                    continue
+                return vi
+            return -1
 
         def emit() -> None:
             """Anchor run (cur) qualified: measures come from the
-            closed window, which cannot shift while cur stays open."""
+            closed window, which cannot shift while cur stays open —
+            so the matched variant is recomputed here (a pend-ing
+            match re-derives the same one even a batch later).
+            Dropped optional steps emit n_<name> = 0, the batch
+            union's convention."""
+            vi = candidate(cs)
+            v_mids, v_names = variants[vi]
+            k = len(v_mids)
+            lens = {
+                n: win[-k + j][1] for j, n in enumerate(v_names)
+            }
             row = [key[0], int(cf)]
-            row += [int(r[1]) for r in win[-k_closed:]] if k_closed else []
+            row += [int(lens.get(n, 0)) for n in step_names]
             for ti, ta, _cmp, ri, ra, _f in guard_specs:
                 row.append(run_va(ti)[ta])
                 row.append(run_va(ri)[ra])
-            start = win[-k_closed][2] if k_closed else cs
+            start = win[-k][2] if k else cs
             row += [int(start), int(cs)]
             out.append(tuple(row))
 
@@ -406,7 +464,7 @@ def compile_stream(pat: Pattern):
             cc, cl, cs, cf = cls, 1, us, eid
             if needs_val:
                 c_va = [val, val, val, val, val]
-            if cls == anchor_cls and candidate(us):
+            if cls == anchor_cls and candidate(us) >= 0:
                 if anchor_min == 1:
                     emit()
                     pend = 0
@@ -719,6 +777,95 @@ def pattern_detect_value_guard_stream(
         "n_views",
         F.round("g_purchase", 4).alias("purchase_val"),
         F.round("g_purchase_ref", 4).alias("views_max_val"),
+        "pattern_start_us",
+        "pattern_end_us",
+    )
+
+
+@query(
+    "pattern_match_optional_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS run_start, COUNT(*) AS run_len,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_start, run_len, first_id,
+             LAG(event_type, 1) OVER w AS c1, LAG(run_len, 1) OVER w AS l1,
+             LAG(run_start, 1) OVER w AS s1,
+             LAG(event_type, 2) OVER w AS c2, LAG(run_len, 2) OVER w AS l2,
+             LAG(run_start, 2) OVER w AS s2
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    ), wm AS (
+      SELECT epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000 AS ms
+    )
+    SELECT user_id, first_id AS purchase_event,
+           CAST(l2 AS BIGINT) AS n_views,
+           CAST(1 AS BIGINT) AS n_clicks,
+           epoch_us(s2) AS pattern_start_us,
+           epoch_us(run_start) AS pattern_end_us
+    FROM seq, wm
+    WHERE event_type = 'purchase'
+      AND c1 = 'click' AND l1 = 1
+      AND c2 = 'view'
+      AND run_start <= s2 + INTERVAL 24 HOUR
+      AND epoch_us(run_start) // 1000 <= wm.ms
+    UNION ALL
+    SELECT user_id, first_id AS purchase_event,
+           CAST(l1 AS BIGINT) AS n_views,
+           CAST(0 AS BIGINT) AS n_clicks,
+           epoch_us(s1) AS pattern_start_us,
+           epoch_us(run_start) AS pattern_end_us
+    FROM seq, wm
+    WHERE event_type = 'purchase'
+      AND c1 = 'view'
+      AND run_start <= s1 + INTERVAL 24 HOUR
+      AND epoch_us(run_start) // 1000 <= wm.ms
+    """,
+)
+def pattern_match_optional_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_match_optional — ``PATTERN
+    (V+ C? P+)`` within 24 h detected incrementally (round 12; closes
+    the 'optional steps are expansion-based, out of scope' carve-out
+    the module docstring used to declare).
+
+    No automaton union is needed: expand_optional's present/absent
+    variants are mutually exclusive PER ANCHOR under maximal-run
+    contiguity (its batch proof), so the compiled handler simply tries
+    each variant's non-final step list against the suffix of the SAME
+    closed-run window at candidacy — one extra tuple comparison per
+    anchor open, zero extra state (the window is already sized by the
+    full step list). The absent variant emits ``n_clicks = 0``,
+    mirroring the batch union's fill-in. Oracle = the batch key's
+    two-branch UNION with µs timestamps plus the shared ms-aligned
+    watermark filter on both branches.
+    """
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None),
+            Step("clicks", "click", 0, 1),
+            Step("purchase", "purchase", 1, None),
+        ),
+        within_hours=24,
+    )
+    m = pattern_stream(spark, sf_dir, pat)
+    return m.select(
+        "user_id",
+        F.col("anchor_event").alias("purchase_event"),
+        "n_views",
+        "n_clicks",
         "pattern_start_us",
         "pattern_end_us",
     )

@@ -761,10 +761,23 @@ def _cep_stream_cases():
                 val_col="value",
             ),
         ),
+        (
+            "pattern_match_optional_stream",
+            "pattern_match_optional",
+            ("n_views", "n_clicks"),
+            Pattern(
+                steps=(
+                    Step("views", "view", 1, None),
+                    Step("clicks", "click", 0, 1),
+                    Step("purchase", "purchase", 1, None),
+                ),
+                within_hours=24,
+            ),
+        ),
     ]
 
 
-@pytest.mark.parametrize("case", range(3))
+@pytest.mark.parametrize("case", range(4))
 def test_pattern_stream_parity(spark, max_ts, case):
     """Streaming CEP twins: the compiled incremental automaton must
     emit EXACTLY the batch compiler's matches whose anchor the final
@@ -840,7 +853,7 @@ def _run_compiled_split_stream(spark, d, pat):
 
 
 @pytest.mark.parametrize("n_files", [2, 3])
-@pytest.mark.parametrize("case", range(3))
+@pytest.mark.parametrize("case", range(4))
 def test_pattern_stream_multibatch(spark, max_ts, tmp_path, n_files, case):
     """Cross-batch state continuation for the COMPILED automaton: the
     fixture replay is a single micro-batch (one file), so this test

@@ -153,6 +153,7 @@ FAMILIES = {
             # eviction accounting machine
             "pattern_match_alternation_stream",
             "pattern_detect_value_guard_stream",
+            "pattern_match_optional_stream",
             "stateful_session_ttl_stream",
         ],
     },
