@@ -222,10 +222,10 @@ DRIVER_CHECKED: frozenset[str] = (
 
 # Round 12 rotation (VERDICT r11 item 5 + this round's work; derived
 # with tools/staleness.py, evidence capped at r11). Leads are the
-# NINE never-stamped round-12 keys: the CEP extension wave
-# (iterative-condition guards batch+stream, optional steps batch+
-# stream, after-match skip strategies, the alternation stream
-# twin), the
+# TEN never-stamped round-12 keys: the CEP extension wave
+# (iterative-condition guards, optional steps, and after-match
+# skip strategies — each batch+stream — plus the alternation
+# stream twin), the
 # state-TTL demonstration, exact-substring dedup, and the
 # Gopher-repetition signals. Then the behavioral re-stamps:
 # pattern_match_alternation (the canonical token separator changed
@@ -241,10 +241,11 @@ DRIVER_CHECKED: frozenset[str] = (
 # yields this round, by explicit directive), the dedup.py cohort (r10
 # evidence, file churn = dedup_substring), seven of the nine
 # text.py-cohort keys (r10 evidence, file churn = the repetition-
-# signals append; two deferred, see RECHECK_DEFERRALS), and 12 of
+# signals append; two deferred, see RECHECK_DEFERRALS), and 11 of
 # the 13 remaining streaming twins (r11 evidence; streams.py churned
-# for the TTL machine; stream_checkpoint_restart deferred, see
-# RECHECK_DEFERRALS). Exactly 50.
+# for the TTL machine; stream_checkpoint_restart and
+# stream_rule_update_enrich deferred, see RECHECK_DEFERRALS).
+# Exactly 50.
 RECHECK_KEYS: tuple[str, ...] = (
     # never-stamped round-12 keys (leads)
     "pattern_detect_value_guard",
@@ -253,6 +254,7 @@ RECHECK_KEYS: tuple[str, ...] = (
     "pattern_match_alternation_stream",
     "pattern_detect_value_guard_stream",
     "pattern_match_optional_stream",
+    "pattern_match_afterskip_stream",
     "stateful_session_ttl_stream",
     "dedup_substring",
     "text_repetition_stats",
@@ -303,7 +305,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     "join_window_tumbling_stream",
     "stream_stream_left_outer",
     "stream_stream_full_outer",
-    "stream_rule_update_enrich",
 )
 
 PRIORITY_EXTRAS: tuple[str, ...] = (
@@ -435,6 +436,11 @@ RECHECK_DEFERRALS: dict[str, str] = {
         " and its own text is unchanged; displaced by the late-round"
         " pattern_match_optional_stream lead, one over the 50-key"
         " budget — recheck r13"
+    ),
+    "stream_rule_update_enrich": (
+        "same shape as stream_checkpoint_restart — r11 evidence,"
+        " append-only streams.py churn, own text unchanged; displaced"
+        " by the pattern_match_afterskip_stream lead — recheck r13"
     ),
 }
 

@@ -43,34 +43,37 @@ How the compiled automaton works (per key):
 
 Compilable subset (validated by :func:`compile_stream`): any
 greedy-strategy pattern — ranged/unbounded quantifiers, alternation,
-NULL-safe runs, within bounds, and (round 12) iterative-condition
-guards: non-final guards with any aggregate (their runs are CLOSED at
-candidacy) and final-step guards aggregating with ``first`` (the one
-anchor aggregate fixed the instant the run opens). Guarded patterns
-carry the five per-run value aggregates in the extended state schema
-(:data:`STREAM_STATE_SCHEMA_VAL`); unguarded patterns keep the base
-schema byte-identical. Rejected with a clear error, each for a
-semantic (not implementation) reason:
+NULL-safe runs, within bounds — plus, since round 12, each of the
+batch compiler's extensions individually:
 
-Optional steps (``min_count=0``, non-final) also compile: no automaton
-union is needed because expand_optional's variants are mutually
-exclusive per anchor, so candidacy tries each variant's step list
-against the same closed-run window suffix (pattern_match_optional_
-stream). Rejected with a clear error, each for a semantic (not
-implementation) reason:
+- **iterative-condition guards**: non-final guards with any aggregate
+  (their runs are CLOSED at candidacy) and final-step guards
+  aggregating with ``first`` (the one anchor aggregate fixed the
+  instant the run opens). Guarded patterns carry the five per-run
+  value aggregates in the extended state schema
+  (:data:`STREAM_STATE_SCHEMA_VAL`); unguarded patterns keep the base
+  schema byte-identical.
+- **optional steps** (``min_count=0``, non-final): no automaton union
+  — expand_optional's variants are mutually exclusive per anchor, so
+  candidacy tries each variant's step list against the same
+  closed-run window suffix (pattern_match_optional_stream).
+- **after-match skip strategies** (to_next / no_skip): every
+  (start_off, consumed-length) sub-match is fixed by the closed first
+  run at anchor open, so the enumeration happens emit-locally — the
+  incremental image of compile_greedy's row-local explode
+  (pattern_match_afterskip_stream).
+
+Rejected with a clear error, each for a semantic (not implementation)
+reason:
 
 - **final-step guards with any aggregate but 'first'** and
   **exact=True on the final step**: both range over the MAXIMAL
   anchor run, which is still open at incremental emission time —
   emitting early would change the value the batch oracle computes.
-- **optional steps combined with guards**: guard step-indexing
-  assumes the full step list while variants drop steps — would need
-  per-variant guard remapping (batch compile_pattern handles the
-  combination).
-- **non-default skip strategies**: the to_next / no_skip sub-match
-  expansions are start-dimension enumerations the batch compiler
-  derives row-locally; the incremental form stays one-match-per-
-  anchor (Flink's skipPastLastEvent).
+- **optional steps or skip strategies combined with guards, or with
+  each other**: the pairwise compositions need per-variant guard/
+  expansion remapping the batch compiler handles; each extension is
+  sound alone and the combinations stay batch-only.
 
 Scale: state per key is O(pattern length) for the run window plus
 O(events inside the watermark delay) for the buffer — the same bound
@@ -179,6 +182,14 @@ def stream_out_schema(pat: Pattern) -> StructType:
     fields += [
         StructField(f"n_{s.name}", LongType()) for s in pat.steps[:-1]
     ]
+    if pat.skip != "past_last":
+        # sub-match expansion: 1-based offset of the sub-match's first
+        # consumed event within the first step's run, and n_<first>
+        # reinterpreted as the CONSUMED count (compile_greedy's
+        # convention). pattern_start_us stays the FULL first run's
+        # start — a sub-match's true start ts is not in the run window
+        # (the same documented limit the batch runs relation has).
+        fields.append(StructField("start_off", LongType()))
     for s in pat.steps:
         if s.guard is not None:
             fields.append(StructField(f"g_{s.name}", DoubleType()))
@@ -214,8 +225,14 @@ def compile_stream(pat: Pattern):
             "per-variant guard remapping (batch compile_pattern "
             "handles the combination; split the pattern or run batch)"
         )
-    if pat.skip != "past_last":
-        raise ValueError("streaming CEP supports skip='past_last' only")
+    if pat.skip != "past_last" and (
+        has_optional or any(s.guard is not None for s in pat.steps)
+    ):
+        raise ValueError(
+            "streaming CEP compiles non-default skip strategies, but "
+            "not combined with optional steps or guards (batch "
+            "compile_pattern handles those compositions)"
+        )
     if last.exact:
         raise ValueError(
             "streaming CEP cannot evaluate final-step exact semantics:"
@@ -248,13 +265,28 @@ def compile_stream(pat: Pattern):
     # list. A non-optional pattern is the one-variant special case
     # (identical checks to the pre-r12 single-mids path).
     step_names = tuple(s.name for s in pat.steps[:-1])
-    variants = tuple(
-        (
-            tuple(
-                (s.cls, s.min_count, s.max_count) for s in v.steps[:-1]
-            ),
-            tuple(s.name for s in v.steps[:-1]),
+    # After-match skip strategies (round 12): under to_next / no_skip
+    # the FIRST step's max bounds the CONSUMED count, not the run
+    # (compile_greedy's exact rule) — candidacy must not reject a
+    # longer first run, so its max is lifted from the candidacy spec
+    # and re-applied in emit()'s sub-match enumeration.
+    skip_mode = pat.skip
+    expand = skip_mode != "past_last" and len(pat.steps) > 1
+    first = pat.steps[0]
+    exp_min, exp_max = first.min_count, first.max_count
+
+    def _mid_spec(v):
+        return tuple(
+            (
+                s.cls,
+                s.min_count,
+                None if (expand and i == 0) else s.max_count,
+            )
+            for i, s in enumerate(v.steps[:-1])
         )
+
+    variants = tuple(
+        (_mid_spec(v), tuple(s.name for s in v.steps[:-1]))
         for v, _dropped in expand_optional(pat)
     )
     k_closed = len(pat.steps) - 1
@@ -421,21 +453,43 @@ def compile_stream(pat: Pattern):
             so the matched variant is recomputed here (a pend-ing
             match re-derives the same one even a batch later).
             Dropped optional steps emit n_<name> = 0, the batch
-            union's convention."""
+            union's convention. Under a non-default skip strategy the
+            first run's sub-matches enumerate emit-locally — every
+            (start_off, consumed-length) pair is fixed by the closed
+            first run, the incremental image of compile_greedy's
+            row-local explode."""
             vi = candidate(cs)
             v_mids, v_names = variants[vi]
             k = len(v_mids)
             lens = {
                 n: win[-k + j][1] for j, n in enumerate(v_names)
             }
-            row = [key[0], int(cf)]
-            row += [int(lens.get(n, 0)) for n in step_names]
+            head = [key[0], int(cf)]
+            gvals = []
             for ti, ta, _cmp, ri, ra, _f in guard_specs:
-                row.append(run_va(ti)[ta])
-                row.append(run_va(ri)[ra])
+                gvals.append(run_va(ti)[ta])
+                gvals.append(run_va(ri)[ra])
             start = win[-k][2] if k else cs
-            row += [int(start), int(cs)]
-            out.append(tuple(row))
+            tail = [int(start), int(cs)]
+            if not expand:
+                row = head + [int(lens.get(n, 0)) for n in step_names]
+                out.append(tuple(row + gvals + tail))
+                return
+            l1 = int(lens[step_names[0]])
+            rest = [int(lens.get(n, 0)) for n in step_names[1:]]
+            for off in range(1, l1 - exp_min + 2):
+                greedy = l1 - off + 1
+                if exp_max is not None:
+                    greedy = min(greedy, exp_max)
+                if skip_mode == "to_next":
+                    out.append(
+                        tuple(head + [greedy] + rest + [off] + gvals + tail)
+                    )
+                else:  # no_skip: every admissible consumed length
+                    for n in range(exp_min, greedy + 1):
+                        out.append(
+                            tuple(head + [n] + rest + [off] + gvals + tail)
+                        )
 
         for us, eid, cls, val in ready:
             # cur_len is the open-run flag: a NULL class is a
@@ -868,4 +922,83 @@ def pattern_match_optional_stream(
         "n_clicks",
         "pattern_start_us",
         "pattern_end_us",
+    )
+
+
+@query(
+    "pattern_match_afterskip_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type, COUNT(*) AS run_len,
+             MIN(ts) AS run_start,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_len, run_start, first_id,
+             LAG(event_type, 1) OVER w AS c1, LAG(run_len, 1) OVER w AS l1
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    ), matches AS (
+      SELECT user_id, first_id, CAST(l1 AS INT) AS l1
+      FROM seq
+      WHERE event_type = 'purchase' AND c1 = 'click' AND l1 >= 2
+        AND epoch_us(run_start) // 1000
+            <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
+    ), starts AS (
+      SELECT user_id, first_id, l1,
+             UNNEST(generate_series(1, l1 - 1)) AS start_off
+      FROM matches
+    )
+    SELECT user_id,
+           first_id AS purchase_event,
+           CAST(start_off AS BIGINT) AS start_off,
+           CAST(UNNEST(generate_series(2, LEAST(4, l1 - start_off + 1)))
+                AS BIGINT) AS n_clicks
+    FROM starts
+    """,
+)
+def pattern_match_afterskip_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_match_afterskip — ``PATTERN (C{2,4}
+    P+)`` under ``AfterMatchSkipStrategy.noSkip``, detected
+    incrementally (round 12; closes the last composable carve-out in
+    the compiled automaton — only maximal-run-dependent semantics,
+    final-step exact/non-'first' guards, remain batch-only by
+    necessity).
+
+    Every (start_off, consumed-length) sub-match is fixed by the
+    CLOSED first run the moment the anchor run opens, so the
+    enumeration happens emit-locally inside the handler — the
+    incremental image of compile_greedy's row-local
+    explode(sequence(..)) — with zero extra state and the same
+    one-candidacy-per-anchor cost as past_last; only the emitted rows
+    fan out (bounded by the quantifier width × run length, exactly the
+    batch fan-out). The first step's ``max_count=4`` bounds CONSUMED
+    counts, not the run, so candidacy lifts it and emit re-applies it
+    per sub-match — the compile_greedy rule. Oracle = the batch key's
+    enumeration SQL with the ms-aligned watermark filter on the anchor
+    run's start.
+    """
+    pat = Pattern(
+        steps=(
+            Step("clicks", "click", 2, 4),
+            Step("purchase", "purchase", 1, None),
+        ),
+        skip="no_skip",
+    )
+    m = pattern_stream(spark, sf_dir, pat)
+    return m.select(
+        "user_id",
+        F.col("anchor_event").alias("purchase_event"),
+        "start_off",
+        F.col("n_clicks").cast("long").alias("n_clicks"),
     )

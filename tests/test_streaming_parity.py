@@ -1159,3 +1159,41 @@ def test_state_ttl_evicts_idle_keys(spark, tmp_path):
     assert got == expected, (
         f"extra: {sorted(got - expected)} missing: {sorted(expected - got)}"
     )
+
+
+def test_afterskip_stream_enumerates_submatches_across_batches(
+    spark, tmp_path
+):
+    """Skip-strategy streaming twin (round 12): the no_skip sub-match
+    enumeration must fire emit-locally once the watermark passes the
+    anchor, including when the first run and its anchor arrive in
+    DIFFERENT batches. A 3-click run (batch 1) followed by a purchase
+    (batch 2) under PATTERN (C{2,4} P+) noSkip yields exactly the
+    (start_off, consumed) pairs (1,2) (1,3) (2,2) — the same
+    enumeration compile_greedy's batch explode produces."""
+    from flink_large_window_spark.operators.cep import Pattern, Step
+
+    batch1 = [
+        _event_row(1, 0, 0, "click"),
+        _event_row(1, 5, 1, "click"),
+        _event_row(1, 10, 2, "click"),
+    ]
+    # purchase + a key-2 tail that pushes the final watermark past it
+    batch2 = [
+        _event_row(1, 15, 3, "purchase"),
+        _event_row(2, 60, 4, "view"),
+    ]
+    d = _write_batches(tmp_path, batch1, batch2)
+    pat = Pattern(
+        steps=(
+            Step("clicks", "click", 2, 4),
+            Step("purchase", "purchase", 1, None),
+        ),
+        skip="no_skip",
+    )
+    out = _run_compiled_split_stream(spark, d, pat)
+    got = {
+        (r["user_id"], r["anchor_event"], r["start_off"], r["n_clicks"])
+        for r in out.collect()
+    }
+    assert got == {(1, 3, 1, 2), (1, 3, 1, 3), (1, 3, 2, 2)}, got

@@ -154,6 +154,7 @@ FAMILIES = {
             "pattern_match_alternation_stream",
             "pattern_detect_value_guard_stream",
             "pattern_match_optional_stream",
+            "pattern_match_afterskip_stream",
             "stateful_session_ttl_stream",
         ],
     },
