@@ -1002,3 +1002,189 @@ def pattern_match_afterskip_stream(
         "start_off",
         F.col("n_clicks").cast("long").alias("n_clicks"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Absence CEP (Flink ``notFollowedBy(..).within(..)``) — round 12.
+#
+# Negation is the one CEP shape the compiled run-fold automaton above
+# cannot express: a match is declared by the ABSENCE of an event, so
+# emission must wait until the watermark proves nothing in the horizon
+# can still arrive — Flink's NFA keeps such candidates in a pending
+# state and resolves them on watermark advance. The automaton below is
+# that pending-state machine directly, and it is SIMPLER than the
+# run-fold: existence of a purchase inside a click's horizon is
+# order-insensitive, so no watermark hold-buffer / re-fold is needed —
+# in-watermark out-of-order arrivals just accumulate into the pending
+# sets, and a click can only resolve >= horizon after its own event
+# time, by which point every in-frame purchase either arrived or is
+# watermark-late (dropped upstream by the same ``ts < wm`` contract
+# the resolution rule is aligned to).
+
+#: Pending-state schema for the absence automaton: unresolved clicks
+#: (µs + event_id, parallel arrays) and the retained purchase
+#: timestamps (µs). Purchases older than horizon + watermark-delay
+#: can no longer suppress anything and are evicted — state per key is
+#: O(events inside horizon + watermark delay), Flink's NFA bound for
+#: a within-bounded notFollowedBy.
+ABSENCE_STATE_SCHEMA = StructType(
+    [
+        StructField("click_us", ArrayType(LongType())),
+        StructField("click_id", ArrayType(LongType())),
+        StructField("purch_us", ArrayType(LongType())),
+    ]
+)
+
+ABSENCE_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("click_event", LongType()),
+    ]
+)
+
+
+def compile_absence_stream(
+    anchor_cls: str, absent_cls: str, horizon_us: int
+):
+    """Build the pending-state handler for ``anchor NOT FOLLOWED BY
+    absent WITHIN horizon`` (frame ``[anchor_ts, anchor_ts + horizon]``
+    inclusive at µs precision — the batch key's RANGE frame).
+
+    Resolution rule: an anchor emits/suppresses only once
+    ``(anchor_us + horizon_us) // 1000 < wm_ms`` (STRICT): any
+    not-yet-arrived suppressor has ``ts_ms >= wm_ms`` (Spark admits
+    the ``ts == wm`` tie), hence ``ts_us >= wm_ms*1000 >
+    anchor_us + horizon_us`` — outside the frame. The matching oracle
+    filter is the ms-aligned ``(epoch_us(ts) + horizon) // 1000 <
+    final_wm_ms``.
+    """
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            c_us, c_id, p_us = state.get
+            clicks = [(int(u), int(i)) for u, i in zip(c_us, c_id)]
+            purchases = [int(u) for u in p_us]
+        else:
+            clicks, purchases = [], []
+        wm_ms = state.getCurrentWatermarkMs()
+        if not state.hasTimedOut:
+            for chunk in pdfs:
+                for ts, eid, cls in zip(
+                    chunk["ts"], chunk["event_id"], chunk["event_type"]
+                ):
+                    us = int(ts.value) // 1_000
+                    if cls == anchor_cls:
+                        clicks.append((us, int(eid)))
+                    elif cls == absent_cls:
+                        purchases.append(us)
+        # Resolve every anchor whose horizon the watermark has passed:
+        # emit iff no retained suppressor lands inside its frame.
+        emitted, pending = [], []
+        for us, eid in clicks:
+            if (us + horizon_us) // 1000 < wm_ms:
+                if not any(
+                    us <= p <= us + horizon_us for p in purchases
+                ):
+                    emitted.append((key[0], eid))
+            else:
+                pending.append((us, eid))
+        # Evict suppressors no pending or future anchor can reach:
+        # pending/future anchors have anchor_us > wm_ms*1000 −
+        # horizon_us − 999, and suppression needs p_us >= anchor_us.
+        floor_us = wm_ms * 1000 - horizon_us - 999
+        purchases = [p for p in purchases if p >= floor_us]
+        state.update(
+            (
+                [u for u, _ in pending],
+                [i for _, i in pending],
+                purchases,
+            )
+        )
+        if pending:
+            state.setTimeoutTimestamp(
+                max(
+                    min((u + horizon_us) // 1000 for u, _ in pending),
+                    wm_ms + 1,
+                )
+            )
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in emitted],
+                "click_event": [r[1] for r in emitted],
+            }
+        )
+
+    return handler
+
+
+@query(
+    "pattern_detect_notfollowedby_stream",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN CURRENT ROW AND INTERVAL 6 HOUR FOLLOWING
+             ) AS purchases_6h
+      FROM events
+    )
+    SELECT user_id, event_id AS click_event
+    FROM flagged
+    WHERE event_type = 'click' AND purchases_6h = 0
+      AND (epoch_us(ts) + 21600000000) // 1000
+          < epoch_us((SELECT MAX(ts) FROM events
+                      WHERE event_type IN ('click', 'purchase'))) // 1000
+            - 600000
+    """,
+)
+def pattern_detect_notfollowedby_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_detect_notfollowedby — abandoned
+    clicks (no same-user purchase in the following 6 h) detected
+    INCREMENTALLY, the Flink ``notFollowedBy(..).within(6h)`` pending
+    NFA state (round 12; the one CEP shape the compiled run-fold
+    automaton cannot express, because the match is declared by
+    ABSENCE and must wait for the watermark to prove it).
+
+    A click becomes a pending candidate on arrival; an event-time
+    timer at its horizon (click_ts + 6 h) resolves it once the
+    watermark passes — suppressed if any purchase landed inside the
+    frame, emitted otherwise. Purchases retain for horizon +
+    watermark-delay then evict, so per-key state is O(events in 6 h +
+    10 min), Flink's bound for a within-bounded negation. The oracle
+    is the batch key's zero-count SQL plus the ms-aligned
+    horizon-closed-before-final-watermark filter (a strict ``<``: see
+    :func:`compile_absence_stream` for the tie argument — this is the
+    absence analogue of the run-fold keys' ``<=`` anchor filter).
+
+    Scale: irrelevant classes are filtered BEFORE the keyed shuffle
+    (predicate reaches the file-source scan), so only click/purchase
+    rows shuffle — and the watermark is declared AFTER the filter, so
+    it advances on the max of the rows the operator actually sees.
+    (Declaring it before the filter is NOT equivalent-but-safer:
+    Catalyst pushes the class predicate below EventTimeWatermark, so
+    the stats node measures filtered rows anyway while the oracle
+    would be keyed to the unfiltered MAX(ts) — a 1-row tail mismatch
+    observed at sf0.01. Explicit placement makes the semantics the
+    oracle mirrors — ``MAX(ts) over click/purchase`` — deterministic
+    rather than an optimizer artifact.) One shuffle on user_id, no
+    joins, no window state.
+    """
+    ev = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "10 minutes")
+    )
+    handler = compile_absence_stream("click", "purchase", 6 * 3600 * 1_000_000)
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        handler,
+        outputStructType=ABSENCE_OUT_SCHEMA,
+        stateStructType=ABSENCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")

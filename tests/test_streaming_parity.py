@@ -1197,3 +1197,121 @@ def test_afterskip_stream_enumerates_submatches_across_batches(
         for r in out.collect()
     }
     assert got == {(1, 3, 1, 2), (1, 3, 1, 3), (1, 3, 2, 2)}, got
+
+
+def _run_absence_split_stream(spark, d):
+    """Replay part_*.parquet files in `d` one per micro-batch through
+    the absence automaton — the same pipeline
+    pattern_detect_notfollowedby_stream builds (filter BEFORE the
+    watermark declaration), pointed at a split directory."""
+    from flink_large_window_spark.streaming.cep_stream import (
+        ABSENCE_OUT_SCHEMA,
+        ABSENCE_STATE_SCHEMA,
+        compile_absence_stream,
+    )
+    from flink_large_window_spark.streaming.streams import run_to_memory
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = (
+        stream.filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "10 minutes")
+    )
+    handler = compile_absence_stream(
+        "click", "purchase", 6 * 3600 * 1_000_000
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        handler,
+        outputStructType=ABSENCE_OUT_SCHEMA,
+        stateStructType=ABSENCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")
+
+
+def test_absence_stream_parity(spark):
+    """Streaming notFollowedBy (absence CEP): the pending-state
+    automaton must emit EXACTLY the batch key's abandoned clicks whose
+    6h horizon the final watermark STRICTLY passed — where the final
+    watermark is driven by the max click/purchase timestamp (the
+    automaton filters classes before declaring the watermark), not the
+    global event max."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    batch = {
+        (r["user_id"], r["click_event"]): r
+        for r in REGISTRY["pattern_detect_notfollowedby"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    # horizon timestamps come from the events table directly
+    ev = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    wm_ms = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .agg(F.max(F.unix_micros("ts"))).collect()[0][0] // 1000
+        - 600_000
+    )
+    horizon = {
+        (r["user_id"], r["event_id"]): r["us"]
+        for r in ev.filter("event_type = 'click'")
+        .select("user_id", "event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    expected = {
+        k
+        for k in batch
+        if (horizon[k] + 21_600_000_000) // 1000 < wm_ms
+    }
+    got = {
+        (r["user_id"], r["click_event"])
+        for r in REGISTRY["pattern_detect_notfollowedby_stream"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == expected, (
+        f"extra: {sorted(got - expected)[:3]} "
+        f"missing: {sorted(expected - got)[:3]}"
+    )
+    assert got, "no abandoned clicks emitted — timers never fired"
+
+
+def test_absence_stream_multibatch(spark, tmp_path):
+    """The discriminating cases for streaming negation, split across
+    micro-batches: (uid 1) the suppressing purchase arrives a BATCH
+    LATER than its click — the pending candidate must die, not emit;
+    (uid 2) no purchase ever arrives and the key goes silent — the
+    event-time timer must resolve and emit it; (uid 3) a purchase 1
+    minute OUTSIDE the 6h horizon must not suppress; (uid 4) a
+    purchase at EXACTLY click+6h is inside the inclusive RANGE frame
+    — suppressed; (uid 5) a tail click whose horizon the final
+    watermark never passes must stay pending and emit nothing."""
+    d = _write_batches(
+        tmp_path,
+        [
+            _event_row(1, 0, 1, "click"),
+            _event_row(2, 0, 3, "click"),
+            _event_row(3, 5, 4, "click"),
+            _event_row(4, 10, 6, "click"),
+        ],
+        [
+            _event_row(1, 30, 2, "purchase"),
+            _event_row(4, 370, 7, "purchase"),  # == click@10 + 6h
+        ],
+        [
+            _event_row(3, 366, 5, "purchase"),  # 1 min past horizon
+            _event_row(5, 800, 9, "click"),  # wm driver; own horizon open
+        ],
+    )
+    out = _run_absence_split_stream(spark, str(d))
+    got = {(r["user_id"], r["click_event"]) for r in out.collect()}
+    assert got == {(2, 3), (3, 4)}, got
