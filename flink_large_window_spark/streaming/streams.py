@@ -1657,3 +1657,138 @@ def stream_rule_update_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select(
         "w_start", "event_type", F.col("revenue").cast("double").alias("revenue")
     )
+
+
+#: window_topn_stream keyed state: the per-window leaderboard —
+#: parallel (user, count) arrays, merged vectorized per micro-batch.
+_TOPN_STATE_SCHEMA = StructType(
+    [
+        StructField("users", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+_TOPN_OUT_SCHEMA = StructType(
+    [
+        StructField("d_start", StringType()),
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+        StructField("rn", IntegerType()),
+    ]
+)
+
+
+@query(
+    "window_topn_stream",
+    oracle="""
+    SELECT d_start, user_id, n, rn FROM (
+      SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)
+               AS d_start,
+             user_id, COUNT(*) AS n,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY date_trunc('day', ts)
+               ORDER BY COUNT(*) DESC, user_id ASC
+             ) AS INTEGER) AS rn
+      FROM events
+      GROUP BY date_trunc('day', ts), user_id
+    )
+    WHERE rn <= 2
+      AND epoch_us(CAST(d_start AS TIMESTAMP)) // 1000 + 86400000
+          <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
+    """,
+)
+def window_topn_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of window_topn — Flink SQL's *window Top-N*
+    (``ROW_NUMBER() OVER (PARTITION BY window ...)`` + ``rn <= N``),
+    which Spark cannot express natively on a stream (window functions
+    are unsupported in streaming queries): top-2 users by event count
+    per day, emitted ONCE per day-window when the watermark closes it.
+
+    Incremental shape: keyed state per day-window holds the running
+    per-user leaderboard (parallel (user, count) arrays, merged
+    VECTORIZED from each micro-batch's pandas chunk — no per-row
+    Python), and an event-time timer at the window end emits the
+    ranked top-2 then removes the state — exactly Flink's WindowRank
+    operator: accumulate per (window, user), fire at
+    ``watermark >= window_end``, one emission per window. Late rows
+    cannot resurrect an emitted window: a day-D row with
+    ``ts_ms >= wm_ms >= end_ms(D)`` is impossible (``ts < end ≤ wm``
+    is exactly Spark's late-drop contract), so remove() is safe.
+
+    Scale: state per key is O(distinct users in the window) — the
+    same bound Flink's WindowRank keeps — NOT O(events); counts
+    pre-reduce vectorized per batch. The keyed shuffle concentrates
+    one day per task, also Flink's layout for a PARTITION BY
+    window-only rank; with a secondary partition key (Flink's
+    ``PARTITION BY window, key``) the same handler shards by
+    (window, key). The oracle is the batch key's rank SQL plus the
+    ms-aligned window-closed-before-final-watermark filter
+    (``end_ms <= final_wm_ms`` — the timer arms at ``end_ms − 1``,
+    firing once the watermark reaches the end, the same boundary the
+    built-in windowed aggregation emits at: its twin's oracle uses
+    the equivalent strict ``<`` at µs precision).
+    """
+    ev = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select(F.date_trunc("day", "ts").alias("d_start"), "user_id", "ts")
+    )
+    return run_topn_stream(spark, ev)
+
+
+def compile_topn_stream(n: int = 2, window_ms: int = 86_400_000):
+    """Handler for the per-window top-N leaderboard (module-level so
+    the multi-batch pytest can replay a split directory through the
+    EXACT operator the registered key runs)."""
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        start = pd.Timestamp(key[0])
+        end_ms = start.value // 1_000_000 + window_ms
+        wm_ms = state.getCurrentWatermarkMs()
+        counts: dict[int, int] = {}
+        if state.exists:
+            users, ns = state.get
+            counts = dict(zip((int(u) for u in users), (int(c) for c in ns)))
+        if not state.hasTimedOut:
+            for chunk in pdfs:
+                for uid, c in chunk.groupby("user_id").size().items():
+                    counts[int(uid)] = counts.get(int(uid), 0) + int(c)
+        if state.hasTimedOut or wm_ms >= end_ms:
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(
+                {
+                    "d_start": [f"{start:%Y-%m-%d %H:%M:%S}"] * len(top),
+                    "user_id": [u for u, _ in top],
+                    "n": [c for _, c in top],
+                    "rn": list(range(1, len(top) + 1)),
+                }
+            )
+            return
+        state.update(
+            ([u for u in counts], [counts[u] for u in counts])
+        )
+        state.setTimeoutTimestamp(max(end_ms - 1, wm_ms + 1))
+        yield pd.DataFrame(
+            {"d_start": [], "user_id": [], "n": [], "rn": []}
+        )
+
+    return handler
+
+
+def run_topn_stream(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Keyed top-N operator over a prepared (d_start, user_id, ts)
+    stream (``ts`` stays in the projection solely to carry the
+    watermark attribute to the stateful operator — dropping it raises
+    "Event-time timeout not supported without watermark")."""
+    result = ev.groupBy("d_start").applyInPandasWithState(
+        compile_topn_stream(),
+        outputStructType=_TOPN_OUT_SCHEMA,
+        stateStructType=_TOPN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")

@@ -1315,3 +1315,76 @@ def test_absence_stream_multibatch(spark, tmp_path):
     out = _run_absence_split_stream(spark, str(d))
     got = {(r["user_id"], r["click_event"]) for r in out.collect()}
     assert got == {(2, 3), (3, 4)}, got
+
+
+
+def test_window_topn_stream_multibatch(spark, max_ts, tmp_path):
+    """Window Top-N across micro-batches: a day window whose events
+    straddle batch files must accumulate its leaderboard in state and
+    emit ONE ranked top-2 when a later batch's watermark closes it
+    (timer firing on a batch where the window's key is silent); the
+    final never-closed day must emit nothing. Expected = the batch
+    window_topn filtered to windows the final watermark closed."""
+    import os
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark.registry import REGISTRY
+    from flink_large_window_spark.streaming.streams import (
+        run_topn_stream,
+    )
+
+    src = os.path.join(SF_SMOKE, "events.parquet")
+    t = pq.read_table(src)
+    ts_series = t["ts"].to_pandas()
+    order = ts_series.sort_values().index
+    d = str(tmp_path)
+    lo = ts_series.min() - pd.Timedelta(seconds=1)
+    n_files = 3
+    for part in range(n_files):
+        hi_idx = min(len(order) * (part + 1) // n_files, len(order)) - 1
+        hi = ts_series.iloc[order[hi_idx]]
+        mask = (ts_series > lo) & (ts_series <= hi)
+        if part > 0:
+            _time.sleep(1.1)
+        pq.write_table(
+            t.filter(mask.values),
+            os.path.join(d, f"part_{part:03d}.parquet"),
+        )
+        lo = hi
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = (
+        stream.withWatermark("ts", "10 minutes")
+        .select(F.date_trunc("day", "ts").alias("d_start"), "user_id", "ts")
+    )
+    out = run_topn_stream(spark, ev)
+    got = {
+        (r["d_start"], r["user_id"], r["n"], r["rn"]) for r in out.collect()
+    }
+    day_ms = 86_400_000
+    wm_ms = _us((max_ts.replace(tzinfo=None) - WM).isoformat(sep=" ")) // 1000
+    expected = {
+        (r["d_start"], r["user_id"], r["n"], r["rn"])
+        for r in REGISTRY["window_topn"](spark, SF_SMOKE).collect()
+        if _us(r["d_start"]) // 1000 + day_ms <= wm_ms
+    }
+    assert got == expected, (
+        f"extra: {sorted(got - expected)[:3]} "
+        f"missing: {sorted(expected - got)[:3]}"
+    )
+    # the tail day must be excluded (never closed by the watermark)
+    open_days = {
+        r["d_start"]
+        for r in REGISTRY["window_topn"](spark, SF_SMOKE).collect()
+        if _us(r["d_start"]) // 1000 + day_ms > wm_ms
+    }
+    assert open_days, "fixture lost its open tail day"
+    assert not {g[0] for g in got} & open_days
