@@ -245,9 +245,16 @@ DRIVER_CHECKED: frozenset[str] = (
 # the 13 remaining streaming twins (r11 evidence; streams.py churned
 # for the TTL machine; stream_checkpoint_restart and
 # stream_rule_update_enrich deferred, see RECHECK_DEFERRALS).
-# Exactly 50.
+# Exactly 50. Late-r12 continuation: the two NEW never-stamped keys
+# (streaming negation + streaming window Top-N) join the leads,
+# displacing the two stream-stream outer twins to RECHECK_DEFERRALS
+# (r11 evidence — the freshest streaming class — and append-only
+# post-stamp churn).
 RECHECK_KEYS: tuple[str, ...] = (
     # never-stamped round-12 keys (leads)
+    "pattern_detect_notfollowedby_stream",
+    "window_topn_stream",
+    "window_count_tumbling_stream",
     "pattern_detect_value_guard",
     "pattern_match_optional",
     "pattern_match_afterskip",
@@ -302,9 +309,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     "window_session_agg_stream",
     "window_sliding_agg_stream",
     "window_early_fire_stream",
-    "join_window_tumbling_stream",
-    "stream_stream_left_outer",
-    "stream_stream_full_outer",
 )
 
 PRIORITY_EXTRAS: tuple[str, ...] = (
@@ -441,6 +445,23 @@ RECHECK_DEFERRALS: dict[str, str] = {
         "same shape as stream_checkpoint_restart — r11 evidence,"
         " append-only streams.py churn, own text unchanged; displaced"
         " by the pattern_match_afterskip_stream lead — recheck r13"
+    ),
+    "stream_stream_left_outer": (
+        "r11 evidence (freshest streaming class); post-stamp"
+        " streams.py churn is append-only (TTL machine + the round-12"
+        " window_topn_stream addition) and its own text is unchanged;"
+        " displaced by the pattern_detect_notfollowedby_stream lead"
+        " — recheck r13"
+    ),
+    "stream_stream_full_outer": (
+        "same shape as stream_stream_left_outer — r11 evidence,"
+        " append-only streams.py churn, own text unchanged; displaced"
+        " by the window_topn_stream lead — recheck r13"
+    ),
+    "join_window_tumbling_stream": (
+        "same shape as stream_stream_left_outer — r11 evidence,"
+        " append-only streams.py churn, own text unchanged; displaced"
+        " by the window_count_tumbling_stream lead — recheck r13"
     ),
 }
 

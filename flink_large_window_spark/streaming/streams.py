@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -1788,6 +1789,190 @@ def run_topn_stream(spark: SparkSession, ev: DataFrame) -> DataFrame:
         compile_topn_stream(),
         outputStructType=_TOPN_OUT_SCHEMA,
         stateStructType=_TOPN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")
+
+
+#: window_count_tumbling_stream keyed state: the open window's
+#: accumulators plus the watermark buffer (events not yet folded, in
+#: arrival order; folded into event-time order once the watermark
+#: passes them — same rule as the CEP automata).
+_COUNTWIN_STATE_SCHEMA = StructType(
+    [
+        StructField("next_idx", LongType()),
+        StructField("cnt", LongType()),
+        StructField("min_id", LongType()),
+        StructField("max_id", LongType()),
+        StructField("sum_val", DoubleType()),
+        StructField("buf_us", ArrayType(LongType())),
+        StructField("buf_id", ArrayType(LongType())),
+        StructField("buf_val", ArrayType(DoubleType())),
+    ]
+)
+
+_COUNTWIN_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("window_idx", LongType()),
+        StructField("n", LongType()),
+        StructField("first_event", LongType()),
+        StructField("last_event", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def compile_countwindow_stream(size: int = 5):
+    """Handler for count-tumbling windows (Flink ``countWindow(n)``):
+    per key, every ``size`` consecutive events in event-time order
+    form one window, emitted the moment its completing event FOLDS
+    (i.e. once the watermark passes it — count windows depend on the
+    per-key event ORDER, so arrivals buffer until the watermark
+    proves their position is final, exactly the CEP automata's rule).
+    Partial windows never fire — Flink's countWindow contract — so
+    the bounded-replay tail stays in state and the oracle filter is
+    ``COUNT(*) = size AND last-event-ms <= final_wm_ms``."""
+    nan = float("nan")
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            next_idx, cnt, min_id, max_id, sum_val, b_us, b_id, b_val = (
+                state.get
+            )
+            buf = [
+                (int(u), int(i), None if v != v else float(v))
+                for u, i, v in zip(b_us, b_id, b_val)
+            ]
+            sum_val = None if sum_val != sum_val else float(sum_val)
+        else:
+            next_idx = cnt = 0
+            min_id = max_id = 0
+            sum_val = None
+            buf = []
+        wm_ms = state.getCurrentWatermarkMs()
+        if not state.hasTimedOut:
+            for chunk in pdfs:
+                for ts, eid, val in zip(
+                    chunk["ts"], chunk["event_id"], chunk["value"]
+                ):
+                    buf.append(
+                        (
+                            int(ts.value) // 1_000,
+                            int(eid),
+                            None if pd.isna(val) else float(val),
+                        )
+                    )
+        ready = sorted(
+            (e for e in buf if e[0] // 1000 <= wm_ms),
+            key=lambda e: (e[0], e[1]),
+        )
+        hold = [e for e in buf if e[0] // 1000 > wm_ms]
+        out = []
+        for _us_, eid, val in ready:
+            cnt += 1
+            min_id = eid if cnt == 1 else min(min_id, eid)
+            max_id = eid if cnt == 1 else max(max_id, eid)
+            if val is not None:
+                sum_val = val if sum_val is None else sum_val + val
+            if cnt == size:
+                out.append(
+                    (
+                        key[0],
+                        next_idx,
+                        cnt,
+                        min_id,
+                        max_id,
+                        None if sum_val is None else round(sum_val, 4),
+                    )
+                )
+                next_idx += 1
+                cnt = 0
+                sum_val = None
+        state.update(
+            (
+                next_idx,
+                cnt,
+                min_id,
+                max_id,
+                nan if sum_val is None else sum_val,
+                [e[0] for e in hold],
+                [e[1] for e in hold],
+                [nan if e[2] is None else e[2] for e in hold],
+            )
+        )
+        if hold:
+            state.setTimeoutTimestamp(
+                max(min(e[0] for e in hold) // 1000 - 1, wm_ms + 1)
+            )
+        yield pd.DataFrame(
+            {
+                c: [r[i] for r in out]
+                for i, c in enumerate(
+                    [f.name for f in _COUNTWIN_OUT_SCHEMA.fields]
+                )
+            }
+        )
+
+    return handler
+
+
+@query(
+    "window_count_tumbling_stream",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, ts, event_id, value,
+             (ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id) - 1) // 5
+               AS window_idx
+      FROM events
+    )
+    SELECT user_id,
+           CAST(window_idx AS BIGINT)  AS window_idx,
+           COUNT(*)                    AS n,
+           MIN(event_id)               AS first_event,
+           MAX(event_id)               AS last_event,
+           ROUND(SUM(value), 4)        AS sum_value
+    FROM numbered GROUP BY user_id, window_idx
+    HAVING COUNT(*) = 5
+       AND epoch_us(MAX(ts)) // 1000
+           <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
+    """,
+)
+def window_count_tumbling_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of window_count_tumbling — Flink
+    ``countWindow(5)`` detected incrementally. Count windows are
+    ORDER-dependent (the window an event lands in is its per-key
+    event-time position ÷ 5), so unlike the time-window twins this
+    needs the CEP automata's watermark-buffer rule: arrivals buffer
+    in state and fold in (ts, event_id) order only once the watermark
+    passes them; a window emits the moment its 5th event folds.
+    Partial windows never fire (Flink's countWindow contract — the
+    bounded-replay tail stays in state), which is what the oracle's
+    ``COUNT(*) = 5 AND last-event-ms <= final_wm_ms`` filter encodes
+    against the batch key's row_number ÷ 5 SQL.
+
+    Scale: per-key state is the open window's accumulators (5 scalars)
+    plus O(events inside the watermark delay) buffered — the same
+    bound as Flink's count-window state (a count trigger + window
+    buffer); one shuffle on user_id, vectorized Arrow ingestion, no
+    joins. The same ms-tie residual hazard as the CEP fold applies
+    and is covered by the multibatch ordering pytest.
+    """
+    ev = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        compile_countwindow_stream(),
+        outputStructType=_COUNTWIN_OUT_SCHEMA,
+        stateStructType=_COUNTWIN_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -1388,3 +1388,156 @@ def test_window_topn_stream_multibatch(spark, max_ts, tmp_path):
     }
     assert open_days, "fixture lost its open tail day"
     assert not {g[0] for g in got} & open_days
+
+
+def _run_countwin_split_stream(spark, d):
+    """Replay part_*.parquet files in `d` one per micro-batch through
+    the count-window automaton — the same pipeline
+    window_count_tumbling_stream builds, pointed at a split dir."""
+    from flink_large_window_spark.streaming.streams import (
+        _COUNTWIN_OUT_SCHEMA,
+        _COUNTWIN_STATE_SCHEMA,
+        compile_countwindow_stream,
+        run_to_memory,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = (
+        "user_id long, ts timestamp, event_id long, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = stream.withWatermark("ts", "10 minutes").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        compile_countwindow_stream(),
+        outputStructType=_COUNTWIN_OUT_SCHEMA,
+        stateStructType=_COUNTWIN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")
+
+
+def test_countwindow_stream_multibatch_and_order(spark, tmp_path):
+    """Count windows across micro-batches: (uid 1) a 5-event window
+    straddling the file boundary must keep its accumulators in state
+    and emit when the 5th event folds; (uid 2) an event arriving a
+    BATCH LATER than newer same-key events, while inside the
+    watermark, must still land in its event-time POSITION — the
+    window's membership (and min/max/sum) must be identical to the
+    batch order, not arrival order; (uid 3) a 3-event partial tail
+    must never fire."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def row(uid, minutes, eid, val):
+        return {
+            "user_id": uid,
+            "ts": t0 + dt.timedelta(minutes=minutes),
+            "event_id": eid,
+            "value": val,
+        }
+
+    schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("event_id", pa.int64()),
+            pa.field("value", pa.float64()),
+        ]
+    )
+    batches = [
+        # batch 1: uid1 gets 3 of 5; uid2 gets positions 0,2,3 (pos 1
+        # arrives later); uid3 partial
+        [
+            row(1, 0, 10, 1.0), row(1, 1, 11, 2.0), row(1, 2, 12, 3.0),
+            row(2, 0, 20, 1.0), row(2, 2, 22, 4.0), row(2, 3, 23, 8.0),
+            row(3, 0, 30, 1.0), row(3, 1, 31, 1.0), row(3, 2, 32, 1.0),
+        ],
+        # batch 2 (max ts 9min -> wm still below all of batch 1+2):
+        # uid2's POSITION-1 event arrives late-but-in-watermark; uid1
+        # completes its window positionally
+        [
+            row(2, 1, 21, 2.0),  # out-of-order arrival, ts=1min
+            row(1, 3, 13, 4.0), row(1, 4, 14, 5.0),
+            row(2, 4, 24, 16.0),
+        ],
+        # batch 3: watermark driver far in the future closes everything
+        [row(9, 1000, 99, 0.0)],
+    ]
+    d = str(tmp_path)
+    for i, b in enumerate(batches):
+        if i > 0:
+            _time.sleep(1.1)
+        pq.write_table(
+            pa.Table.from_pylist(b, schema=schema),
+            os.path.join(d, f"part_{i:03d}.parquet"),
+        )
+    out = _run_countwin_split_stream(spark, d)
+    got = {
+        (
+            r["user_id"], r["window_idx"], r["n"],
+            r["first_event"], r["last_event"], r["sum_value"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0, 5, 10, 14, 15.0),
+        # uid2's window is the event-TIME first five: 20,21,22,23,24
+        (2, 0, 5, 20, 24, 31.0),
+    }, got
+    # uid3's partial window and uid9's single event never fire
+    assert not any(u in (3, 9) for u, *_ in got)
+
+
+def test_countwindow_stream_parity(spark, max_ts):
+    """Full-fixture parity: the streaming count windows must equal the
+    batch key's COMPLETE windows whose closing event the final
+    watermark passed (positional pandas reference, same ms boundary
+    as the oracle filter)."""
+    import numpy as np
+
+    from flink_large_window_spark.registry import REGISTRY
+
+    ev = spark.read.parquet(SF_SMOKE + "/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    pdf = ev.select("user_id", "ts", "event_id", "value").toPandas()
+    pdf = pdf.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    pdf["pos"] = pdf.groupby("user_id").cumcount()
+    pdf["window_idx"] = pdf["pos"] // 5
+    pdf["us"] = pdf["ts"].astype("int64") // 1000
+    wm_ms = int(pdf["us"].max()) // 1000 - 600_000
+    g = pdf.groupby(["user_id", "window_idx"]).agg(
+        n=("event_id", "size"),
+        first_event=("event_id", "min"),
+        last_event=("event_id", "max"),
+        sum_value=("value", "sum"),
+        last_ms=("us", lambda s: int(s.max()) // 1000),
+    )
+    g = g[(g["n"] == 5) & (g["last_ms"] <= wm_ms)]
+    expected = {
+        (int(u), int(w), int(r.n), int(r.first_event), int(r.last_event),
+         round(float(r.sum_value), 4))
+        for (u, w), r in g.iterrows()
+    }
+    got = {
+        (r["user_id"], r["window_idx"], r["n"], r["first_event"],
+         r["last_event"], round(r["sum_value"], 4))
+        for r in REGISTRY["window_count_tumbling_stream"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == expected
+    assert got

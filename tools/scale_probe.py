@@ -156,6 +156,11 @@ FAMILIES = {
             "pattern_match_optional_stream",
             "pattern_match_afterskip_stream",
             "stateful_session_ttl_stream",
+            # late round 12: streaming negation (pending-state absence
+            # automaton) and the WindowRank-style window Top-N
+            "pattern_detect_notfollowedby_stream",
+            "window_topn_stream",
+            "window_count_tumbling_stream",
         ],
     },
 }
