@@ -255,6 +255,7 @@ RECHECK_KEYS: tuple[str, ...] = (
     "pattern_detect_notfollowedby_stream",
     "window_topn_stream",
     "window_count_tumbling_stream",
+    "window_session_dynamic_gap_stream",
     "pattern_detect_value_guard",
     "pattern_match_optional",
     "pattern_match_afterskip",
@@ -308,7 +309,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     "window_tumbling_agg_stream",
     "window_session_agg_stream",
     "window_sliding_agg_stream",
-    "window_early_fire_stream",
 )
 
 PRIORITY_EXTRAS: tuple[str, ...] = (
@@ -462,6 +462,11 @@ RECHECK_DEFERRALS: dict[str, str] = {
         "same shape as stream_stream_left_outer — r11 evidence,"
         " append-only streams.py churn, own text unchanged; displaced"
         " by the window_count_tumbling_stream lead — recheck r13"
+    ),
+    "window_early_fire_stream": (
+        "same shape as stream_stream_left_outer — r11 evidence,"
+        " append-only streams.py churn, own text unchanged; displaced"
+        " by the window_session_dynamic_gap_stream lead — recheck r13"
     ),
 }
 

@@ -1977,3 +1977,79 @@ def window_count_tumbling_stream(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return run_to_memory(spark, result, mode="append")
+
+
+@query(
+    "window_session_dynamic_gap_stream",
+    oracle="""
+    WITH gapped AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             CASE event_type WHEN 'click' THEN 1800000000
+                             WHEN 'view'  THEN 3600000000
+                             ELSE 900000000 END AS gap_us
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, us, gap_us,
+             CASE WHEN us >= MAX(us + gap_us) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) OR MAX(us + gap_us) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) IS NULL THEN 1 ELSE 0 END AS is_new
+      FROM gapped
+    ), sessions AS (
+      SELECT user_id, us, gap_us,
+             SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(make_timestamp(MIN(us)) AS VARCHAR)          AS s_start,
+           CAST(make_timestamp(MAX(us + gap_us)) AS VARCHAR) AS s_end,
+           COUNT(*)                                          AS n_events
+    FROM sessions
+    GROUP BY user_id, sess_id
+    HAVING make_timestamp(MAX(us + gap_us))
+           < (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+)
+def window_session_dynamic_gap_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of window_session_dynamic_gap — per-event
+    inactivity gaps (click 30 min / view 60 min / else 15 min;
+    Flink's ``SessionWindowTimeGapExtractor``) through Spark's
+    NATIVE dynamic-gap ``session_window`` in append mode, which
+    merges overlapping panes incrementally in state and emits each
+    merged session once the watermark passes its end. The oracle is
+    the batch key's running-max island SQL (a deliberately different
+    formulation of the merge rule) plus the same strict
+    closed-before-final-watermark filter window_session_agg_stream
+    uses — so the hash check pins Spark's incremental merge against
+    an independent derivation under streaming emission semantics.
+
+    Scale: one keyed shuffle; state per key is one interval per open
+    session (merge is incremental), evicted at emission — identical
+    to the fixed-gap twin's bound; the gap CASE is a row-local
+    expression fused into the scan projection.
+    """
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    gap = (
+        F.when(F.col("event_type") == "click", "30 minutes")
+        .when(F.col("event_type") == "view", "60 minutes")
+        .otherwise("15 minutes")
+    )
+    agg = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("string").alias("s_start"),
+            F.col("w.end").cast("string").alias("s_end"),
+            "n_events",
+        )
+    )
+    return run_to_memory(spark, agg, mode="append")

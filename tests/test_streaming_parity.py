@@ -1541,3 +1541,27 @@ def test_countwindow_stream_parity(spark, max_ts):
     }
     assert got == expected
     assert got
+
+
+def test_session_dynamic_gap_parity(spark, max_ts):
+    """Dynamic-gap sessions: the streaming twin's emissions must be a
+    subset of the batch key's sessions, and every session whose end
+    the final watermark passed must emit — same sandwich as the
+    fixed-gap parity, but through the dynamic-gap merge rule (the
+    per-event gap CASE must produce identical merges incrementally)."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    batch = REGISTRY["window_session_dynamic_gap"](spark, SF_SMOKE)
+    stream = REGISTRY["window_session_dynamic_gap_stream"](spark, SF_SMOKE)
+    cols = ["user_id", "s_start", "s_end", "n_events"]
+    b, s = _rows(batch, cols), _rows(stream, cols)
+    assert s <= b, f"stream sessions not in batch: {sorted(s - b)[:3]}"
+    closed = {
+        r
+        for r in b
+        if dt.datetime.fromisoformat(r[2]) < max_ts.replace(tzinfo=None) - WM
+    }
+    assert closed == s, (
+        f"missing: {sorted(closed - s)[:3]} extra: {sorted(s - closed)[:3]}"
+    )
+    assert s

@@ -161,6 +161,7 @@ FAMILIES = {
             "pattern_detect_notfollowedby_stream",
             "window_topn_stream",
             "window_count_tumbling_stream",
+            "window_session_dynamic_gap_stream",
         ],
     },
 }
