@@ -256,6 +256,7 @@ RECHECK_KEYS: tuple[str, ...] = (
     "window_topn_stream",
     "window_count_tumbling_stream",
     "window_session_dynamic_gap_stream",
+    "join_asof_stream",
     "pattern_detect_value_guard",
     "pattern_match_optional",
     "pattern_match_afterskip",
@@ -308,7 +309,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     "watermark_dedup_stream",
     "window_tumbling_agg_stream",
     "window_session_agg_stream",
-    "window_sliding_agg_stream",
 )
 
 PRIORITY_EXTRAS: tuple[str, ...] = (
@@ -467,6 +467,11 @@ RECHECK_DEFERRALS: dict[str, str] = {
         "same shape as stream_stream_left_outer — r11 evidence,"
         " append-only streams.py churn, own text unchanged; displaced"
         " by the window_session_dynamic_gap_stream lead — recheck r13"
+    ),
+    "window_sliding_agg_stream": (
+        "same shape as stream_stream_left_outer — r11 evidence,"
+        " append-only streams.py churn, own text unchanged; displaced"
+        " by the join_asof_stream lead — recheck r13"
     ),
 }
 

@@ -2053,3 +2053,161 @@ def window_session_dynamic_gap_stream(
         )
     )
     return run_to_memory(spark, agg, mode="append")
+
+
+#: join_asof_stream keyed state: the settled side compressed to ONE
+#: (ts, id) version plus the in-watermark click buffer and the
+#: pending errors — Flink's temporal-join state exactly (latest
+#: version + in-flight buffer). -1 sentinels = "no settled click".
+_ASOF_STATE_SCHEMA = StructType(
+    [
+        StructField("best_old_us", LongType()),
+        StructField("best_old_id", LongType()),
+        StructField("click_us", ArrayType(LongType())),
+        StructField("click_id", ArrayType(LongType())),
+        StructField("err_us", ArrayType(LongType())),
+        StructField("err_id", ArrayType(LongType())),
+    ]
+)
+
+_ASOF_OUT_SCHEMA = StructType(
+    [
+        StructField("error_id", LongType()),
+        StructField("click_id", LongType()),
+    ]
+)
+
+
+def compile_asof_stream():
+    """Handler for the streaming as-of join (each error paired with
+    the nearest prior-or-equal click of its key).
+
+    Resolution rule: an error settles once ``e_ms < wm_ms`` (STRICT) —
+    any not-yet-arrived click has ``c_ms >= wm_ms > e_ms``, hence
+    ``c_us >= wm_ms·1000 > e_us`` — strictly after the error, so the
+    match set is complete. Click-buffer compression: once the
+    watermark passes a click, only the MAX (ts, id) among passed
+    clicks can ever win for a future or pending error (both have
+    ``ts_us >= wm_ms·1000``), so the settled side collapses to one
+    version — the temporal-join state bound."""
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bo_us, bo_id, c_us, c_id, e_us, e_id = state.get
+            best = (int(bo_us), int(bo_id)) if int(bo_us) >= 0 else None
+            clicks = [(int(u), int(i)) for u, i in zip(c_us, c_id)]
+            errors = [(int(u), int(i)) for u, i in zip(e_us, e_id)]
+        else:
+            best, clicks, errors = None, [], []
+        wm_ms = state.getCurrentWatermarkMs()
+        if not state.hasTimedOut:
+            for chunk in pdfs:
+                for ts, eid, cls in zip(
+                    chunk["ts"], chunk["event_id"], chunk["event_type"]
+                ):
+                    us = int(ts.value) // 1_000
+                    if cls == "click":
+                        clicks.append((us, int(eid)))
+                    else:
+                        errors.append((us, int(eid)))
+        out, pending = [], []
+        for us, eid in errors:
+            if us // 1000 < wm_ms:
+                cand = [c for c in clicks if c[0] <= us]
+                if best is not None:
+                    cand.append(best)
+                m = max(cand) if cand else None
+                out.append((eid, None if m is None else m[1]))
+            else:
+                pending.append((us, eid))
+        floor_us = wm_ms * 1000
+        settled = [c for c in clicks if c[0] < floor_us]
+        if settled:
+            top = max(settled)
+            best = top if best is None else max(best, top)
+        clicks = [c for c in clicks if c[0] >= floor_us]
+        state.update(
+            (
+                -1 if best is None else best[0],
+                -1 if best is None else best[1],
+                [u for u, _ in clicks],
+                [i for _, i in clicks],
+                [u for u, _ in pending],
+                [i for _, i in pending],
+            )
+        )
+        if pending:
+            state.setTimeoutTimestamp(
+                max(min(u for u, _ in pending) // 1000, wm_ms + 1)
+            )
+        yield pd.DataFrame(
+            {
+                "error_id": [r[0] for r in out],
+                "click_id": pd.array(
+                    [r[1] for r in out], dtype="Int64"
+                ),
+            }
+        )
+
+    return handler
+
+
+@query(
+    "join_asof_stream",
+    oracle="""
+    SELECT error_id, click_id FROM (
+      SELECT e.event_id AS error_id, c.event_id AS click_id,
+             epoch_us(e.ts) AS e_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.event_id
+               ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST
+             ) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'error') e
+      LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON c.user_id = e.user_id AND c.ts <= e.ts
+    ) WHERE rn = 1
+      AND e_us // 1000
+          < epoch_us((SELECT MAX(ts) FROM events
+                      WHERE event_type IN ('click', 'error'))) // 1000
+            - 600000
+    """,
+)
+def join_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of join_asof — the event-time TEMPORAL join
+    (Flink's ``FOR SYSTEM_TIME AS OF`` / KeyedCoProcessFunction
+    pattern): each error pairs with the nearest prior-or-equal click
+    of its user, emitted once the watermark proves no earlier click
+    can still arrive. Spark's stream-stream joins cannot express
+    "nearest prior" (no ordering inside the join condition), so the
+    twin runs the union-tag state machine: both classes flow through
+    one keyed handler; errors settle when ``e_ms < wm_ms``
+    (:func:`compile_asof_stream` for the strictness argument); the
+    click side compresses to Flink's exact temporal-join state —
+    the LATEST settled (ts, id) version plus the in-watermark buffer,
+    O(1) + O(watermark delay) per key, NOT the full click history.
+
+    Classes filter before the keyed shuffle with the watermark
+    declared on the filtered stream (the
+    pattern_detect_notfollowedby_stream convention — the oracle's
+    final-watermark term ranges over click/error rows). Ties match
+    the batch key: a click at the error's exact timestamp wins
+    (``c_us <= e_us``), higher event_id among equal-ts clicks. Oracle
+    = the batch as-of SQL + the ms-aligned settled-before-final-
+    watermark filter on the error side.
+    """
+    ev = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "error"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "10 minutes")
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        compile_asof_stream(),
+        outputStructType=_ASOF_OUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")

@@ -1565,3 +1565,76 @@ def test_session_dynamic_gap_parity(spark, max_ts):
         f"missing: {sorted(closed - s)[:3]} extra: {sorted(s - closed)[:3]}"
     )
     assert s
+
+
+def _run_asof_split_stream(spark, d):
+    """Replay part_*.parquet files in `d` one per micro-batch through
+    the temporal-join automaton — the same pipeline join_asof_stream
+    builds, pointed at a split directory."""
+    from flink_large_window_spark.streaming.streams import (
+        _ASOF_OUT_SCHEMA,
+        _ASOF_STATE_SCHEMA,
+        compile_asof_stream,
+        run_to_memory,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = (
+        stream.filter(F.col("event_type").isin("click", "error"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "10 minutes")
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        compile_asof_stream(),
+        outputStructType=_ASOF_OUT_SCHEMA,
+        stateStructType=_ASOF_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")
+
+
+def test_asof_stream_multibatch(spark, tmp_path):
+    """The discriminating cases for the streaming temporal join, split
+    across micro-batches: (u1) a BETTER click (earlier ts than the
+    error, later arrival, inside the watermark) arriving a batch after
+    the error must win over the batch-1 click; (u2) an error with no
+    prior click emits a NULL match; (u3) plain prior-click match;
+    (u4) a click at the error's EXACT timestamp matches (inclusive
+    <=); (u7) an error resolving after its candidate click was
+    compressed into the settled best_old version must still match —
+    the temporal-join state-compression path."""
+    d = _write_batches(
+        tmp_path,
+        [
+            _event_row(1, 0, 1, "click"),
+            _event_row(1, 5, 2, "error"),
+            _event_row(2, 3, 3, "error"),
+            _event_row(3, 0, 4, "click"),
+            _event_row(3, 2, 7, "error"),
+            _event_row(4, 7, 8, "click"),
+            _event_row(4, 7, 9, "error"),
+        ],
+        [
+            _event_row(1, 4, 6, "click"),  # out-of-order, in-watermark
+            _event_row(5, 20, 10, "click"),  # wm driver -> 10min
+        ],
+        [
+            _event_row(7, 25, 12, "click"),
+            _event_row(6, 40, 11, "click"),  # wm driver -> 30min
+        ],
+        [
+            _event_row(7, 35, 13, "error"),  # pending; click 12 compresses
+            _event_row(9, 1000, 99, "click"),  # final wm driver
+        ],
+    )
+    out = _run_asof_split_stream(spark, str(d))
+    got = {(r["error_id"], r["click_id"]) for r in out.collect()}
+    assert got == {(2, 6), (3, None), (7, 4), (9, 8), (13, 12)}, got

@@ -162,6 +162,7 @@ FAMILIES = {
             "window_topn_stream",
             "window_count_tumbling_stream",
             "window_session_dynamic_gap_stream",
+            "join_asof_stream",
         ],
     },
 }
