@@ -257,6 +257,8 @@ RECHECK_KEYS: tuple[str, ...] = (
     "window_count_tumbling_stream",
     "window_session_dynamic_gap_stream",
     "join_asof_stream",
+    "window_tumbling_offset_stream",
+    "window_cascading_rollup_stream",
     "pattern_detect_value_guard",
     "pattern_match_optional",
     "pattern_match_afterskip",
@@ -307,8 +309,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     "stream_foreachbatch_upsert",
     "join_interval_stream",
     "watermark_dedup_stream",
-    "window_tumbling_agg_stream",
-    "window_session_agg_stream",
 )
 
 PRIORITY_EXTRAS: tuple[str, ...] = (
@@ -472,6 +472,16 @@ RECHECK_DEFERRALS: dict[str, str] = {
         "same shape as stream_stream_left_outer — r11 evidence,"
         " append-only streams.py churn, own text unchanged; displaced"
         " by the join_asof_stream lead — recheck r13"
+    ),
+    "window_tumbling_agg_stream": (
+        "same shape as stream_stream_left_outer — r11 evidence,"
+        " append-only streams.py churn, own text unchanged; displaced"
+        " by the window_tumbling_offset_stream lead — recheck r13"
+    ),
+    "window_session_agg_stream": (
+        "same shape as stream_stream_left_outer — r11 evidence,"
+        " append-only streams.py churn, own text unchanged; displaced"
+        " by the window_cascading_rollup_stream lead — recheck r13"
     ),
 }
 

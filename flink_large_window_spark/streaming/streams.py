@@ -89,6 +89,12 @@ STREAM_SHUFFLE_PARTITIONS = 8
 #: without re-running the stream.
 LAST_STATE_METRICS: list[dict] = []
 
+#: stateOperators COUNT per progress entry of the most recent
+#: run_to_memory query (LAST_STATE_METRICS flattens across
+#: micro-batches, so it cannot distinguish "2 chained operators" from
+#: "1 operator over 2 batches" — this can).
+LAST_STATE_OP_COUNTS: list[int] = []
+
 
 def run_to_memory(spark: SparkSession, out: DataFrame, mode: str = "append") -> DataFrame:
     """Drain a streaming DataFrame into a memory sink, return the table.
@@ -128,11 +134,14 @@ def run_to_memory(spark: SparkSession, out: DataFrame, mode: str = "append") -> 
             .start()
         )
         q.awaitTermination()
-        global LAST_STATE_METRICS
+        global LAST_STATE_METRICS, LAST_STATE_OP_COUNTS
         LAST_STATE_METRICS = [
             dict(op)
             for p in q.recentProgress
             for op in (p.get("stateOperators") or [])
+        ]
+        LAST_STATE_OP_COUNTS = [
+            len(p.get("stateOperators") or []) for p in q.recentProgress
         ]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -2211,3 +2220,104 @@ def join_asof_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return run_to_memory(spark, result, mode="append")
+
+
+@query(
+    "window_tumbling_offset_stream",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('hour', ts - INTERVAL 15 MINUTE) AS TIMESTAMP)
+                + INTERVAL 15 MINUTE AS STRING) AS w_start,
+           event_type,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(date_trunc('hour', ts - INTERVAL 15 MINUTE) AS TIMESTAMP)
+          + INTERVAL 75 MINUTE
+          < (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def window_tumbling_offset_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of window_tumbling_offset — offset tumbling
+    panes (:15→:15; Flink ``TumblingEventTimeWindows.of(1h, 15min)``)
+    through the native ``window(ts, 1h, 1h, 15min)`` in append mode:
+    the startTime knob shifts pane boundaries, watermark emission is
+    otherwise identical to the unshifted twin (a pane emits once the
+    watermark passes its SHIFTED end — the oracle filter adds the
+    15-minute offset to the hour boundary: 60 + 15 minutes past the
+    shifted truncation). Same single-shuffle shape and per-pane state
+    bound as window_tumbling_agg_stream.
+    """
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "1 hour", "15 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("w_start"),
+            "event_type",
+            "n",
+        )
+    )
+    return run_to_memory(spark, agg, mode="append")
+
+
+@query(
+    "window_cascading_rollup_stream",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)
+             AS w_start,
+           event_type,
+           COUNT(*)             AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
+          < (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+)
+def window_cascading_rollup_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of window_cascading_rollup's cascade: the DAY
+    grain maintained by CHAINED STATEFUL OPERATORS in one streaming
+    query — an hourly windowed aggregate whose finalized panes feed a
+    second windowed aggregate over ``window_time(w)`` (Spark's
+    multiple-stateful-operator support; Flink's equivalent is a
+    two-level window topology). The day rollup therefore
+    re-aggregates |hours|·|types| pane rows, never the raw events —
+    the same one-scan cascade economics as the batch key, now
+    incremental: each closed hour flows exactly once into its day's
+    running partial, and the day emits when the watermark passes its
+    end. The month grain stays a batch re-agg over the drained day
+    sink, the batch key's own framing for coarser grains (its
+    docstring: "the hourly aggregate is the stored stream sink,
+    coarser grains are cheap batch re-aggs over it").
+
+    The memory-sink metrics record TWO stateful operators for this
+    query — pinned by pytest as the cascade's structural evidence.
+    Oracle = the day grain recomputed directly from events (sums are
+    associative; ROUND(.,4) absorbs float summation-order noise per
+    suite convention) + the strict closed-day watermark filter.
+    """
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    daily = (
+        hourly.groupBy(
+            F.window(F.window_time("w"), "1 day").alias("d"), "event_type"
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        .select(
+            F.col("d.start").cast("string").alias("w_start"),
+            "event_type",
+            "n",
+            F.round("sv", 4).alias("sum_value"),
+        )
+    )
+    return run_to_memory(spark, daily, mode="append")

@@ -1638,3 +1638,59 @@ def test_asof_stream_multibatch(spark, tmp_path):
     out = _run_asof_split_stream(spark, str(d))
     got = {(r["error_id"], r["click_id"]) for r in out.collect()}
     assert got == {(2, 6), (3, None), (7, 4), (9, 8), (13, 12)}, got
+
+
+def test_cascading_rollup_stream_two_stateful_ops(spark, max_ts):
+    """The cascaded day rollup must run as TWO chained stateful
+    operators in ONE streaming query (hourly pane aggregate feeding a
+    day aggregate over window_time) — the structural evidence that the
+    day grain re-aggregates pane rows, not raw events — and its
+    emissions must equal the batch key's day grain for days the final
+    watermark closed."""
+    from flink_large_window_spark import streaming
+    from flink_large_window_spark.registry import REGISTRY
+    from flink_large_window_spark.streaming import streams as sm
+
+    out = REGISTRY["window_cascading_rollup_stream"](spark, SF_SMOKE)
+    counts = [c for c in sm.LAST_STATE_OP_COUNTS if c > 0]
+    assert counts and all(c == 2 for c in counts), (
+        f"expected 2 chained stateful operators per micro-batch, "
+        f"got per-batch counts {sm.LAST_STATE_OP_COUNTS}"
+    )
+    got = {
+        (r["w_start"], r["event_type"], r["n"], r["sum_value"])
+        for r in out.collect()
+    }
+    batch = REGISTRY["window_cascading_rollup"](spark, SF_SMOKE)
+    day_ms = 86_400_000
+    wm_ms = _us((max_ts.replace(tzinfo=None) - WM).isoformat(sep=" ")) // 1000
+    expected = {
+        (r["w_start"], r["event_type"], r["n"], r["sum_value"])
+        for r in batch.collect()
+        if r["grain"] == "day" and _us(r["w_start"]) // 1000 + day_ms < wm_ms
+    }
+    assert got == expected, (
+        f"extra: {sorted(got - expected)[:3]} "
+        f"missing: {sorted(expected - got)[:3]}"
+    )
+    assert got
+
+
+def test_tumbling_offset_stream_pane_alignment(spark):
+    """Offset panes must start at :15 — every emitted w_start minute
+    is 15, and emissions are a subset of the batch key's panes."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    got = {
+        (r["w_start"], r["event_type"], r["n"])
+        for r in REGISTRY["window_tumbling_offset_stream"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got
+    assert all(w.endswith(":15:00") for w, _, _ in got)
+    batch = {
+        (r["w_start"], r["event_type"], r["n"])
+        for r in REGISTRY["window_tumbling_offset"](spark, SF_SMOKE).collect()
+    }
+    assert got <= batch

@@ -163,6 +163,8 @@ FAMILIES = {
             "window_count_tumbling_stream",
             "window_session_dynamic_gap_stream",
             "join_asof_stream",
+            "window_tumbling_offset_stream",
+            "window_cascading_rollup_stream",
         ],
     },
 }
