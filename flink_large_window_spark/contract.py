@@ -259,6 +259,8 @@ RECHECK_KEYS: tuple[str, ...] = (
     "join_asof_stream",
     "window_tumbling_offset_stream",
     "window_cascading_rollup_stream",
+    "pattern_detect_followedby_stream",
+    "ts_ohlc_bars_stream",
     "pattern_detect_value_guard",
     "pattern_match_optional",
     "pattern_match_afterskip",
@@ -307,8 +309,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     # streaming twins (r11 evidence, streams.py churn), slowest last
     "stream_static_enrich",
     "stream_foreachbatch_upsert",
-    "join_interval_stream",
-    "watermark_dedup_stream",
 )
 
 PRIORITY_EXTRAS: tuple[str, ...] = (
@@ -482,6 +482,16 @@ RECHECK_DEFERRALS: dict[str, str] = {
         "same shape as stream_stream_left_outer — r11 evidence,"
         " append-only streams.py churn, own text unchanged; displaced"
         " by the window_cascading_rollup_stream lead — recheck r13"
+    ),
+    "join_interval_stream": (
+        "same shape as stream_stream_left_outer — r11 evidence,"
+        " append-only streams.py churn, own text unchanged; displaced"
+        " by the pattern_detect_followedby_stream lead — recheck r13"
+    ),
+    "watermark_dedup_stream": (
+        "same shape as stream_stream_left_outer — r11 evidence,"
+        " append-only streams.py churn, own text unchanged; displaced"
+        " by the ts_ohlc_bars_stream lead — recheck r13"
     ),
 }
 

@@ -1188,3 +1188,150 @@ def pattern_detect_notfollowedby_stream(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return run_to_memory(spark, result, mode="append")
+
+
+#: Horizon-counting state (pattern_detect_followedby_stream): pending
+#: anchors (µs + event_id) and retained target timestamps (µs) —
+#: the absence machine's schema, reused shape-for-shape.
+HORIZON_STATE_SCHEMA = StructType(
+    [
+        StructField("anchor_us", ArrayType(LongType())),
+        StructField("anchor_id", ArrayType(LongType())),
+        StructField("target_us", ArrayType(LongType())),
+    ]
+)
+
+HORIZON_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_event", LongType()),
+        StructField("clicks_6h", LongType()),
+    ]
+)
+
+
+def compile_horizon_count_stream(
+    anchor_cls: str, target_cls: str, horizon_us: int, at_least: int
+):
+    """Handler for PRECEDING-horizon counting (Flink ``followedBy``
+    with a time bound): each anchor counts targets inside
+    ``[anchor_ts − horizon, anchor_ts]`` (inclusive — the batch RANGE
+    frame) and emits when the count reaches ``at_least``.
+
+    A PRECEDING horizon resolves faster than the absence machine's
+    FOLLOWING one: the anchor settles as soon as ``a_ms < wm_ms`` —
+    any unseen target has ``t_ms >= wm_ms > a_ms``, hence
+    ``t_us >= wm_ms·1000 > a_us`` — strictly after the anchor,
+    outside its frame. Target retention mirrors the absence machine:
+    evict below ``wm_ms·1000 − horizon_us`` (nothing pending or
+    future can reach further back), so per-key state is O(events in
+    horizon + watermark delay)."""
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            a_us, a_id, t_us = state.get
+            anchors = [(int(u), int(i)) for u, i in zip(a_us, a_id)]
+            targets = [int(u) for u in t_us]
+        else:
+            anchors, targets = [], []
+        wm_ms = state.getCurrentWatermarkMs()
+        if not state.hasTimedOut:
+            for chunk in pdfs:
+                for ts, eid, cls in zip(
+                    chunk["ts"], chunk["event_id"], chunk["event_type"]
+                ):
+                    us = int(ts.value) // 1_000
+                    if cls == anchor_cls:
+                        anchors.append((us, int(eid)))
+                    elif cls == target_cls:
+                        targets.append(us)
+        emitted, pending = [], []
+        for us, eid in anchors:
+            if us // 1000 < wm_ms:
+                n = sum(1 for t in targets if us - horizon_us <= t <= us)
+                if n >= at_least:
+                    emitted.append((key[0], eid, n))
+            else:
+                pending.append((us, eid))
+        floor_us = wm_ms * 1000 - horizon_us
+        targets = [t for t in targets if t >= floor_us]
+        state.update(
+            (
+                [u for u, _ in pending],
+                [i for _, i in pending],
+                targets,
+            )
+        )
+        if pending:
+            state.setTimeoutTimestamp(
+                max(min(u for u, _ in pending) // 1000, wm_ms + 1)
+            )
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in emitted],
+                "purchase_event": [r[1] for r in emitted],
+                "clicks_6h": [r[2] for r in emitted],
+            }
+        )
+
+    return handler
+
+
+@query(
+    "pattern_detect_followedby_stream",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             COUNT(CASE WHEN event_type = 'click' THEN 1 END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW
+             ) AS clicks_6h
+      FROM events
+    )
+    SELECT user_id, event_id AS purchase_event,
+           CAST(clicks_6h AS BIGINT) AS clicks_6h
+    FROM flagged
+    WHERE event_type = 'purchase' AND clicks_6h >= 2
+      AND epoch_us(ts) // 1000
+          < epoch_us((SELECT MAX(ts) FROM events
+                      WHERE event_type IN ('click', 'purchase'))) // 1000
+            - 600000
+    """,
+)
+def pattern_detect_followedby_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_detect_followedby — relaxed-
+    contiguity CEP (Flink ``followedBy`` with a 6 h bound): purchases
+    preceded by ≥2 same-user clicks within 6 hours, detected
+    incrementally. Completes the horizon strategy's streaming story:
+    the FOLLOWING direction (absence) ships as
+    pattern_detect_notfollowedby_stream; this is the PRECEDING
+    direction (counting), which settles the moment the watermark
+    passes the anchor itself — no horizon wait — because every
+    in-frame click is provably already ingested
+    (:func:`compile_horizon_count_stream`). Same filtered-stream
+    watermark convention (classes filter before the shuffle, the
+    oracle's final-watermark term ranges over click/purchase rows);
+    ties match the batch RANGE frame (a click at the purchase's exact
+    timestamp counts). O(events in 6 h + 10 min) state per key.
+    """
+    ev = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "10 minutes")
+    )
+    handler = compile_horizon_count_stream(
+        "purchase", "click", 6 * 3600 * 1_000_000, 2
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        handler,
+        outputStructType=HORIZON_OUT_SCHEMA,
+        stateStructType=HORIZON_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")

@@ -2321,3 +2321,59 @@ def window_cascading_rollup_stream(
         )
     )
     return run_to_memory(spark, daily, mode="append")
+
+
+@query(
+    "ts_ohlc_bars_stream",
+    oracle="""
+    SELECT DISTINCT
+           CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR)
+             AS bar_day,
+           event_type,
+           ROUND(FIRST_VALUE(value) OVER w, 4) AS open,
+           ROUND(MAX(value) OVER w, 4)         AS high,
+           ROUND(MIN(value) OVER w, 4)         AS low,
+           ROUND(LAST_VALUE(value) OVER w, 4)  AS close
+    FROM events
+    WINDOW w AS (
+      PARTITION BY date_trunc('day', ts), event_type
+      ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    QUALIFY CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
+            < (SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE
+    """,
+)
+def ts_ohlc_bars_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ts_ohlc_bars — daily OHLC bars maintained
+    incrementally by a NATIVE windowed aggregation. The batch key
+    needs a full-frame window because open/close require an order;
+    in streaming the same determinism comes from ``min_by``/``max_by``
+    over ``struct(ts, event_id)`` — the (ts, event_id) pair is a
+    TOTAL order (event_id unique), so the "unspecified ties" caveat
+    that rules out min_by in the batch formulation cannot occur, and
+    the aggregate state is four scalars + the two order keys per
+    bar — O(1), vs the buffered-fold machinery order-dependent
+    operators otherwise need. Emission at watermark close of the day
+    pane; oracle = the batch full-frame SQL + the closed-day filter.
+    """
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.round(F.min_by("value", key), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", key), 4).alias("close"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("bar_day"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+        )
+    )
+    return run_to_memory(spark, agg, mode="append")

@@ -1694,3 +1694,92 @@ def test_tumbling_offset_stream_pane_alignment(spark):
         for r in REGISTRY["window_tumbling_offset"](spark, SF_SMOKE).collect()
     }
     assert got <= batch
+
+
+def test_followedby_stream_multibatch(spark, tmp_path):
+    """Streaming followedBy (preceding-horizon counting) split across
+    micro-batches: (u1) a click arriving a BATCH AFTER its purchase
+    but earlier in event time, inside the watermark, must count; (u2)
+    below-threshold purchases emit nothing; (u3) a click at the
+    purchase's EXACT timestamp counts (inclusive frame top); (u4) a
+    click at EXACTLY purchase−6h counts (inclusive frame bottom)
+    while one just outside does not — the emitted count pins exact
+    frame membership."""
+    from flink_large_window_spark.streaming.cep_stream import (
+        HORIZON_OUT_SCHEMA,
+        HORIZON_STATE_SCHEMA,
+        compile_horizon_count_stream,
+    )
+    from flink_large_window_spark.streaming.streams import run_to_memory
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d = _write_batches(
+        tmp_path,
+        [
+            _event_row(1, 0, 1, "click"),
+            _event_row(1, 5, 2, "purchase"),
+            _event_row(2, 0, 5, "click"),
+            _event_row(2, 3, 3, "purchase"),
+            _event_row(3, 0, 7, "click"),
+            _event_row(3, 7, 8, "click"),
+            _event_row(3, 7, 9, "purchase"),
+        ],
+        [
+            _event_row(1, 4, 6, "click"),  # out-of-order, in-watermark
+            _event_row(4, 9, 12, "click"),  # just OUTSIDE u4's frame
+            _event_row(4, 10, 10, "click"),  # exactly purchase-6h
+            _event_row(4, 15, 13, "click"),
+        ],
+        [
+            _event_row(4, 370, 11, "purchase"),  # frame [10, 370]
+            _event_row(9, 1000, 99, "click"),  # final wm driver
+        ],
+    )
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(str(d))
+    )
+    ev = (
+        stream.filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "10 minutes")
+    )
+    handler = compile_horizon_count_stream(
+        "purchase", "click", 6 * 3600 * 1_000_000, 2
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        handler,
+        outputStructType=HORIZON_OUT_SCHEMA,
+        stateStructType=HORIZON_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = run_to_memory(spark, result, mode="append")
+    got = {
+        (r["user_id"], r["purchase_event"], r["clicks_6h"])
+        for r in out.collect()
+    }
+    assert got == {(1, 2, 2), (3, 9, 2), (4, 11, 2)}, got
+
+
+def test_ohlc_stream_parity(spark, max_ts):
+    """Native min_by/max_by OHLC bars must equal the batch full-frame
+    key for every day the final watermark closed (and only those) —
+    the total (ts, event_id) order key makes the two formulations
+    provably identical."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    cols = ["bar_day", "event_type", "open", "high", "low", "close"]
+    batch = _rows(REGISTRY["ts_ohlc_bars"](spark, SF_SMOKE), cols)
+    stream = _rows(REGISTRY["ts_ohlc_bars_stream"](spark, SF_SMOKE), cols)
+    day_ms = 86_400_000
+    wm_ms = _us((max_ts.replace(tzinfo=None) - WM).isoformat(sep=" ")) // 1000
+    closed = {r for r in batch if _us(r[0]) // 1000 + day_ms < wm_ms}
+    assert stream == closed, (
+        f"extra: {sorted(stream - closed)[:3]} "
+        f"missing: {sorted(closed - stream)[:3]}"
+    )
+    assert stream

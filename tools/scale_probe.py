@@ -165,6 +165,8 @@ FAMILIES = {
             "join_asof_stream",
             "window_tumbling_offset_stream",
             "window_cascading_rollup_stream",
+            "pattern_detect_followedby_stream",
+            "ts_ohlc_bars_stream",
         ],
     },
 }
