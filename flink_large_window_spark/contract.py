@@ -222,34 +222,33 @@ DRIVER_CHECKED: frozenset[str] = (
 
 # Round 12 rotation (VERDICT r11 item 5 + this round's work; derived
 # with tools/staleness.py, evidence capped at r11). Leads are the
-# TEN never-stamped round-12 keys: the CEP extension wave
-# (iterative-condition guards, optional steps, and after-match
-# skip strategies — each batch+stream — plus the alternation
-# stream twin), the
-# state-TTL demonstration, exact-substring dedup, and the
-# Gopher-repetition signals. Then the behavioral re-stamps:
-# pattern_match_alternation (the canonical token separator changed
-# '|' -> unit separator in BOTH engines after its r11 stamp — ADVICE
-# r11 item 1), pattern_match_recognize{,_stream} (cep.py/cep_stream.py
-# churn: guard compilation; unguarded behavior is pinned identical by
-# the parity suite but the shipped text is new), and the two
-# streams.py stateful twins adjacent to the TTL addition. Then the
-# three keys deferred FROM r11 with a written promise
-# (q8_market_share, stream_allowed_lateness_reemit,
-# stream_watermark_skew), the SIX rows-only keys (VERDICT r11 item 5:
-# their driver evidence is 7-11 rounds old — the no-hash-slot policy
-# yields this round, by explicit directive), the dedup.py cohort (r10
-# evidence, file churn = dedup_substring), seven of the nine
-# text.py-cohort keys (r10 evidence, file churn = the repetition-
-# signals append; two deferred, see RECHECK_DEFERRALS), and 11 of
-# the 13 remaining streaming twins (r11 evidence; streams.py churned
-# for the TTL machine; stream_checkpoint_restart and
-# stream_rule_update_enrich deferred, see RECHECK_DEFERRALS).
-# Exactly 50. Late-r12 continuation: the two NEW never-stamped keys
-# (streaming negation + streaming window Top-N) join the leads,
-# displacing the two stream-stream outer twins to RECHECK_DEFERRALS
-# (r11 evidence — the freshest streaming class — and append-only
-# post-stamp churn).
+# NINETEEN never-stamped round-12 keys: the CEP extension wave
+# (iterative-condition guards, optional steps, and after-match skip
+# strategies — each batch+stream — plus the alternation stream
+# twin), the state-TTL demonstration, exact-substring dedup, the
+# Gopher-repetition signals, and the late-round streaming wave
+# (negation, window Top-N, count windows, dynamic-gap sessions, the
+# temporal as-of join, offset panes, the chained-stateful cascade,
+# followedBy counting, native OHLC bars). Then the behavioral
+# re-stamps: pattern_match_alternation (the canonical token
+# separator changed '|' -> unit separator in BOTH engines after its
+# r11 stamp — ADVICE r11 item 1), pattern_match_recognize{,_stream}
+# (cep.py/cep_stream.py churn: guard compilation; unguarded behavior
+# is pinned identical by the parity suite but the shipped text is
+# new), and the two streams.py stateful twins adjacent to the TTL
+# addition. Then the three keys deferred FROM r11 with a written
+# promise (q8_market_share, stream_allowed_lateness_reemit,
+# stream_watermark_skew), the SIX rows-only keys (VERDICT r11
+# item 5: their driver evidence is 7-11 rounds old — the
+# no-hash-slot policy yields this round, by explicit directive), the
+# dedup.py cohort (r10 evidence, file churn = dedup_substring), and
+# seven of the nine text.py-cohort keys (r10 evidence, file churn =
+# the repetition-signals append; two deferred, see
+# RECHECK_DEFERRALS). The nine new leads displaced ALL remaining
+# r11-stamped streaming twins to RECHECK_DEFERRALS (each with r11
+# evidence — the freshest streaming class — and append-only
+# post-stamp streams.py churn; every deferral entry names the lead
+# that displaced it). Exactly 50.
 RECHECK_KEYS: tuple[str, ...] = (
     # never-stamped round-12 keys (leads)
     "pattern_detect_notfollowedby_stream",

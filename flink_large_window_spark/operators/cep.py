@@ -278,6 +278,17 @@ def expand_optional(pat: Pattern) -> list[tuple[Pattern, tuple[str, ...]]]:
                 steps.append(replace(s, min_count=1))
             else:
                 steps.append(s)
+        # A guard REFERENCING a dropped optional step aggregates over
+        # an absent run: every aggregate is NULL, the comparison is
+        # NULL, the variant can never match — skip it before
+        # construction (replace() re-runs Pattern.__post_init__, which
+        # would otherwise raise a misleading "must name an EARLIER
+        # step" from inside the expansion; review r12).
+        if any(
+            s.guard is not None and s.guard.ref_step in dropped
+            for s in steps
+        ):
+            continue
         out.append((replace(pat, steps=tuple(steps)), tuple(dropped)))
     return out
 
@@ -307,11 +318,23 @@ def compile_pattern(df: DataFrame, pat: Pattern) -> DataFrame:
         if any(len(s.clses()) > 1 for s in pat.steps):
             df, pat = canonicalize_alternation(df, pat)
         runs = runs_relation(df, pat)
+        guarded = {s.name for s in pat.steps if s.guard is not None}
         parts = []
         for variant, dropped in expand_optional(pat):
             m = compile_greedy(df, variant, _runs=runs)
             for name in dropped:
                 m = m.withColumn(f"n_{name}", F.lit(0).cast("long"))
+                if name in guarded:
+                    # a guard ON an optional step applies only when the
+                    # step is present (Flink's optional().where()
+                    # semantics) — the absent variant matches
+                    # unguarded, with NULL guard measures so the
+                    # variants stay unionable (review r12)
+                    m = m.withColumn(
+                        f"g_{name}", F.lit(None).cast("double")
+                    ).withColumn(
+                        f"g_{name}_ref", F.lit(None).cast("double")
+                    )
             parts.append(m)
         return reduce(lambda a, b: a.unionByName(b), parts)
     last = pat.steps[-1]
@@ -330,7 +353,10 @@ def _suffix_val_agg(w, pat: Pattern, offsets: list[int], agg: str):
     'first' = the EARLIEST matched event (largest offset); least/
     greatest skip NULL values like their SQL counterparts, and a NULL
     value reaching a comparison yields NULL → no match (both engines
-    agree on three-valued logic)."""
+    agree on three-valued logic). 'sum' skips NULLs like SQL SUM
+    (all-NULL → NULL) — expression addition would NULL-propagate,
+    silently diverging from the greedy/streaming routes' F.sum over
+    the same Guard spec (review r12)."""
     lags = [
         F.lag(pat.val_col, o).over(w) if o else F.col(pat.val_col)
         for o in offsets
@@ -343,7 +369,11 @@ def _suffix_val_agg(w, pat: Pattern, offsets: list[int], agg: str):
         return F.least(*lags) if len(lags) > 1 else lags[0]
     if agg == "max":
         return F.greatest(*lags) if len(lags) > 1 else lags[0]
-    return reduce(_op.add, lags)  # sum
+    # sum, NULL-skipping: SUM(v1..vk) = NULL iff every vi is NULL,
+    # else the sum of the non-NULL vi
+    total = reduce(_op.add, (F.coalesce(lag, F.lit(0.0)) for lag in lags))
+    any_val = F.coalesce(*lags) if len(lags) > 1 else lags[0]
+    return F.when(any_val.isNotNull(), total)
 
 
 def compile_suffix(df: DataFrame, pat: Pattern) -> DataFrame:

@@ -110,7 +110,12 @@ from ..operators.cep import (
     expand_optional,
 )
 from ..registry import query
-from .streams import _events_stream, run_to_memory
+from .streams import (
+    _events_stream,
+    hold_timer_ms,
+    run_to_memory,
+    split_by_watermark,
+)
 
 #: Generic automaton state: the closed-run window (arrays, most recent
 #: last, bounded at len(steps)-1), the current open run, the anchor
@@ -391,11 +396,7 @@ def compile_stream(pat: Pattern):
                          None if val is None or pd.isna(val)
                          else float(val))
                     )
-        ready = sorted(
-            (e for e in buf if e[0] // 1000 <= wm_ms),
-            key=lambda e: (e[0], e[1]),
-        )
-        hold = [e for e in buf if e[0] // 1000 > wm_ms]
+        ready, hold = split_by_watermark(buf, wm_ms)
         out = []
 
         def run_va(i: int):
@@ -549,9 +550,7 @@ def compile_stream(pat: Pattern):
             )
         state.update(base)
         if hold:
-            state.setTimeoutTimestamp(
-                max(min(e[0] for e in hold) // 1000 - 1, wm_ms + 1)
-            )
+            state.setTimeoutTimestamp(hold_timer_ms(hold, wm_ms))
         yield pd.DataFrame(
             {c: [r[i] for r in out] for i, c in enumerate(out_cols)}
         )

@@ -96,6 +96,37 @@ LAST_STATE_METRICS: list[dict] = []
 LAST_STATE_OP_COUNTS: list[int] = []
 
 
+def split_by_watermark(buf, wm_ms):
+    """The watermark hold-buffer protocol, in ONE place (review r12 —
+    the CEP automaton, count-window, and TTL handlers each carried a
+    private copy of the same split/sort, so the tie contract lived in
+    three spots). Returns ``(ready, hold)``: events whose ms-floored
+    timestamp the watermark has passed, in full (ts, order_id)
+    event-time order, and the rest. Buffer elements are tuples whose
+    first two fields are (ts_us, order_id); extra fields ride along.
+
+    Tie contract (shared by every caller, pinned by
+    test_pattern_stream_exact_watermark_tie_folds_in_arrival_order):
+    the fold admits ``ts_ms <= wm_ms`` while Spark's late-drop
+    contract is ``ts < wm`` — an exact-millisecond tie arriving in a
+    later batch folds in arrival order, the documented residual
+    hazard."""
+    ready = sorted(
+        (e for e in buf if e[0] // 1000 <= wm_ms),
+        key=lambda e: (e[0], e[1]),
+    )
+    hold = [e for e in buf if e[0] // 1000 > wm_ms]
+    return ready, hold
+
+
+def hold_timer_ms(hold, wm_ms):
+    """Re-fold timer for a non-empty hold buffer: 1 ms before the
+    earliest held event (so the fold that admits it re-runs the
+    moment the watermark reaches it), clamped above the current
+    watermark as setTimeoutTimestamp requires."""
+    return max(min(e[0] for e in hold) // 1000 - 1, wm_ms + 1)
+
+
 def run_to_memory(spark: SparkSession, out: DataFrame, mode: str = "append") -> DataFrame:
     """Drain a streaming DataFrame into a memory sink, return the table.
 
@@ -734,8 +765,11 @@ def stateful_session_timeout_stream(spark: SparkSession, sf_dir: str) -> DataFra
         else:
             start, last, n = state.get if state.exists else (None, None, 0)
             # One sort over the whole batch: the iterator's chunks carry
-            # no cross-chunk order guarantee.
-            whole = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            # no cross-chunk order guarantee. (Materialize before the
+            # emptiness test — an iterator is always truthy, so the
+            # guard must check the LIST or pd.concat([]) raises.)
+            chunks = list(pdfs)
+            whole = pd.concat(chunks) if chunks else pd.DataFrame()
             if len(whole):
                 whole = whole.sort_values(["ts", "event_id"])
                 for ts in whole["ts"]:
@@ -811,6 +845,8 @@ _TTL_STATE_SCHEMA = StructType(
         StructField("first", LongType()),
         StructField("last", LongType()),
         StructField("n", LongType()),
+        StructField("buf_us", ArrayType(LongType())),
+        StructField("buf_id", ArrayType(LongType())),
     ]
 )
 
@@ -821,37 +857,66 @@ def make_ttl_machine():
     as stateful_count_session_stream). Factory is module-level so the
     multi-batch pytest replays crafted micro-batches through the exact
     shipped handler. Semantics in stateful_session_ttl_stream's
-    docstring."""
+    docstring.
+
+    Since the r12 review pass the machine uses the CEP automata's
+    watermark hold-buffer: arrivals buffer in state and fold into the
+    blob in (ts, event_id) order only once the watermark passes them.
+    The earlier form folded in arrival order (sorted per batch only),
+    so a legal in-watermark out-of-order arrival across micro-batches
+    could fabricate or suppress an eviction the globally-sorted SQL
+    oracle does not have. Eviction of the live blob is an EXPLICIT
+    watermark test (``(last + ttl) // 1000 < wm_ms``, ms-aligned,
+    fire-semantics-proof — the oracle's final-blob filter uses the
+    identical expression) rather than trusting the timer's own
+    fire boundary; held events can never rescue a blob past that test
+    (a held event has ``ts_ms > wm_ms``, so its gap to ``last``
+    already exceeds the TTL — folding it later starts a fresh
+    generation either way)."""
     ttl_us = _STATE_TTL_US
 
     def ttl_machine(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         out = []
-        if state.hasTimedOut:
-            first, last, n = state.get
-            out.append((key[0], last + ttl_us, last, n))
-            state.remove()
+        if state.exists:
+            first, last, n, b_us, b_id = state.get
+            buf = [(int(u), int(i)) for u, i in zip(b_us, b_id)]
         else:
-            first, last, n = state.get if state.exists else (None, None, 0)
-            whole = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
-            if len(whole):
-                # One whole-batch sort: chunk iteration carries no
-                # cross-chunk order guarantee.
-                whole = whole.sort_values(["ts", "event_id"])
-                for ts in whole["ts"]:
-                    ts_us = int(ts.value) // 1_000
-                    if last is not None and ts_us - last >= ttl_us:
-                        # lazy expiry on access (last_write + ttl <= now)
-                        out.append((key[0], last + ttl_us, last, n))
-                        first, last, n = None, None, 0
-                    if first is None:
-                        first, last, n = ts_us, ts_us, 1
-                    else:
-                        last, n = max(last, ts_us), n + 1
-            if first is not None:
-                state.update((first, last, n))
-                state.setTimeoutTimestamp((last + ttl_us) // 1_000)
+            first = last = n = 0
+            buf = []
+        wm_ms = state.getCurrentWatermarkMs()
+        if not state.hasTimedOut:
+            for chunk in pdfs:
+                for ts, eid in zip(chunk["ts"], chunk["event_id"]):
+                    buf.append((int(ts.value) // 1_000, int(eid)))
+        ready, hold = split_by_watermark(buf, wm_ms)
+        for us, _eid in ready:
+            if n and us - last >= ttl_us:
+                # lazy expiry on access (last_write + ttl <= now)
+                out.append((key[0], last + ttl_us, last, n))
+                n = 0
+            if n == 0:
+                first, last, n = us, us, 1
+            else:
+                last, n = max(last, us), n + 1
+        if n and (last + ttl_us) // 1000 < wm_ms:
+            # idle-key GC: the watermark strictly passed the deadline
+            out.append((key[0], last + ttl_us, last, n))
+            first = last = n = 0
+        if n == 0 and not hold:
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (first, last, n, [u for u, _ in hold], [i for _, i in hold])
+            )
+            cands = []
+            if n:
+                cands.append(max((last + ttl_us) // 1_000, wm_ms + 1))
+            if hold:
+                cands.append(hold_timer_ms(hold, wm_ms))
+            state.setTimeoutTimestamp(min(cands))
         yield pd.DataFrame(
             {
                 "user_id": [r[0] for r in out],
@@ -898,8 +963,8 @@ def make_ttl_machine():
            a.last_seen_us, a.n_discarded
     FROM agg a JOIN latest l USING (user_id)
     WHERE a.gen < l.maxg
-       OR a.last_seen_us + 3600000000
-          < epoch_us((SELECT MAX(ts) FROM events) - INTERVAL 10 MINUTE)
+       OR (a.last_seen_us + 3600000000) // 1000
+          < epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
     """,
 )
 def stateful_session_ttl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1875,11 +1940,7 @@ def compile_countwindow_stream(size: int = 5):
                             None if pd.isna(val) else float(val),
                         )
                     )
-        ready = sorted(
-            (e for e in buf if e[0] // 1000 <= wm_ms),
-            key=lambda e: (e[0], e[1]),
-        )
-        hold = [e for e in buf if e[0] // 1000 > wm_ms]
+        ready, hold = split_by_watermark(buf, wm_ms)
         out = []
         for _us_, eid, val in ready:
             cnt += 1
@@ -1914,9 +1975,7 @@ def compile_countwindow_stream(size: int = 5):
             )
         )
         if hold:
-            state.setTimeoutTimestamp(
-                max(min(e[0] for e in hold) // 1000 - 1, wm_ms + 1)
-            )
+            state.setTimeoutTimestamp(hold_timer_ms(hold, wm_ms))
         yield pd.DataFrame(
             {
                 c: [r[i] for r in out]
@@ -2039,6 +2098,13 @@ def window_session_dynamic_gap_stream(
     closed-before-final-watermark filter window_session_agg_stream
     uses — so the hash check pins Spark's incremental merge against
     an independent derivation under streaming emission semantics.
+    (That filter is µs-strict like the fixed-gap twin's — the
+    established convention for the BUILT-IN operators, empirically
+    stable since r5; a session end landing inside the final
+    watermark's sub-millisecond window is the same measure-zero
+    residual the CEP ms-tie note documents. The hand-built handlers
+    ms-align their filters instead because their eviction test is
+    explicit.)
 
     Scale: one keyed shuffle; state per key is one interval per open
     session (merge is incremental), evicted at emission — identical

@@ -762,3 +762,132 @@ def test_stream_compile_guard_validation():
     for agg in ("last", "min", "max", "sum"):
         with pytest.raises(ValueError, match="first"):
             compile_stream(pat(anchor_guard=Guard(agg, ">", "views", "max")))
+
+
+def _guard_events_nullable(spark, vals):
+    """view view purchase for user 1; vals may contain None."""
+    rows = [
+        (1, T0 + dt.timedelta(minutes=i), i, t,
+         None if v is None else float(v))
+        for i, (t, v) in enumerate(
+            zip(("view", "view", "purchase"), vals)
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double",
+    )
+
+
+def test_suffix_guard_sum_skips_nulls_like_sql(spark):
+    """The suffix route's 'sum' guard aggregate must skip NULL values
+    exactly like SQL SUM (and like the greedy/streaming routes'
+    F.sum) — expression addition would NULL-propagate and silently
+    change the same Guard spec's semantics with the compilation route
+    (review r12). All-NULL runs still yield NULL → no match."""
+    pat = Pattern(
+        steps=(
+            Step("v", "view", 2, 2),
+            Step("p", "purchase", 1, 1,
+                 guard=Guard("first", ">", "v", "sum")),
+        ),
+        val_col="value",
+    )
+    # sum over (3.0, NULL) must be 3.0, so purchase 5 > 3 matches
+    hit = compile_suffix(
+        _guard_events_nullable(spark, (3, None, 5)), pat
+    ).collect()
+    assert [(r.user_id, r.g_p, r.g_p_ref) for r in hit] == [(1, 5.0, 3.0)]
+    # all-NULL run sums to NULL -> guard comparison NULL -> no match
+    assert compile_suffix(
+        _guard_events_nullable(spark, (None, None, 5)), pat
+    ).count() == 0
+
+
+def _opt_guard_events(spark, rows):
+    """(cls, value) rows for user 1, one minute apart."""
+    data = [
+        (1, T0 + dt.timedelta(minutes=i), i, t,
+         None if v is None else float(v))
+        for i, (t, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double",
+    )
+
+
+def test_optional_step_with_guard_on_it(spark):
+    """A guard ON an optional step applies only when the step is
+    present (Flink's optional().where() semantics): the present
+    variant enforces it, the absent variant matches unguarded with
+    NULL guard measures — and the variant union no longer crashes on
+    mismatched columns (review r12; compile_stream's rejection
+    message routes this composition here)."""
+    pat = Pattern(
+        steps=(
+            Step("v", "view", 1, None),
+            Step("c", "click", 0, 1,
+                 guard=Guard("first", ">", "v", "max")),
+            Step("p", "purchase", 1, None),
+        ),
+        val_col="value",
+    )
+    # click present, click value 5 > view max 3 -> present variant
+    hit = compile_pattern(
+        _opt_guard_events(
+            spark, [("view", 3), ("click", 5), ("purchase", 1)]
+        ),
+        pat,
+    ).collect()
+    assert [(r.n_c, r.g_c, r.g_c_ref) for r in hit] == [(1, 5.0, 3.0)]
+    # click present but guard fails -> NO match at all (the absent
+    # variant cannot absorb it: view and purchase are not adjacent)
+    assert (
+        compile_pattern(
+            _opt_guard_events(
+                spark, [("view", 3), ("click", 2), ("purchase", 1)]
+            ),
+            pat,
+        ).count()
+        == 0
+    )
+    # click absent -> absent variant matches unguarded, NULL measures
+    hit = compile_pattern(
+        _opt_guard_events(spark, [("view", 3), ("purchase", 1)]), pat
+    ).collect()
+    assert [(r.n_c, r.g_c, r.g_c_ref) for r in hit] == [(0, None, None)]
+
+
+def test_optional_step_referenced_by_later_guard(spark):
+    """A guard REFERENCING an optional step: the absent variant's
+    reference aggregate is NULL, so that variant can never match and
+    is skipped at expansion (review r12 — previously this raised a
+    misleading __post_init__ error from inside expand_optional)."""
+    pat = Pattern(
+        steps=(
+            Step("v", "view", 1, None),
+            Step("c", "click", 0, 1),
+            Step("p", "purchase", 1, None,
+                 guard=Guard("first", ">", "c", "max")),
+        ),
+        val_col="value",
+    )
+    # click present, purchase 7 > click 5 -> match
+    hit = compile_pattern(
+        _opt_guard_events(
+            spark, [("view", 3), ("click", 5), ("purchase", 7)]
+        ),
+        pat,
+    ).collect()
+    assert [(r.n_c, r.g_p, r.g_p_ref) for r in hit] == [(1, 7.0, 5.0)]
+    # click absent -> guard reference is absent -> no match (the
+    # absent variant is skipped, not crashed)
+    assert (
+        compile_pattern(
+            _opt_guard_events(spark, [("view", 3), ("purchase", 7)]), pat
+        ).count()
+        == 0
+    )

@@ -1783,3 +1783,64 @@ def test_ohlc_stream_parity(spark, max_ts):
         f"missing: {sorted(closed - stream)[:3]}"
     )
     assert stream
+
+
+def test_ttl_out_of_order_within_watermark_does_not_fabricate_eviction(
+    spark, tmp_path
+):
+    """The review-r12 divergence case for the TTL machine: batch 1
+    delivers events at +0m and +60m (gap == TTL — an arrival-order
+    fold would evict the first generation immediately); batch 2
+    delivers a LEGAL late event at +55m (watermark after batch 1 is
+    +50m, so Spark admits it). The globally-sorted gaps are 55m/5m —
+    no mid-sequence eviction exists, and the whole sequence is ONE
+    blob of 3 evicted by the final watermark. The hold-buffer fold
+    must produce exactly that; the pre-review handler emitted a
+    fabricated (+0m, n=1) eviction plus a wrong n=2 final blob."""
+    from flink_large_window_spark.streaming.streams import (
+        _TTL_OUT_SCHEMA,
+        _TTL_STATE_SCHEMA,
+        make_ttl_machine,
+        run_to_memory,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d = _write_batches(
+        tmp_path,
+        [_event_row(1, 0, 0, "view"), _event_row(1, 60, 1, "view")],
+        [
+            _event_row(1, 55, 2, "view"),  # late-but-in-watermark
+            _event_row(9, 300, 9, "view"),  # wm driver; own blob live
+        ],
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = stream.withWatermark("ts", "10 minutes").select(
+        "user_id", "ts", "event_id"
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        make_ttl_machine(),
+        outputStructType=_TTL_OUT_SCHEMA,
+        stateStructType=_TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = run_to_memory(spark, result, mode="append")
+    got = {
+        (r["user_id"], r["evict_at_us"], r["last_seen_us"], r["n_discarded"])
+        for r in out.collect()
+    }
+    t0_us = int(
+        dt.datetime(2024, 3, 1, 12, 0, 0)
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+        * 1e6
+    )
+    m = 60 * 1_000_000
+    assert got == {(1, t0_us + 120 * m, t0_us + 60 * m, 3)}, got
