@@ -222,14 +222,15 @@ DRIVER_CHECKED: frozenset[str] = (
 
 # Round 12 rotation (VERDICT r11 item 5 + this round's work; derived
 # with tools/staleness.py, evidence capped at r11). Leads are the
-# NINETEEN never-stamped round-12 keys: the CEP extension wave
+# TWENTY-ONE never-stamped round-12 keys: the CEP extension wave
 # (iterative-condition guards, optional steps, and after-match skip
 # strategies — each batch+stream — plus the alternation stream
 # twin), the state-TTL demonstration, exact-substring dedup, the
 # Gopher-repetition signals, and the late-round streaming wave
 # (negation, window Top-N, count windows, dynamic-gap sessions, the
 # temporal as-of join, offset panes, the chained-stateful cascade,
-# followedBy counting, native OHLC bars). Then the behavioral
+# followedBy counting, native OHLC bars, and the oneormore/times
+# compiled twins). Then the behavioral
 # re-stamps: pattern_match_alternation (the canonical token
 # separator changed '|' -> unit separator in BOTH engines after its
 # r11 stamp — ADVICE r11 item 1), pattern_match_recognize{,_stream}
@@ -240,15 +241,15 @@ DRIVER_CHECKED: frozenset[str] = (
 # promise (q8_market_share, stream_allowed_lateness_reemit,
 # stream_watermark_skew), the SIX rows-only keys (VERDICT r11
 # item 5: their driver evidence is 7-11 rounds old — the
-# no-hash-slot policy yields this round, by explicit directive), the
-# dedup.py cohort (r10 evidence, file churn = dedup_substring), and
+# no-hash-slot policy yields this round, by explicit directive), six
+# of the eight dedup.py-cohort keys (r10 evidence, file churn =
+# dedup_substring; two deferred, see RECHECK_DEFERRALS), and
 # seven of the nine text.py-cohort keys (r10 evidence, file churn =
 # the repetition-signals append; two deferred, see
-# RECHECK_DEFERRALS). The nine new leads displaced ALL remaining
-# r11-stamped streaming twins to RECHECK_DEFERRALS (each with r11
-# evidence — the freshest streaming class — and append-only
-# post-stamp streams.py churn; every deferral entry names the lead
-# that displaced it). Exactly 50.
+# RECHECK_DEFERRALS). The eleven new leads displaced ALL remaining
+# r11-stamped streaming twins plus two append-only-churn dedup keys
+# to RECHECK_DEFERRALS (every deferral entry names the lead that
+# displaced it). Exactly 50.
 RECHECK_KEYS: tuple[str, ...] = (
     # never-stamped round-12 keys (leads)
     "pattern_detect_notfollowedby_stream",
@@ -260,6 +261,8 @@ RECHECK_KEYS: tuple[str, ...] = (
     "window_cascading_rollup_stream",
     "pattern_detect_followedby_stream",
     "ts_ohlc_bars_stream",
+    "pattern_detect_oneormore_stream",
+    "pattern_detect_times_stream",
     "pattern_detect_value_guard",
     "pattern_match_optional",
     "pattern_match_afterskip",
@@ -293,8 +296,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     "dedup_embed_cosine_ivf",
     "dedup_exact",
     "dedup_near_minhash",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_simhash_hamming",
     # text.py cohort (r10 evidence, post-stamp file churn; two
     # append-only deferrals below)
@@ -491,6 +492,17 @@ RECHECK_DEFERRALS: dict[str, str] = {
         "same shape as stream_stream_left_outer — r11 evidence,"
         " append-only streams.py churn, own text unchanged; displaced"
         " by the ts_ohlc_bars_stream lead — recheck r13"
+    ),
+    "dedup_ngram_jaccard": (
+        "r10 evidence; the only post-stamp dedup.py churn is the"
+        " round-12 dedup_substring APPEND — own text unchanged;"
+        " displaced by the pattern_detect_oneormore_stream lead —"
+        " recheck r13"
+    ),
+    "dedup_simhash": (
+        "same shape as dedup_ngram_jaccard — r10 evidence,"
+        " append-only dedup.py churn, own text unchanged; displaced"
+        " by the pattern_detect_times_stream lead — recheck r13"
     ),
 }
 

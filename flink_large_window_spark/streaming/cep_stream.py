@@ -1334,3 +1334,134 @@ def pattern_detect_followedby_stream(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return run_to_memory(spark, result, mode="append")
+
+
+@query(
+    "pattern_detect_oneormore_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS run_start, COUNT(*) AS run_len,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_start, first_id,
+             LAG(event_type, 1) OVER w AS c1,
+             LAG(run_len, 1)    OVER w AS l1,
+             LAG(run_start, 1)  OVER w AS s1
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    )
+    SELECT user_id,
+           first_id AS purchase_event,
+           CAST(l1 AS BIGINT) AS n_clicks,
+           epoch_us(s1) AS pattern_start_us,
+           epoch_us(run_start) AS pattern_end_us
+    FROM seq
+    WHERE event_type = 'purchase' AND c1 = 'click'
+      AND run_start <= s1 + INTERVAL 6 HOUR
+      AND epoch_us(run_start) // 1000
+          <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
+    """,
+)
+def pattern_detect_oneormore_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_detect_oneormore — ``C+ P`` within
+    6 h (Flink ``oneOrMore().greedy()``), detected incrementally by
+    the compiled automaton. Nothing new in the machine: the spec is
+    the alternation twin's shape minus the class set, so this key's
+    value is COVERAGE — every batch pattern_detect_* key the generic
+    compiler serves now has a driver-checkable streaming twin or a
+    documented reason it cannot (final-step exact / maximal-anchor
+    semantics). Oracle = the batch key's runs algebra re-expressed in
+    the runs-lag form the other twins use + the ms-aligned watermark
+    filter.
+    """
+    pat = Pattern(
+        steps=(
+            Step("clicks", "click", 1, None),
+            Step("buy", "purchase", 1, None),
+        ),
+        within_hours=6,
+    )
+    m = pattern_stream(spark, sf_dir, pat)
+    return m.select(
+        "user_id",
+        F.col("anchor_event").alias("purchase_event"),
+        "n_clicks",
+        "pattern_start_us",
+        "pattern_end_us",
+    )
+
+
+@query(
+    "pattern_detect_times_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS run_start, COUNT(*) AS run_len,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_start, first_id,
+             LAG(event_type, 1) OVER w AS c1,
+             LAG(run_len, 1)    OVER w AS l1,
+             LAG(run_start, 1)  OVER w AS s1
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    )
+    SELECT user_id,
+           first_id AS purchase_event,
+           epoch_us(s1) AS pattern_start_us,
+           epoch_us(run_start) AS pattern_end_us
+    FROM seq
+    WHERE event_type = 'purchase' AND c1 = 'click' AND l1 = 2
+      AND run_start <= s1 + INTERVAL 6 HOUR
+      AND epoch_us(run_start) // 1000
+          <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
+    """,
+)
+def pattern_detect_times_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_detect_times — EXACTLY two
+    consecutive clicks then a purchase within 6 h (Flink
+    ``times(2).consecutive()``). The exactness lives on a NON-final
+    step, which the incremental automaton supports (the click run is
+    CLOSED at candidacy, so ``run_len == 2`` is checkable — only
+    FINAL-step exactness is impossible incrementally, the documented
+    carve-out in :func:`compile_stream`). Oracle: the maximal-run
+    ``l1 = 2`` IS times(2)-with-exactness in the runs algebra; the
+    batch key's lag formulation (prev3-guard) is row-equal.
+    """
+    pat = Pattern(
+        steps=(
+            Step("clicks", "click", 2, 2, exact=True),
+            Step("buy", "purchase", 1, None),
+        ),
+        within_hours=6,
+    )
+    m = pattern_stream(spark, sf_dir, pat)
+    return m.select(
+        "user_id",
+        F.col("anchor_event").alias("purchase_event"),
+        "pattern_start_us",
+        "pattern_end_us",
+    )

@@ -184,13 +184,13 @@ def test_window_covers_changed_since_stamp_keys():
 
 def test_round12_recheck_window_shape():
     """The round-12 window (VERDICT r11 items 1-3 + 5-7): exactly 50
-    RECHECK keys, no unchecked tail — the nineteen never-stamped
+    RECHECK keys, no unchecked tail — the twenty-one never-stamped
     round-12 keys LEAD (the CEP extension wave: guards, optional
     steps, and skip strategies each batch+stream, the alternation
     stream twin, the late-round streaming negation, window Top-N,
     count windows, dynamic-gap sessions, the temporal as-of join,
     offset panes, the chained-stateful cascade, streaming
-    followedBy, and native OHLC bars;
+    followedBy, native OHLC bars, and the oneormore/times twins;
     plus the
     state-TTL demonstration, exact-substring dedup, and the
     Gopher-repetition signals), then the behavioral re-stamps (the
@@ -220,7 +220,7 @@ def test_round12_recheck_window_shape():
     # r12 driver evidence
     assert ROWS_ONLY_KEYS <= set(RECHECK_KEYS)
 
-    N_LEADS = 19
+    N_LEADS = 21
     tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
     if tools_dir not in sys.path:
         sys.path.insert(0, tools_dir)

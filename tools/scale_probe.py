@@ -167,6 +167,8 @@ FAMILIES = {
             "window_cascading_rollup_stream",
             "pattern_detect_followedby_stream",
             "ts_ohlc_bars_stream",
+            "pattern_detect_oneormore_stream",
+            "pattern_detect_times_stream",
         ],
     },
 }
