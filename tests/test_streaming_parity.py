@@ -1875,3 +1875,134 @@ def test_ttl_out_of_order_within_watermark_does_not_fabricate_eviction(
     )
     m = 60 * 1_000_000
     assert got == {(1, t0_us + 120 * m, t0_us + 60 * m, 3)}, got
+
+
+def test_topn_stream_tiebreak_and_countwin_null_values(spark, tmp_path):
+    """Two edge pins for the hand-built window machines: (a) window
+    Top-N rank ties break on user_id ASC (two users with equal counts
+    — rn must be deterministic); (b) count windows accumulate NULL
+    values like SQL SUM (sum_value NULL iff every value in the window
+    is NULL, else the non-NULL sum)."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark.streaming.streams import (
+        _COUNTWIN_OUT_SCHEMA,
+        _COUNTWIN_STATE_SCHEMA,
+        compile_countwindow_stream,
+        run_topn_stream,
+        run_to_memory,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("event_id", pa.int64()),
+            pa.field("value", pa.float64()),
+        ]
+    )
+
+    def row(uid, minutes, eid, val):
+        return {
+            "user_id": uid,
+            "ts": t0 + dt.timedelta(minutes=minutes),
+            "event_id": eid,
+            "value": val,
+        }
+
+    d = str(tmp_path)
+    rows = [
+        # day 1: users 7 and 3 both have 2 events; user 9 has 1.
+        # top-2 must be (3, rn=1), (7, rn=2) — user_id ASC on the tie.
+        row(7, 10, 1, 1.0), row(7, 20, 2, None),
+        row(3, 30, 3, None), row(3, 40, 4, None),
+        row(9, 50, 5, 2.0),
+        # user 5: one full 5-event count window, values (1, NULL, 2,
+        # NULL, 4) -> sum 7.0; user 6: all-NULL window -> sum NULL
+        # (on day 2 so they don't perturb day 1's leaderboard)
+        row(5, 1500, 10, 1.0), row(5, 1501, 11, None), row(5, 1502, 12, 2.0),
+        row(5, 1503, 13, None), row(5, 1504, 14, 4.0),
+        row(6, 1510, 20, None), row(6, 1511, 21, None), row(6, 1512, 22, None),
+        row(6, 1513, 23, None), row(6, 1514, 24, None),
+    ]
+    wm_driver = [row(1, 3000, 99, 0.0)]  # closes day 1 + all windows
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   os.path.join(d, "part_000.parquet"))
+    _time.sleep(1.1)
+    pq.write_table(pa.Table.from_pylist(wm_driver, schema=schema),
+                   os.path.join(d, "part_001.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = (
+        stream.withWatermark("ts", "10 minutes")
+        .select(F.date_trunc("day", "ts").alias("d_start"), "user_id", "ts")
+    )
+    topn = run_topn_stream(spark, ev)
+    got = {
+        (r["d_start"], r["user_id"], r["n"], r["rn"])
+        for r in topn.collect()
+        if r["d_start"].startswith("2024-03-01")
+    }
+    assert got == {
+        ("2024-03-01 00:00:00", 3, 2, 1),
+        ("2024-03-01 00:00:00", 7, 2, 2),
+    }, got
+
+    stream2 = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev2 = stream2.withWatermark("ts", "10 minutes").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    cw = ev2.groupBy("user_id").applyInPandasWithState(
+        compile_countwindow_stream(),
+        outputStructType=_COUNTWIN_OUT_SCHEMA,
+        stateStructType=_COUNTWIN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = run_to_memory(spark, cw, mode="append")
+    cw_got = {
+        (r["user_id"], r["window_idx"], r["sum_value"])
+        for r in out.collect()
+        if r["user_id"] in (5, 6)
+    }
+    assert cw_got == {(5, 0, 7.0), (6, 0, None)}, cw_got
+
+
+def test_asof_stream_equal_ts_click_tiebreak(spark, tmp_path):
+    """Two clicks at the error's exact timestamp: the HIGHER event_id
+    wins (the batch key's ORDER BY c.ts DESC, c.event_id DESC), and
+    the rule survives the clicks arriving in different batches."""
+    d = _write_batches(
+        tmp_path,
+        [
+            _event_row(1, 5, 11, "click"),
+            _event_row(1, 5, 30, "error"),
+        ],
+        [
+            _event_row(1, 5, 12, "click"),  # same ts, higher id, later batch
+            _event_row(9, 1000, 99, "click"),
+        ],
+    )
+    out = _run_asof_split_stream(spark, str(d))
+    got = {(r["error_id"], r["click_id"]) for r in out.collect()}
+    assert got == {(30, 12)}, got
