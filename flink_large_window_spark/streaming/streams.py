@@ -123,7 +123,19 @@ def hold_timer_ms(hold, wm_ms):
     """Re-fold timer for a non-empty hold buffer: 1 ms before the
     earliest held event (so the fold that admits it re-runs the
     moment the watermark reaches it), clamped above the current
-    watermark as setTimeoutTimestamp requires."""
+    watermark as setTimeoutTimestamp requires.
+
+    API-forced residual (review r12): when the clamp engages
+    (``min_hold_ms == wm_ms + 1``) the armed timer fires only once
+    the watermark passes ``min_hold_ms`` — a timestamp that would
+    fire AT ``min_hold_ms`` is not armable (Spark requires the
+    timeout to exceed the current watermark). If the stream's FINAL
+    watermark lands exactly on ``min_hold_ms`` and the key sees no
+    further data, that last fold never runs. This needs an exact-ms
+    coincidence between ``max(ts) − delay`` and a held event's
+    ms-floored timestamp — the same measure-zero class as the
+    documented fold-tie hazard, and any later data for the key heals
+    it (folds re-run on every data invocation)."""
     return max(min(e[0] for e in hold) // 1000 - 1, wm_ms + 1)
 
 
@@ -866,13 +878,16 @@ def make_ttl_machine():
     so a legal in-watermark out-of-order arrival across micro-batches
     could fabricate or suppress an eviction the globally-sorted SQL
     oracle does not have. Eviction of the live blob is an EXPLICIT
-    watermark test (``(last + ttl) // 1000 < wm_ms``, ms-aligned,
-    fire-semantics-proof — the oracle's final-blob filter uses the
-    identical expression) rather than trusting the timer's own
-    fire boundary; held events can never rescue a blob past that test
-    (a held event has ``ts_ms > wm_ms``, so its gap to ``last``
-    already exceeds the TTL — folding it later starts a fresh
-    generation either way)."""
+    watermark test (``(last + ttl) // 1000 < wm_ms``, ms-aligned —
+    the oracle's timer-path filter uses the identical expression)
+    rather than trusting the timer's own fire boundary; held events
+    can never rescue a blob past that test (a held event has
+    ``ts_ms > wm_ms``, so its gap to ``last`` already exceeds the
+    TTL — folding it later starts a fresh generation either way).
+    One API-forced 1 ms residual remains (see :func:`hold_timer_ms`):
+    when a timer must clamp to ``wm + 1`` and the FINAL watermark
+    lands exactly on the boundary, the re-check never runs — the same
+    measure-zero class as the documented ms-tie hazard."""
     ttl_us = _STATE_TTL_US
 
     def ttl_machine(
@@ -952,18 +967,25 @@ def make_ttl_machine():
       FROM marked
     ), agg AS (
       SELECT user_id, gen,
+             MIN(us) AS first_us,
              MAX(us) AS last_seen_us,
              COUNT(*) AS n_discarded
       FROM gens GROUP BY user_id, gen
-    ), latest AS (
-      SELECT user_id, MAX(gen) AS maxg FROM agg GROUP BY user_id
+    ), seqd AS (
+      SELECT user_id, gen, last_seen_us, n_discarded,
+             LEAD(first_us) OVER (
+               PARTITION BY user_id ORDER BY gen
+             ) AS next_start_us
+      FROM agg
     )
-    SELECT a.user_id,
-           a.last_seen_us + 3600000000 AS evict_at_us,
-           a.last_seen_us, a.n_discarded
-    FROM agg a JOIN latest l USING (user_id)
-    WHERE a.gen < l.maxg
-       OR (a.last_seen_us + 3600000000) // 1000
+    SELECT user_id,
+           last_seen_us + 3600000000 AS evict_at_us,
+           last_seen_us, n_discarded
+    FROM seqd
+    WHERE (next_start_us IS NOT NULL
+           AND next_start_us // 1000
+               <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000)
+       OR (last_seen_us + 3600000000) // 1000
           < epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
     """,
 )
@@ -992,13 +1014,22 @@ def stateful_session_ttl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user_id, evict_at_us = last_seen + TTL, last_seen_us,
     n_discarded). ``evict_at_us`` is the deterministic expiry instant,
     not the discovery time, so both expiry paths emit identical rows
-    and the emission set is SQL-derivable: every idle gap ≥ TTL in the
-    per-key event sequence evicts one blob, plus the final blob iff
-    the terminal watermark passed its deadline. State still live at
-    replay end is never emitted (tests/test_streaming_parity.py pins
-    that evicted keys emit nothing after their TTL and that a
-    post-eviction generation restarts its count from zero — the state
-    was really dropped, not carried).
+    and the emission set is SQL-derivable: a blob evicts iff its
+    eviction became OBSERVABLE under the final watermark — its
+    successor generation's first event folded (lazy path:
+    ``next_start_ms <= final_wm_ms``, the hold-buffer's fold rule) or
+    its deadline strictly passed (timer path:
+    ``(last + ttl)//1000 < final_wm_ms``). A gap ≥ TTL whose proving
+    successor event is still HELD at replay end evicts on neither
+    path — the r12 continuation review caught the oracle emitting
+    such generations unconditionally (``gen < maxg`` with no
+    watermark guard) while the hold-buffer handler correctly waits;
+    the oracle now applies the observability rule, and the repro is
+    pinned in tests. State still live at replay end is never emitted
+    (tests/test_streaming_parity.py pins that evicted keys emit
+    nothing after their TTL and that a post-eviction generation
+    restarts its count from zero — the state was really dropped, not
+    carried).
 
     At 100 TB this is the pattern that keeps a long-running keyed
     aggregation's state proportional to ACTIVE keys rather than

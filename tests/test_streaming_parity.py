@@ -2006,3 +2006,128 @@ def test_asof_stream_equal_ts_click_tiebreak(spark, tmp_path):
     out = _run_asof_split_stream(spark, str(d))
     got = {(r["error_id"], r["click_id"]) for r in out.collect()}
     assert got == {(30, 12)}, got
+
+
+def test_ttl_held_successor_does_not_evict(spark, tmp_path):
+    """Folded-successor control for the held-successor repro below:
+    with the watermark driver far past the gap (+300m), both users'
+    +61m successors FOLD, so both generation-1 blobs evict lazily —
+    the observability rule's lazy path. (The true held case, where
+    the successor stays inside the final tail and neither path is
+    observable, is test_ttl_held_successor_tail_case.)"""
+    from flink_large_window_spark.streaming.streams import (
+        _TTL_OUT_SCHEMA,
+        _TTL_STATE_SCHEMA,
+        make_ttl_machine,
+        run_to_memory,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d = _write_batches(
+        tmp_path,
+        [
+            _event_row(1, 0, 0, "view"),
+            _event_row(2, 0, 10, "view"),
+        ],
+        [
+            _event_row(1, 61, 1, "view"),  # gap 61m >= TTL, stays HELD
+            _event_row(2, 61, 11, "view"),  # same gap, will fold
+            _event_row(2, 300, 12, "view"),  # wm driver via user 2 only
+        ],
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = stream.withWatermark("ts", "10 minutes").select(
+        "user_id", "ts", "event_id"
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        make_ttl_machine(),
+        outputStructType=_TTL_OUT_SCHEMA,
+        stateStructType=_TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = run_to_memory(spark, result, mode="append")
+    got = {
+        (r["user_id"], r["evict_at_us"], r["last_seen_us"], r["n_discarded"])
+        for r in out.collect()
+    }
+    t0_us = int(
+        dt.datetime(2024, 3, 1, 12, 0, 0)
+        .replace(tzinfo=dt.timezone.utc)
+        .timestamp()
+        * 1e6
+    )
+    m = 60 * 1_000_000
+    # final wm = +290m: both +61m successors folded -> both gen-1
+    # blobs evict lazily with identical accounting rows
+    assert (1, t0_us + 60 * m, t0_us, 1) in got
+    assert (2, t0_us + 60 * m, t0_us, 1) in got
+
+
+def test_ttl_held_successor_tail_case(spark, tmp_path):
+    """The exact review repro: events at +20m (gen 1) and +81m (the
+    proving successor, inside the final 10-min tail: max ts +85m →
+    final wm +75m < +81m); gen-1's deadline +80m is NOT strictly
+    before +75m. Neither eviction path is observable → the stream
+    emits NOTHING, and the fixed oracle agrees (the pre-fix oracle
+    emitted gen-1 unconditionally)."""
+    import duckdb
+
+    from flink_large_window_spark.streaming.streams import (
+        _TTL_OUT_SCHEMA,
+        _TTL_STATE_SCHEMA,
+        make_ttl_machine,
+        run_to_memory,
+    )
+    from flink_large_window_spark import api
+    import __spark_entry__ as entry_mod
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    d = _write_batches(
+        tmp_path,
+        [_event_row(1, 20, 0, "view")],
+        [
+            _event_row(1, 81, 1, "view"),  # held: ts > final wm
+            _event_row(9, 85, 9, "view"),  # max-ts driver
+        ],
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = stream.withWatermark("ts", "10 minutes").select(
+        "user_id", "ts", "event_id"
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        make_ttl_machine(),
+        outputStructType=_TTL_OUT_SCHEMA,
+        stateStructType=_TTL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = run_to_memory(spark, result, mode="append")
+    assert out.count() == 0, out.collect()
+    # and the ORACLE on the same events agrees (this is the cell the
+    # pre-fix oracle got wrong)
+    import glob
+    import pandas as pd_  # noqa: F401
+
+    con = duckdb.connect()
+    files = sorted(glob.glob(str(tmp_path) + "/part_*.parquet"))
+    con.execute(
+        "CREATE VIEW events AS SELECT user_id, ts, event_id FROM "
+        f"read_parquet({files!r})"
+    )
+    sql = entry_mod.oracle_sql()["stateful_session_ttl_stream"]
+    assert len(con.execute(sql).df()) == 0
