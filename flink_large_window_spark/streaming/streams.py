@@ -34,6 +34,7 @@ watermark), not just the final frontier.
 
 from __future__ import annotations
 
+import bisect
 import os
 import time
 from typing import Iterator
@@ -854,7 +855,6 @@ _TTL_OUT_SCHEMA = StructType(
 )
 _TTL_STATE_SCHEMA = StructType(
     [
-        StructField("first", LongType()),
         StructField("last", LongType()),
         StructField("n", LongType()),
         StructField("buf_us", ArrayType(LongType())),
@@ -895,10 +895,10 @@ def make_ttl_machine():
     ) -> Iterator[pd.DataFrame]:
         out = []
         if state.exists:
-            first, last, n, b_us, b_id = state.get
+            last, n, b_us, b_id = state.get
             buf = [(int(u), int(i)) for u, i in zip(b_us, b_id)]
         else:
-            first = last = n = 0
+            last = n = 0
             buf = []
         wm_ms = state.getCurrentWatermarkMs()
         if not state.hasTimedOut:
@@ -912,19 +912,24 @@ def make_ttl_machine():
                 out.append((key[0], last + ttl_us, last, n))
                 n = 0
             if n == 0:
-                first, last, n = us, us, 1
+                last, n = us, 1
             else:
                 last, n = max(last, us), n + 1
         if n and (last + ttl_us) // 1000 < wm_ms:
             # idle-key GC: the watermark strictly passed the deadline
             out.append((key[0], last + ttl_us, last, n))
-            first = last = n = 0
+            last = n = 0
         if n == 0 and not hold:
             if state.exists:
                 state.remove()
         else:
+            # State is (last, n) only since r13: the old 'first' field
+            # was restored/persisted but never read for emission or
+            # control flow (its None-sentinel role moved to n == 0 in
+            # the r12 hold-buffer rewrite) — pure schema weight,
+            # dropped per ADVICE r12 item 3.
             state.update(
-                (first, last, n, [u for u, _ in hold], [i for _, i in hold])
+                (last, n, [u for u, _ in hold], [i for _, i in hold])
             )
             cands = []
             if n:
@@ -994,8 +999,8 @@ def stateful_session_ttl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``StateTtlConfig`` (OnCreateAndWrite update type, 1h TTL) mapped
     onto event-time timers (VERDICT r11 item 7 / ADVICE r11 item 4).
 
-    Per user the state is a running (first_seen, last_seen, n_events)
-    blob refreshed by every write. Two expiry paths, both discarding
+    Per user the state is a running (last_seen, n_events) blob
+    refreshed by every write. Two expiry paths, both discarding
     the blob rather than emitting it as a result:
 
     - **Timer eviction**: after each batch the handler arms an
@@ -1877,6 +1882,14 @@ def compile_topn_stream(n: int = 2, window_ms: int = 86_400_000):
         state.update(
             ([u for u in counts], [counts[u] for u in counts])
         )
+        # Same API-forced 1 ms residual as hold_timer_ms (ADVICE r12
+        # item 1): when the clamp engages (end_ms - 1 <= wm_ms) the
+        # timer arms at wm_ms + 1 and fires only once the watermark
+        # strictly passes it — a FINAL watermark landing exactly on
+        # the armed instant never fires it. Needs an exact-ms
+        # coincidence between max(ts) − delay and the window end; any
+        # later data for the key heals it (the wm_ms >= end_ms branch
+        # above emits on the data path).
         state.setTimeoutTimestamp(max(end_ms - 1, wm_ms + 1))
         yield pd.DataFrame(
             {"d_start": [], "user_id": [], "n": [], "rn": []}
@@ -1993,18 +2006,31 @@ def compile_countwindow_stream(size: int = 5):
                 next_idx += 1
                 cnt = 0
                 sum_val = None
-        state.update(
-            (
-                next_idx,
-                cnt,
-                min_id,
-                max_id,
-                nan if sum_val is None else sum_val,
-                [e[0] for e in hold],
-                [e[1] for e in hold],
-                [nan if e[2] is None else e[2] for e in hold],
+        if cnt == 0 and not hold and next_idx == 0:
+            # Nothing folded and nothing numbered: mirror the TTL
+            # machine's exhausted-state removal (ADVICE r12 item 4)
+            # rather than persisting an all-zero row forever. A key
+            # with next_idx > 0 must KEEP its row even when the buffer
+            # drains: next_idx is live state — window numbering
+            # continues from it, so removing would restart a future
+            # window at idx 0 (Flink's countWindow likewise keeps the
+            # per-key count state for the stream's lifetime; bounding
+            # it is a TTL layering, which renumbers by design).
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    next_idx,
+                    cnt,
+                    min_id,
+                    max_id,
+                    nan if sum_val is None else sum_val,
+                    [e[0] for e in hold],
+                    [e[1] for e in hold],
+                    [nan if e[2] is None else e[2] for e in hold],
+                )
             )
-        )
         if hold:
             state.setTimeoutTimestamp(hold_timer_ms(hold, wm_ms))
         yield pd.DataFrame(
@@ -2195,7 +2221,13 @@ def compile_asof_stream():
     watermark passes a click, only the MAX (ts, id) among passed
     clicks can ever win for a future or pending error (both have
     ``ts_us >= wm_ms·1000``), so the settled side collapses to one
-    version — the temporal-join state bound."""
+    version — the temporal-join state bound.
+
+    Per-invocation cost (ADVICE r12 item 2): the click buffer sorts
+    ONCE per invocation and each settling error resolves by bisect —
+    O((C + E)·log C) instead of the earlier O(E·C) full scan per
+    error, so a key-skewed watermark-delay backlog degrades
+    log-linearly, not quadratically."""
 
     def handler(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -2219,12 +2251,16 @@ def compile_asof_stream():
                     else:
                         errors.append((us, int(eid)))
         out, pending = [], []
+        clicks.sort()  # (us, id) asc — prefix max is the last element
         for us, eid in errors:
             if us // 1000 < wm_ms:
-                cand = [c for c in clicks if c[0] <= us]
-                if best is not None:
-                    cand.append(best)
-                m = max(cand) if cand else None
+                # max (ts, id) click with ts <= error ts: bisect for
+                # the prefix boundary; the sorted prefix's last
+                # element IS its max tuple
+                idx = bisect.bisect_right(clicks, us, key=lambda c: c[0])
+                m = clicks[idx - 1] if idx else None
+                if best is not None and (m is None or best > m):
+                    m = best
                 out.append((eid, None if m is None else m[1]))
             else:
                 pending.append((us, eid))
@@ -2245,6 +2281,8 @@ def compile_asof_stream():
             )
         )
         if pending:
+            # shares hold_timer_ms's API-forced clamp residual (the
+            # wm_ms + 1 floor) — see its docstring for the boundary
             state.setTimeoutTimestamp(
                 max(min(u for u, _ in pending) // 1000, wm_ms + 1)
             )
