@@ -1728,3 +1728,167 @@ def pattern_match_skipguard_stream(
         F.round("g_purchase", 4).alias("purchase_val"),
         F.round("g_purchase_ref", 4).alias("clicks_max_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Non-deterministic relaxed contiguity (Flink ``followedByAny``) —
+# round 13. Pairing is order-insensitive set logic like the horizon
+# machines (no hold-buffer fold needed): a target settles once the
+# watermark strictly passes it, at which point every in-frame anchor
+# has provably arrived (an anchor with a_us < t_us arriving later
+# would be watermark-late and dropped upstream by the same ts < wm
+# contract the resolution rule aligns to).
+
+#: Pairs-state schema: retained anchors (µs + event_id) and pending
+#: targets (µs + event_id). Anchors older than horizon + watermark
+#: delay evict — no pending or future target's frame reaches them —
+#: so per-key state is O(events inside horizon + watermark delay),
+#: Flink's NFA bound for a within-bounded followedByAny.
+PAIRS_STATE_SCHEMA = StructType(
+    [
+        StructField("anchor_us", ArrayType(LongType())),
+        StructField("anchor_id", ArrayType(LongType())),
+        StructField("target_us", ArrayType(LongType())),
+        StructField("target_id", ArrayType(LongType())),
+    ]
+)
+
+PAIRS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("click_event", LongType()),
+        StructField("purchase_event", LongType()),
+        StructField("gap_us", LongType()),
+    ]
+)
+
+
+def compile_pairs_stream(anchor_cls: str, target_cls: str, horizon_us: int):
+    """Handler for ``followedByAny`` pairing: each settling target
+    emits one row per retained anchor inside ``[t_us − horizon,
+    t_us)`` (the strict-below / inclusive-above frame of
+    compile_horizon_pairs, seen from the target side).
+
+    Resolution rule: a target settles once ``t_ms < wm_ms`` (STRICT)
+    — any unseen anchor has ``a_ms >= wm_ms > t_ms``, hence
+    ``a_us >= wm_ms·1000 > t_us``, strictly after the target and
+    outside its frame, so the pair set is complete. Anchors sort once
+    per invocation and each target takes its frame by two bisects
+    (the horizon machines' r13 resolution shape). Anchor eviction
+    floor: pending and future targets have ``t_us >= wm_ms·1000``,
+    so anchors below ``wm_ms·1000 − horizon_us`` are unreachable."""
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            a_us, a_id, t_us, t_id = state.get
+            anchors = [(int(u), int(i)) for u, i in zip(a_us, a_id)]
+            targets = [(int(u), int(i)) for u, i in zip(t_us, t_id)]
+        else:
+            anchors, targets = [], []
+        wm_ms = state.getCurrentWatermarkMs()
+        if not state.hasTimedOut:
+            for chunk in pdfs:
+                for ts, eid, cls in zip(
+                    chunk["ts"], chunk["event_id"], chunk["event_type"]
+                ):
+                    us = int(ts.value) // 1_000
+                    if cls == anchor_cls:
+                        anchors.append((us, int(eid)))
+                    elif cls == target_cls:
+                        targets.append((us, int(eid)))
+        emitted, pending = [], []
+        anchors.sort()
+        a_keys = [a[0] for a in anchors]
+        for us, eid in targets:
+            if us // 1000 < wm_ms:
+                lo = bisect.bisect_left(a_keys, us - horizon_us)
+                hi = bisect.bisect_left(a_keys, us)
+                for a_u, a_i in anchors[lo:hi]:
+                    emitted.append((key[0], a_i, eid, us - a_u))
+            else:
+                pending.append((us, eid))
+        floor_us = wm_ms * 1000 - horizon_us
+        anchors = [a for a in anchors if a[0] >= floor_us]
+        state.update(
+            (
+                [u for u, _ in anchors],
+                [i for _, i in anchors],
+                [u for u, _ in pending],
+                [i for _, i in pending],
+            )
+        )
+        if pending:
+            # shares hold_timer_ms's API-forced clamp residual (the
+            # wm_ms + 1 floor) — see its docstring for the boundary
+            state.setTimeoutTimestamp(
+                max(min(u for u, _ in pending) // 1000, wm_ms + 1)
+            )
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in emitted],
+                "click_event": [r[1] for r in emitted],
+                "purchase_event": [r[2] for r in emitted],
+                "gap_us": [r[3] for r in emitted],
+            }
+        )
+
+    return handler
+
+
+@query(
+    "pattern_detect_followedbyany_stream",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_event,
+           p.event_id AS purchase_event,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND epoch_us(p.ts) > epoch_us(c.ts)
+     AND epoch_us(p.ts) <= epoch_us(c.ts) + 86400000000
+    WHERE epoch_us(p.ts) // 1000
+          < epoch_us((SELECT MAX(ts) FROM events
+                      WHERE event_type IN ('click', 'purchase'))) // 1000
+            - 600000
+    """,
+)
+def pattern_detect_followedbyany_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_detect_followedbyany —
+    non-deterministic relaxed contiguity ([FLINK-API]
+    ``followedByAny().within(24h)``) detected incrementally: every
+    purchase pairs with EVERY same-user click in the preceding 24 h,
+    emitted the moment the watermark strictly passes the purchase
+    (see :func:`compile_pairs_stream` for why the pair set is
+    complete at that instant). Spark's stream-stream self-join could
+    express this shape, but the keyed handler keeps the horizon
+    machines' single-shuffle layout and their exact state bound —
+    and one state row per key, versus the join's two buffered sides.
+
+    Same filtered-stream watermark convention as the other horizon
+    twins (classes filter before the shuffle; the oracle's
+    final-watermark term ranges over click/purchase rows). Oracle =
+    the batch key's pair join + the ms-aligned
+    settled-before-final-watermark filter on the purchase side.
+    """
+    ev = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "10 minutes")
+    )
+    handler = compile_pairs_stream(
+        "click", "purchase", 24 * 3600 * 1_000_000
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        handler,
+        outputStructType=PAIRS_OUT_SCHEMA,
+        stateStructType=PAIRS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")

@@ -1495,6 +1495,75 @@ def test_absence_stream_parity(spark):
     assert got, "no abandoned clicks emitted — timers never fired"
 
 
+def test_pairs_stream_multibatch_out_of_order(spark, tmp_path):
+    """followedByAny pairing (round 13) across micro-batches: a
+    purchase settling in a later batch must pair with EVERY retained
+    click — including (uid 1, click 3) which arrives in the
+    purchase's own batch with an EARLIER timestamp (legal in-watermark
+    out-of-order); a click strictly AFTER the purchase (id 4) never
+    pairs. One anchor, many targets (uid 5): both purchases pair with
+    the same click — the every-alternative semantics followedBy
+    deliberately lacks."""
+    from flink_large_window_spark.streaming.cep_stream import (
+        PAIRS_OUT_SCHEMA,
+        PAIRS_STATE_SCHEMA,
+        compile_pairs_stream,
+    )
+    from flink_large_window_spark.streaming.streams import run_to_memory
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    batch1 = [
+        _event_row(1, 0, 0, "click"),
+        _event_row(1, 10, 1, "click"),
+        _event_row(5, 0, 50, "click"),
+        _event_row(5, 5, 51, "purchase"),
+    ]
+    batch2 = [
+        _event_row(1, 20, 3, "click"),  # out-of-order vs wm, in order
+        _event_row(1, 30, 2, "purchase"),
+        _event_row(1, 40, 4, "click"),  # after the purchase: no pair
+        _event_row(5, 8, 52, "purchase"),
+        # watermark tail: must be a FILTERED-IN class — the watermark
+        # is declared after the click/purchase filter, so a 'view'
+        # tail would not advance it (the filtered-stream convention)
+        _event_row(2, 90, 9, "click"),
+    ]
+    d = _write_batches(tmp_path, batch1, batch2)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = (
+        stream.filter(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "10 minutes")
+    )
+    handler = compile_pairs_stream("click", "purchase", 24 * 3600 * 1_000_000)
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        handler,
+        outputStructType=PAIRS_OUT_SCHEMA,
+        stateStructType=PAIRS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = run_to_memory(spark, result, mode="append")
+    got = {
+        (r["user_id"], r["click_event"], r["purchase_event"], r["gap_us"])
+        for r in out.collect()
+    }
+    m = 60_000_000  # µs per minute
+    assert got == {
+        (1, 0, 2, 30 * m),
+        (1, 1, 2, 20 * m),
+        (1, 3, 2, 10 * m),
+        (5, 50, 51, 5 * m),
+        (5, 50, 52, 8 * m),
+    }, got
+
+
 def test_absence_stream_multibatch(spark, tmp_path):
     """The discriminating cases for streaming negation, split across
     micro-batches: (uid 1) the suppressing purchase arrives a BATCH
