@@ -1892,3 +1892,215 @@ def pattern_detect_followedbyany_stream(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return run_to_memory(spark, result, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Timed-out partial-match side output (Flink
+# ``TimedOutPartialMatchHandler``) — round 13. The inverse of the
+# run-fold automaton's emission rule: a row emits only when the
+# watermark proves the match can NO LONGER complete (deadline passed
+# with the funnel unfinished), so this is a pending-state machine in
+# the absence family — order-insensitive accumulation, resolution
+# strictly after the deadline, no hold-buffer fold.
+
+#: Timeout-state schema: pending pattern starts and the retained
+#: second/third-class events (µs + event_id parallel arrays each).
+#: Events below ``wm − horizon − 1ms`` evict (no pending or future
+#: start's frame reaches them), so per-key state is O(events inside
+#: horizon + watermark delay) — the NFA bound for a within-bounded
+#: three-step pattern.
+TIMEOUT_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", ArrayType(LongType())),
+        StructField("start_id", ArrayType(LongType())),
+        StructField("second_us", ArrayType(LongType())),
+        StructField("second_id", ArrayType(LongType())),
+        StructField("third_us", ArrayType(LongType())),
+        StructField("third_id", ArrayType(LongType())),
+    ]
+)
+
+TIMEOUT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("start_event", LongType()),
+        StructField("n_matched", LongType()),
+        StructField("deadline_us", LongType()),
+    ]
+)
+
+
+def compile_timeout_stream(
+    first_cls: str, second_cls: str, third_cls: str, horizon_us: int
+):
+    """Handler for the timed-out-partials side output of ``first
+    followedBy second followedBy third within(horizon)``.
+
+    A start resolves once ``(start_us + horizon) // 1000 < wm_ms``
+    (STRICT) — any unseen event has ``ts_ms >= wm_ms``, hence
+    ``ts_us >= wm_ms·1000 > start_us + horizon``, beyond the
+    deadline, so the funnel's fate is fixed: the earliest
+    second-class event strictly after the start (in (us, id) total
+    order — the batch rn order restricted to these classes) within
+    the deadline, then the earliest third-class event strictly after
+    THAT one; complete → silent, else emit with n_matched = steps
+    matched at expiry. Resolution is deliberately deadline-time only
+    (never early on completion): an earlier second-class event can
+    still arrive in-watermark and shift the chain, and the event
+    buffers are retained for the horizon regardless — pending-start
+    state is O(starts in horizon), not the bottleneck. Both sides
+    sort once per invocation; each start resolves with two bisects.
+    """
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            s_us, s_id, b_us, b_id, c_us, c_id = state.get
+            starts = [(int(u), int(i)) for u, i in zip(s_us, s_id)]
+            seconds = [(int(u), int(i)) for u, i in zip(b_us, b_id)]
+            thirds = [(int(u), int(i)) for u, i in zip(c_us, c_id)]
+        else:
+            starts, seconds, thirds = [], [], []
+        wm_ms = state.getCurrentWatermarkMs()
+        if not state.hasTimedOut:
+            for chunk in pdfs:
+                for ts, eid, cls in zip(
+                    chunk["ts"], chunk["event_id"], chunk["event_type"]
+                ):
+                    us = int(ts.value) // 1_000
+                    if cls == first_cls:
+                        starts.append((us, int(eid)))
+                    elif cls == second_cls:
+                        seconds.append((us, int(eid)))
+                    elif cls == third_cls:
+                        thirds.append((us, int(eid)))
+        emitted, pending = [], []
+        seconds.sort()
+        thirds.sort()
+        for us, eid in starts:
+            deadline = us + horizon_us
+            if deadline // 1000 >= wm_ms:
+                pending.append((us, eid))
+                continue
+            i = bisect.bisect_right(seconds, (us, eid))
+            fc = (
+                seconds[i]
+                if i < len(seconds) and seconds[i][0] <= deadline
+                else None
+            )
+            if fc is None:
+                emitted.append((key[0], eid, 1, deadline))
+                continue
+            j = bisect.bisect_right(thirds, fc)
+            done = j < len(thirds) and thirds[j][0] <= deadline
+            if not done:
+                emitted.append((key[0], eid, 2, deadline))
+        floor_us = wm_ms * 1000 - horizon_us - 999
+        seconds = [e for e in seconds if e[0] >= floor_us]
+        thirds = [e for e in thirds if e[0] >= floor_us]
+        state.update(
+            (
+                [u for u, _ in pending],
+                [i for _, i in pending],
+                [u for u, _ in seconds],
+                [i for _, i in seconds],
+                [u for u, _ in thirds],
+                [i for _, i in thirds],
+            )
+        )
+        if pending:
+            # shares hold_timer_ms's API-forced clamp residual (the
+            # wm_ms + 1 floor) — see its docstring for the boundary
+            state.setTimeoutTimestamp(
+                max(
+                    min((u + horizon_us) // 1000 for u, _ in pending),
+                    wm_ms + 1,
+                )
+            )
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in emitted],
+                "start_event": [r[1] for r in emitted],
+                "n_matched": [r[2] for r in emitted],
+                "deadline_us": [r[3] for r in emitted],
+            }
+        )
+
+    return handler
+
+
+@query(
+    "pattern_timeout_partial_stream",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ), p1 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'purchase'
+                         THEN struct_pack(us := us, id := event_id) END)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                  AS fp
+      FROM f
+    ), p2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click'
+                         THEN struct_pack(us := us, id := event_id,
+                                          pus := fp.us, pid := fp.id) END)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                  AS fc
+      FROM p1
+    )
+    SELECT user_id,
+           event_id AS start_event,
+           CAST(CASE WHEN fc IS NULL OR fc.us > us + 21600000000
+                     THEN 1 ELSE 2 END AS BIGINT) AS n_matched,
+           us + 21600000000 AS deadline_us
+    FROM p2
+    WHERE event_type = 'view'
+      AND (fc IS NULL OR fc.us > us + 21600000000
+           OR fc.pus IS NULL OR fc.pus > us + 21600000000)
+      AND (us + 21600000000) // 1000
+          < epoch_us((SELECT MAX(ts) FROM events
+                      WHERE event_type IN ('view', 'click', 'purchase')
+                     )) // 1000 - 600000
+    """,
+)
+def pattern_timeout_partial_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_timeout_partial — Flink's
+    ``TimedOutPartialMatchHandler`` side output produced the way
+    Flink produces it: pattern starts live in keyed pending state
+    with an event-time timer at their deadline; when the watermark
+    strictly passes it, the unfinished funnel emits (user_id,
+    start_event, n_matched, deadline_us) and completed funnels leave
+    silently (see :func:`compile_timeout_stream` for why the fate is
+    fixed at that instant). The canonical "cart abandoned within 6 h"
+    alert, with n_matched telling WHERE the funnel stalled.
+
+    Same filtered-stream watermark convention as the other pending-
+    state twins (the three classes filter before the shuffle; the
+    oracle's final-watermark term ranges over view/click/purchase
+    rows). Oracle = the batch side-output SQL + the ms-aligned
+    deadline-strictly-passed filter (the absence machine's boundary
+    polarity — this is a FOLLOWING-horizon resolution).
+    """
+    ev = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "10 minutes")
+    )
+    handler = compile_timeout_stream(
+        "view", "click", "purchase", 6 * 3600 * 1_000_000
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        handler,
+        outputStructType=TIMEOUT_OUT_SCHEMA,
+        stateStructType=TIMEOUT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")

@@ -1564,6 +1564,86 @@ def test_pairs_stream_multibatch_out_of_order(spark, tmp_path):
     }, got
 
 
+def test_timeout_partials_stream_multibatch(spark, tmp_path):
+    """Timed-out partial matches (round 13) across micro-batches, one
+    uid per discriminating case of view->click->purchase within 6h:
+    (1) click a batch later, purchase never -> n_matched=2;
+    (3) nothing follows -> n_matched=1;
+    (4) full funnel inside the deadline -> silent;
+    (5) the only click lands BEYOND the deadline -> n_matched=1;
+    (6) purchase BEFORE the click cannot complete the funnel (the
+        third step must follow the matched second) -> n_matched=2;
+    (7) click arrives out-of-order AFTER its purchase in arrival
+        order but in-watermark -> the chain still completes, silent."""
+    from flink_large_window_spark.streaming.cep_stream import (
+        TIMEOUT_OUT_SCHEMA,
+        TIMEOUT_STATE_SCHEMA,
+        compile_timeout_stream,
+    )
+    from flink_large_window_spark.streaming.streams import run_to_memory
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    batch1 = [
+        _event_row(1, 0, 0, "view"),
+        _event_row(3, 0, 30, "view"),
+        _event_row(4, 0, 40, "view"),
+        _event_row(4, 5, 41, "click"),
+        _event_row(5, 0, 50, "view"),
+        _event_row(6, 0, 60, "view"),
+        _event_row(6, 5, 61, "purchase"),
+        _event_row(7, 0, 70, "view"),
+    ]
+    batch2 = [
+        _event_row(1, 10, 1, "click"),
+        _event_row(4, 10, 42, "purchase"),
+        _event_row(5, 365, 51, "click"),  # beyond the 360-min deadline
+        _event_row(6, 10, 62, "click"),
+        _event_row(7, 20, 72, "purchase"),
+        _event_row(7, 10, 71, "click"),  # out-of-order, in-watermark
+        _event_row(2, 380, 9, "click"),  # watermark tail -> wm 370min
+    ]
+    d = _write_batches(tmp_path, batch1, batch2)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = (
+        stream.filter(
+            F.col("event_type").isin("view", "click", "purchase")
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "10 minutes")
+    )
+    handler = compile_timeout_stream(
+        "view", "click", "purchase", 6 * 3600 * 1_000_000
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        handler,
+        outputStructType=TIMEOUT_OUT_SCHEMA,
+        stateStructType=TIMEOUT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = run_to_memory(spark, result, mode="append")
+    got = {
+        (r["user_id"], r["start_event"], r["n_matched"])
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 0, 2),
+        (3, 30, 1),
+        (5, 50, 1),
+        (6, 60, 2),
+    }, got
+    # every deadline is start + 6h exactly
+    t0_us = _us("2024-03-01 12:00:00")
+    for r in out.collect():
+        assert r["deadline_us"] == t0_us + 6 * 3600 * 1_000_000
+
+
 def test_absence_stream_multibatch(spark, tmp_path):
     """The discriminating cases for streaming negation, split across
     micro-batches: (uid 1) the suppressing purchase arrives a BATCH
