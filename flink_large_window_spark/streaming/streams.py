@@ -2104,6 +2104,182 @@ def window_count_tumbling_stream(
     return run_to_memory(spark, result, mode="append")
 
 
+#: window_count_sliding_stream keyed state: folded-event position,
+#: the ring of the last <= size folded values (NaN-encoded NULLs),
+#: and the watermark hold buffer.
+_COUNTSLIDE_STATE_SCHEMA = StructType(
+    [
+        StructField("pos", LongType()),
+        StructField("ring", ArrayType(DoubleType())),
+        StructField("buf_us", ArrayType(LongType())),
+        StructField("buf_id", ArrayType(LongType())),
+        StructField("buf_val", ArrayType(DoubleType())),
+    ]
+)
+
+_COUNTSLIDE_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("window_idx", LongType()),
+        StructField("n", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def compile_countwindow_sliding_stream(size: int = 6, slide: int = 2):
+    """Handler for sliding count windows (Flink ``countWindow(6, 2)``
+    = CountTrigger(slide) + CountEvictor(size)): per key, window w
+    covers event positions [2w, 2w+6) in event-time order; it emits
+    the moment its COMPLETING event (position 2w+5) folds — i.e. once
+    the watermark proves that position is final, the count-tumbling
+    twin's rule. The batch key's warm-up ramp rows (window 0 fired
+    partial at the head of a BOUNDED input) are a bounded-input
+    artifact: on a stream window 0 is simply not complete yet, so
+    only complete windows emit and the oracle filter is
+    ``COUNT(*) = size AND last-event-ms <= final_wm_ms``.
+
+    State: the ring of the last ≤ size folded VALUES plus the fold
+    position — O(size) per key, Flink's CountEvictor bound — and the
+    watermark hold buffer (round 13 — VERDICT r12 directive 6; the
+    one windows.py batch key that lacked a stream twin)."""
+    nan = float("nan")
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            pos, ring_raw, b_us, b_id, b_val = state.get
+            pos = int(pos)
+            ring = [None if v != v else float(v) for v in ring_raw]
+            buf = [
+                (int(u), int(i), None if v != v else float(v))
+                for u, i, v in zip(b_us, b_id, b_val)
+            ]
+        else:
+            pos, ring, buf = 0, [], []
+        wm_ms = state.getCurrentWatermarkMs()
+        if not state.hasTimedOut:
+            for chunk in pdfs:
+                for ts, eid, val in zip(
+                    chunk["ts"], chunk["event_id"], chunk["value"]
+                ):
+                    buf.append(
+                        (
+                            int(ts.value) // 1_000,
+                            int(eid),
+                            None if pd.isna(val) else float(val),
+                        )
+                    )
+        ready, hold = split_by_watermark(buf, wm_ms)
+        out = []
+        for _us_, _eid, val in ready:
+            ring.append(val)
+            del ring[: max(0, len(ring) - size)]
+            pos += 1
+            if pos >= size and (pos - size) % slide == 0:
+                vals = [v for v in ring if v is not None]
+                out.append(
+                    (
+                        key[0],
+                        (pos - size) // slide,
+                        size,
+                        round(sum(vals), 4) if vals else None,
+                    )
+                )
+        if pos == 0 and not hold:
+            # nothing folded and nothing numbered (the count-tumbling
+            # rule): don't persist an empty row
+            if state.exists:
+                state.remove()
+        else:
+            state.update(
+                (
+                    pos,
+                    [nan if v is None else v for v in ring],
+                    [e[0] for e in hold],
+                    [e[1] for e in hold],
+                    [nan if e[2] is None else e[2] for e in hold],
+                )
+            )
+        if hold:
+            state.setTimeoutTimestamp(hold_timer_ms(hold, wm_ms))
+        yield pd.DataFrame(
+            {
+                c: [r[i] for r in out]
+                for i, c in enumerate(
+                    [f.name for f in _COUNTSLIDE_OUT_SCHEMA.fields]
+                )
+            }
+        )
+
+    return handler
+
+
+@query(
+    "window_count_sliding_stream",
+    oracle="""
+    WITH numbered AS (
+      SELECT user_id, ts, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+      FROM events
+    ), fanned AS (
+      SELECT user_id, ts, value, rn,
+             UNNEST(generate_series(
+               CAST(GREATEST(CEIL((rn - 5) / 2.0), 0) AS BIGINT),
+               rn // 2)) AS window_idx
+      FROM numbered
+    )
+    SELECT user_id,
+           CAST(window_idx AS BIGINT) AS window_idx,
+           COUNT(*)                   AS n,
+           ROUND(SUM(value), 4)       AS sum_value
+    FROM fanned
+    GROUP BY user_id, window_idx
+    HAVING COUNT(*) = 6
+       AND epoch_us(MAX(ts)) // 1000
+           <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
+    """,
+)
+def window_count_sliding_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of window_count_sliding — Flink
+    ``countWindow(6, 2)`` detected incrementally. Like its tumbling
+    sibling the window an event lands in is its per-key event-time
+    POSITION, so arrivals buffer until the watermark proves their
+    position final (the hold-buffer rule); unlike it the windows
+    overlap, which the handler absorbs with a CountEvictor-style ring
+    of the last ≤ 6 folded values — no per-window state, no fan-out:
+    each fold appends once and a window emits every 2 folds, vs the
+    batch form's explode to size/slide = 3 rows per event. That
+    inversion (ring instead of fan-out) is exactly how Flink executes
+    sliding count windows, and it is the shape that survives 100 TB:
+    per-key state is O(size + watermark delay), one shuffle, no
+    joins.
+
+    The batch key's warm-up ramp (window 0 emitted partial) is a
+    bounded-input artifact the stream correctly withholds — window 0
+    is still open at replay end — so the oracle is the batch fan-out
+    SQL with ``COUNT(*) = 6`` only, plus the ms-aligned
+    completing-event-folded filter (the count-tumbling convention).
+    """
+    ev = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "event_id", "value")
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        compile_countwindow_sliding_stream(),
+        outputStructType=_COUNTSLIDE_OUT_SCHEMA,
+        stateStructType=_COUNTSLIDE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")
+
+
 @query(
     "window_session_dynamic_gap_stream",
     oracle="""

@@ -1564,6 +1564,57 @@ def test_pairs_stream_multibatch_out_of_order(spark, tmp_path):
     }, got
 
 
+def test_countwindow_sliding_stream_multibatch(spark, tmp_path):
+    """Sliding count windows (round 13) across micro-batches: the
+    overlapping windows must fold in EVENT-TIME order (id 3 arrives a
+    batch late, in-watermark, and still lands at position 3), NULL
+    values are sum-skipped, and window 0 — complete — emits while the
+    open tail (positions 8+) stays in state."""
+    from flink_large_window_spark.streaming.streams import (
+        _COUNTSLIDE_OUT_SCHEMA,
+        _COUNTSLIDE_STATE_SCHEMA,
+        compile_countwindow_sliding_stream,
+        run_to_memory,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    vals = {0: 1.0, 1: 2.0, 2: None, 3: 4.0, 4: 5.0, 5: 6.0,
+            6: 7.0, 7: 8.0}
+    batch1 = [_vrow(1, m, m, "click", vals[m]) for m in (0, 1, 2, 4, 5)]
+    batch2 = [_vrow(1, 3, 3, "click", vals[3])] + [
+        _vrow(1, m, m, "click", vals[m]) for m in (6, 7)
+    ] + [_vrow(2, 60, 9, "view", 0.0)]
+    d = _write_batches_valued(tmp_path, batch1, batch2)
+    schema = (
+        "user_id long, ts timestamp, event_id long, "
+        "event_type string, value double"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = stream.withWatermark("ts", "10 minutes").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        compile_countwindow_sliding_stream(),
+        outputStructType=_COUNTSLIDE_OUT_SCHEMA,
+        stateStructType=_COUNTSLIDE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = run_to_memory(spark, result, mode="append")
+    got = {
+        (r["user_id"], r["window_idx"], r["n"], r["sum_value"])
+        for r in out.collect()
+    }
+    # w0 = positions 0..5 -> 1+2+4+5+6 (NULL skipped) = 18
+    # w1 = positions 2..7 -> 4+5+6+7+8 = 30
+    assert got == {(1, 0, 6, 18.0), (1, 1, 6, 30.0)}, got
+
+
 def test_timeout_partials_stream_multibatch(spark, tmp_path):
     """Timed-out partial matches (round 13) across micro-batches, one
     uid per discriminating case of view->click->purchase within 6h:
