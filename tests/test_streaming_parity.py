@@ -856,7 +856,7 @@ def test_pattern_stream_parity(spark, max_ts, case):
     assert stream, "no matches emitted — timers never fired"
 
 
-def _run_compiled_split_stream(spark, d, pat):
+def _run_compiled_split_stream(spark, d, pat, idle_evict=False):
     """Replay part_*.parquet files in `d` one per micro-batch through
     the compiled automaton for `pat` — the same pipeline
     cep_stream.pattern_stream builds, pointed at a split directory."""
@@ -886,7 +886,9 @@ def _run_compiled_split_stream(spark, d, pat):
     ev = stream.withWatermark("ts", "10 minutes").select(*cols)
     if any(len(s.clses()) > 1 for s in pat.steps):
         ev, pat = canonicalize_alternation(ev, pat)
-    handler, out_schema, state_schema = compile_stream(pat)
+    handler, out_schema, state_schema = compile_stream(
+        pat, idle_evict=idle_evict
+    )
     result = ev.groupBy("user_id").applyInPandasWithState(
         handler,
         outputStructType=out_schema,
@@ -1562,6 +1564,109 @@ def test_pairs_stream_multibatch_out_of_order(spark, tmp_path):
         (5, 50, 51, 5 * m),
         (5, 50, 52, 8 * m),
     }, got
+
+
+def test_cep_idle_evict_matches_batch_and_shrinks_state(spark, tmp_path):
+    """TTL layered into the compiled CEP automaton (round 13 — VERDICT
+    r12 directive 7): idle keys evict without changing a single
+    emitted match. Pattern V+ C{1,3} P+ within 1h over a four-batch
+    replay (t0 = 2024-03-01 12:00):
+
+    - uid 1 matches in-stream, then idles with a SEPARATOR run open
+      (error) -> its state row is REMOVED outright (the run-count
+      assertion below: exactly one fewer final state row than the
+      idle_evict=False control run).
+    - uid 3 idles with an open view run -> STUB.
+    - uid 6 is the divergence pin: views at t0/t0+5m, idle past the
+      within bound, then view+click+purchase at t0+125..135m. The
+      batch oracle rejects the match (the merged view run STARTS at
+      t0, so within fails); naive full eviction would restart the run
+      at t0+125m and fabricate it. The stub keeps the old start ->
+      no match, exactly batch.
+    - uid 5 is the live-partial pin: idle SHORTER than within, then
+      completes -> the match must emit (eviction never fired: its
+      deadline had not passed).
+    - uid 2 completes late; uids 8/9 are watermark movers.
+
+    Both runs (idle_evict on/off) must equal the batch compiler's
+    watermark-filtered matches on the same data."""
+    from flink_large_window_spark.operators.cep import (
+        Pattern,
+        Step,
+        compile_pattern,
+    )
+    from flink_large_window_spark.streaming import streams as S
+
+    batch1 = [
+        _event_row(1, 0, 0, "view"),
+        _event_row(1, 2, 1, "click"),
+        _event_row(1, 4, 2, "purchase"),
+        _event_row(1, 6, 3, "error"),
+        _event_row(3, 0, 30, "view"),
+        _event_row(3, 2, 31, "view"),
+        _event_row(6, 0, 60, "view"),
+        _event_row(6, 5, 61, "view"),
+    ]
+    batch2 = [_event_row(9, 110, 90, "view")]  # wm -> t0+100m
+    batch3 = [_event_row(5, 105, 50, "view")]  # timers fire at wm 100
+    batch4 = [
+        _event_row(6, 125, 62, "view"),
+        _event_row(6, 130, 63, "click"),
+        _event_row(6, 135, 64, "purchase"),
+        _event_row(5, 125, 51, "click"),
+        _event_row(5, 130, 52, "purchase"),
+        _event_row(2, 136, 20, "view"),
+        _event_row(2, 137, 21, "click"),
+        _event_row(2, 138, 22, "purchase"),
+        _event_row(8, 150, 80, "click"),  # final wm -> t0+140m
+    ]
+    d = _write_batches(tmp_path, batch1, batch2, batch3, batch4)
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None),
+            Step("clicks", "click", 1, 3),
+            Step("purchase", "purchase", 1, None),
+        ),
+        within_hours=1,
+    )
+    # ground truth: the batch compiler over the same rows, filtered to
+    # anchors the final watermark passed (ms-aligned fold rule)
+    ev = spark.read.parquet(d)
+    wm_ms = _us("2024-03-01 14:20:00") // 1000  # t0+150m - 10m
+    expected = {
+        (r["user_id"], r["anchor_first_id"], r["n_views"], r["n_clicks"])
+        for r in compile_pattern(ev, pat).collect()
+        if _us(str(r["anchor_start_ts"])) // 1000 <= wm_ms
+    }
+    assert expected == {(1, 2, 1, 1), (5, 52, 1, 1), (2, 22, 1, 1)}
+
+    results = {}
+    for evict in (False, True):
+        out = _run_compiled_split_stream(spark, d, pat, idle_evict=evict)
+        got = {
+            (r["user_id"], r["anchor_event"], r["n_views"], r["n_clicks"])
+            for r in out.collect()
+        }
+        assert got == expected, (evict, got, expected)
+        results[evict] = S.LAST_STATE_METRICS[-1]["numRowsTotal"]
+    # uid 1 (separator idle) was removed; the stubs/live keys remain
+    assert results[False] - results[True] == 1, results
+
+
+def test_cep_idle_evict_requires_within(spark):
+    from flink_large_window_spark.operators.cep import Pattern, Step
+    from flink_large_window_spark.streaming.cep_stream import (
+        compile_stream,
+    )
+
+    pat = Pattern(
+        steps=(
+            Step("clicks", "click", 1, None),
+            Step("buy", "purchase", 1, None),
+        ),
+    )
+    with pytest.raises(ValueError, match="idle_evict"):
+        compile_stream(pat, idle_evict=True)
 
 
 def test_countwindow_sliding_stream_multibatch(spark, tmp_path):
