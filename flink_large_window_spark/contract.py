@@ -209,6 +209,28 @@ _R10_EXTRAS: frozenset[str] = frozenset(
 # round 11 first exposure (CORRECTNESS_r11.json): the alternation
 # showcase added late r11, appended as the r11 window's 50th key.
 _R11_EXTRAS: frozenset[str] = frozenset({"pattern_match_alternation"})
+# round 12 first exposure (CORRECTNESS_r12.json): the twenty-one
+# never-stamped round-12 leads — the CEP extension wave (guards,
+# optional steps, skip strategies, each batch+stream, plus the
+# alternation stream twin), the state-TTL demonstration,
+# exact-substring dedup, the Gopher-repetition signals, and the
+# late-round streaming wave.
+_R12_EXTRAS: frozenset[str] = frozenset(
+    {
+        "dedup_substring", "join_asof_stream",
+        "pattern_detect_followedby_stream",
+        "pattern_detect_notfollowedby_stream",
+        "pattern_detect_oneormore_stream", "pattern_detect_times_stream",
+        "pattern_detect_value_guard", "pattern_detect_value_guard_stream",
+        "pattern_match_afterskip", "pattern_match_afterskip_stream",
+        "pattern_match_alternation_stream", "pattern_match_optional",
+        "pattern_match_optional_stream", "stateful_session_ttl_stream",
+        "text_repetition_stats", "ts_ohlc_bars_stream",
+        "window_cascading_rollup_stream", "window_count_tumbling_stream",
+        "window_session_dynamic_gap_stream", "window_topn_stream",
+        "window_tumbling_offset_stream",
+    }
+)
 DRIVER_CHECKED: frozenset[str] = (
     frozenset(CONTRACT_KEYS)
     | _R01_EXTRAS
@@ -218,97 +240,94 @@ DRIVER_CHECKED: frozenset[str] = (
     | _R06_EXTRAS
     | _R10_EXTRAS
     | _R11_EXTRAS
+    | _R12_EXTRAS
 )
 
-# Round 12 rotation (VERDICT r11 item 5 + this round's work; derived
-# with tools/staleness.py, evidence capped at r11). Leads are the
-# TWENTY-ONE never-stamped round-12 keys: the CEP extension wave
-# (iterative-condition guards, optional steps, and after-match skip
-# strategies — each batch+stream — plus the alternation stream
-# twin), the state-TTL demonstration, exact-substring dedup, the
-# Gopher-repetition signals, and the late-round streaming wave
-# (negation, window Top-N, count windows, dynamic-gap sessions, the
-# temporal as-of join, offset panes, the chained-stateful cascade,
-# followedBy counting, native OHLC bars, and the oneormore/times
-# compiled twins). Then the behavioral
-# re-stamps: pattern_match_alternation (the canonical token
-# separator changed '|' -> unit separator in BOTH engines after its
-# r11 stamp — ADVICE r11 item 1), pattern_match_recognize{,_stream}
-# (cep.py/cep_stream.py churn: guard compilation; unguarded behavior
-# is pinned identical by the parity suite but the shipped text is
-# new), and the two streams.py stateful twins adjacent to the TTL
-# addition. Then the three keys deferred FROM r11 with a written
-# promise (q8_market_share, stream_allowed_lateness_reemit,
-# stream_watermark_skew), the SIX rows-only keys (VERDICT r11
-# item 5: their driver evidence is 7-11 rounds old — the
-# no-hash-slot policy yields this round, by explicit directive), six
-# of the eight dedup.py-cohort keys (r10 evidence, file churn =
-# dedup_substring; two deferred, see RECHECK_DEFERRALS), and
-# seven of the nine text.py-cohort keys (r10 evidence, file churn =
-# the repetition-signals append; two deferred, see
-# RECHECK_DEFERRALS). The eleven new leads displaced ALL remaining
-# r11-stamped streaming twins plus two append-only-churn dedup keys
-# to RECHECK_DEFERRALS (every deferral entry names the lead that
-# displaced it). Exactly 50.
+# Round 13 rotation (VERDICT r12 directives 1-3, 5-7; derived with
+# tools/staleness.py, evidence capped at r12). Leads are the NINE
+# never-stamped round-13 keys: the guard-composition showcases
+# (guard x optional and guard x skip, each batch+stream — the lifted
+# compile_stream carve-outs), followedByAny (non-deterministic
+# relaxed contiguity, batch+stream), the timed-out partial-match
+# side output (batch+stream), and the sliding count window's stream
+# twin. Then the FIFTEEN r12 deferrals, drained as promised (every
+# r11-evidence streaming twin plus the two append-only-churn text
+# and dedup keys). Then the behavioral re-stamps for this round's
+# churned files: the nine r12-stamped cep_stream.py twins (the
+# compiled automaton gained per-variant guard remapping, the opt-in
+# idle-evict layer, and bisect resolution in the absence/horizon
+# machines), the five r12-stamped cep.py batch keys (file churn:
+# the four new registrations + compile_horizon_pairs /
+# compile_timeout_partials), the four streams.py keys whose
+# functions the r12-ADVICE fixes touched (TTL state-schema slim,
+# count-window state removal, as-of bisect, Top-N timer note), the
+# four readers.py keys (r10 evidence, docstring-only churn — the
+# Kafka re-probe note — but 3-round-old evidence anyway), and four
+# streams.py neighbors of this round's edits (the stateful family
+# beside the TTL machine; the dynamic-gap and cascading twins beside
+# the count-sliding insertion). The six remaining streams.py
+# SQL-oracle keys whose own text is unchanged defer with written
+# justifications (RECHECK_DEFERRALS). Exactly 50.
 RECHECK_KEYS: tuple[str, ...] = (
-    # never-stamped round-12 keys (leads)
-    "pattern_detect_notfollowedby_stream",
-    "window_topn_stream",
-    "window_count_tumbling_stream",
-    "window_session_dynamic_gap_stream",
-    "join_asof_stream",
-    "window_tumbling_offset_stream",
-    "window_cascading_rollup_stream",
-    "pattern_detect_followedby_stream",
-    "ts_ohlc_bars_stream",
-    "pattern_detect_oneormore_stream",
-    "pattern_detect_times_stream",
-    "pattern_detect_value_guard",
-    "pattern_match_optional",
-    "pattern_match_afterskip",
+    # never-stamped round-13 keys (leads)
+    "pattern_match_optional_guard",
+    "pattern_match_optional_guard_stream",
+    "pattern_match_skipguard",
+    "pattern_match_skipguard_stream",
+    "pattern_detect_followedbyany",
+    "pattern_detect_followedbyany_stream",
+    "pattern_timeout_partial",
+    "pattern_timeout_partial_stream",
+    "window_count_sliding_stream",
+    # r12 deferrals, drained as promised (contract history: r12's
+    # RECHECK_DEFERRALS listed each with "recheck r13")
+    "text_ngrams",
+    "text_tokenize_wordcount",
+    "stream_checkpoint_restart",
+    "stream_rule_update_enrich",
+    "stream_stream_left_outer",
+    "stream_stream_full_outer",
+    "join_window_tumbling_stream",
+    "window_early_fire_stream",
+    "window_sliding_agg_stream",
+    "window_tumbling_agg_stream",
+    "window_session_agg_stream",
+    "join_interval_stream",
+    "watermark_dedup_stream",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    # behavioral re-stamps: cep_stream.py cohort (r12 evidence,
+    # compile_stream rewired this round)
+    "pattern_match_recognize_stream",
     "pattern_match_alternation_stream",
     "pattern_detect_value_guard_stream",
     "pattern_match_optional_stream",
     "pattern_match_afterskip_stream",
-    "stateful_session_ttl_stream",
-    "dedup_substring",
-    "text_repetition_stats",
-    # behavioral re-stamps
-    "pattern_match_alternation",
+    "pattern_detect_notfollowedby_stream",
+    "pattern_detect_followedby_stream",
+    "pattern_detect_oneormore_stream",
+    "pattern_detect_times_stream",
+    # cep.py cohort (r12 evidence, file churn: new registrations)
     "pattern_match_recognize",
-    "pattern_match_recognize_stream",
+    "pattern_match_alternation",
+    "pattern_detect_value_guard",
+    "pattern_match_optional",
+    "pattern_match_afterskip",
+    # streams.py keys the ADVICE fixes touched directly
+    "stateful_session_ttl_stream",
+    "window_count_tumbling_stream",
+    "join_asof_stream",
+    "window_topn_stream",
+    # readers.py cohort (r10 evidence; docstring-only churn)
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    "scan_schema_evolution",
+    # streams.py neighbors of this round's edits
     "stateful_count_session_stream",
     "stateful_session_timeout_stream",
-    # r11 deferrals, promised for r12
-    "q8_market_share",
-    "stream_allowed_lateness_reemit",
-    "stream_watermark_skew",
-    # rows-only sextet (VERDICT r11 item 5)
-    "agg_approx_percentile",
-    "agg_approx_count_distinct",
-    "agg_hll_sketch_merge",
-    "source_rate_stream",
-    "stream_late_drop",
-    "window_large_day_stream",
-    # dedup.py cohort (r10 evidence, post-stamp file churn)
-    "dedup_cluster_cc",
-    "dedup_embed_cosine",
-    "dedup_embed_cosine_ivf",
-    "dedup_exact",
-    "dedup_near_minhash",
-    "dedup_simhash_hamming",
-    # text.py cohort (r10 evidence, post-stamp file churn; two
-    # append-only deferrals below)
-    "llm_corpus_pipeline",
-    "text_fingerprint_rolling",
-    "text_lang_stats",
-    "text_langid_ngram",
-    "text_quality_score",
-    "text_tfidf_topterms",
-    "text_token_count_bpe",
-    # streaming twins (r11 evidence, streams.py churn), slowest last
-    "stream_static_enrich",
-    "stream_foreachbatch_upsert",
+    "window_session_dynamic_gap_stream",
+    "window_cascading_rollup_stream",
 )
 
 PRIORITY_EXTRAS: tuple[str, ...] = (
@@ -419,90 +438,40 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
 # be re-justified or drained every round: a key may not sit here with
 # a stale rationale.
 RECHECK_DEFERRALS: dict[str, str] = {
-    # The r11 deferrals (q8_market_share, stream_allowed_lateness_
-    # reemit, stream_watermark_skew) are DRAINED into the r12 window
-    # as promised. New deferrals, both the same shape:
-    "text_ngrams": (
-        "r10 evidence; the only post-stamp text.py churn is the"
-        " round-12 text_repetition_stats APPEND at end-of-file — this"
-        " key's own text is unchanged since its stamp, and the"
-        " repetition key itself leads the window; two over the 50-key"
-        " budget — recheck r13"
+    # The fifteen r12 deferrals are DRAINED into the r13 window as
+    # promised. New deferrals: the streams.py SQL-oracle keys whose
+    # own function text is unchanged this round — the r13 streams.py
+    # churn is the four ADVICE-fix sites (TTL schema, count-window
+    # removal, as-of bisect, Top-N note) plus the count-sliding
+    # APPEND, all of which have their own keys in the window — and
+    # whose slots the nine new leads + fifteen drained promises
+    # consumed. Same shape as the r12 ledger; drain in r14.
+    "stream_foreachbatch_upsert": (
+        "r12 evidence; r13 streams.py churn is the ADVICE-fix sites"
+        " + the count-sliding append — own text unchanged; displaced"
+        " by the pattern_match_optional_guard(+_stream) leads —"
+        " recheck r14"
     ),
-    "text_tokenize_wordcount": (
-        "same as text_ngrams — r10 evidence, append-only text.py"
-        " churn, own text unchanged — recheck r13"
+    "stream_static_enrich": (
+        "same shape — r12 evidence, own text unchanged; displaced by"
+        " the pattern_match_skipguard(+_stream) leads — recheck r14"
     ),
-    "stream_checkpoint_restart": (
-        "r11 evidence (freshest streaming class); the only post-stamp"
-        " streams.py churn is the round-12 state-TTL APPEND (new"
-        " functions between existing ones — no existing line touched)"
-        " and its own text is unchanged; displaced by the late-round"
-        " pattern_match_optional_stream lead, one over the 50-key"
-        " budget — recheck r13"
+    "stream_watermark_skew": (
+        "same shape — r12 evidence, own text unchanged; displaced by"
+        " the pattern_detect_followedbyany(+_stream) leads — recheck"
+        " r14"
     ),
-    "stream_rule_update_enrich": (
-        "same shape as stream_checkpoint_restart — r11 evidence,"
-        " append-only streams.py churn, own text unchanged; displaced"
-        " by the pattern_match_afterskip_stream lead — recheck r13"
+    "stream_allowed_lateness_reemit": (
+        "same shape — r12 evidence, own text unchanged; displaced by"
+        " the pattern_timeout_partial(+_stream) leads — recheck r14"
     ),
-    "stream_stream_left_outer": (
-        "r11 evidence (freshest streaming class); post-stamp"
-        " streams.py churn is append-only (TTL machine + the round-12"
-        " window_topn_stream addition) and its own text is unchanged;"
-        " displaced by the pattern_detect_notfollowedby_stream lead"
-        " — recheck r13"
+    "window_tumbling_offset_stream": (
+        "same shape — r12 evidence, own text unchanged; displaced by"
+        " the window_count_sliding_stream lead — recheck r14"
     ),
-    "stream_stream_full_outer": (
-        "same shape as stream_stream_left_outer — r11 evidence,"
-        " append-only streams.py churn, own text unchanged; displaced"
-        " by the window_topn_stream lead — recheck r13"
-    ),
-    "join_window_tumbling_stream": (
-        "same shape as stream_stream_left_outer — r11 evidence,"
-        " append-only streams.py churn, own text unchanged; displaced"
-        " by the window_count_tumbling_stream lead — recheck r13"
-    ),
-    "window_early_fire_stream": (
-        "same shape as stream_stream_left_outer — r11 evidence,"
-        " append-only streams.py churn, own text unchanged; displaced"
-        " by the window_session_dynamic_gap_stream lead — recheck r13"
-    ),
-    "window_sliding_agg_stream": (
-        "same shape as stream_stream_left_outer — r11 evidence,"
-        " append-only streams.py churn, own text unchanged; displaced"
-        " by the join_asof_stream lead — recheck r13"
-    ),
-    "window_tumbling_agg_stream": (
-        "same shape as stream_stream_left_outer — r11 evidence,"
-        " append-only streams.py churn, own text unchanged; displaced"
-        " by the window_tumbling_offset_stream lead — recheck r13"
-    ),
-    "window_session_agg_stream": (
-        "same shape as stream_stream_left_outer — r11 evidence,"
-        " append-only streams.py churn, own text unchanged; displaced"
-        " by the window_cascading_rollup_stream lead — recheck r13"
-    ),
-    "join_interval_stream": (
-        "same shape as stream_stream_left_outer — r11 evidence,"
-        " append-only streams.py churn, own text unchanged; displaced"
-        " by the pattern_detect_followedby_stream lead — recheck r13"
-    ),
-    "watermark_dedup_stream": (
-        "same shape as stream_stream_left_outer — r11 evidence,"
-        " append-only streams.py churn, own text unchanged; displaced"
-        " by the ts_ohlc_bars_stream lead — recheck r13"
-    ),
-    "dedup_ngram_jaccard": (
-        "r10 evidence; the only post-stamp dedup.py churn is the"
-        " round-12 dedup_substring APPEND — own text unchanged;"
-        " displaced by the pattern_detect_oneormore_stream lead —"
-        " recheck r13"
-    ),
-    "dedup_simhash": (
-        "same shape as dedup_ngram_jaccard — r10 evidence,"
-        " append-only dedup.py churn, own text unchanged; displaced"
-        " by the pattern_detect_times_stream lead — recheck r13"
+    "ts_ohlc_bars_stream": (
+        "same shape — r12 evidence, own text unchanged; displaced by"
+        " the drained r12 deferral cohort (15 keys) — recheck r14"
     ),
 }
 

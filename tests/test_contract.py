@@ -171,7 +171,7 @@ def test_window_covers_changed_since_stamp_keys():
 
     from flink_large_window_spark.contract import RECHECK_DEFERRALS
 
-    uncovered = window_gaps(upto=11)
+    uncovered = window_gaps(upto=12)
     assert not uncovered, (
         f"changed-since-stamp SQL-oracle keys outside the window and "
         f"undocumented: {sorted(uncovered)}"
@@ -182,25 +182,19 @@ def test_window_covers_changed_since_stamp_keys():
     assert not double, f"RECHECK_DEFERRALS entries also in window: {double}"
 
 
-def test_round12_recheck_window_shape():
-    """The round-12 window (VERDICT r11 items 1-3 + 5-7): exactly 50
-    RECHECK keys, no unchecked tail — the twenty-one never-stamped
-    round-12 keys LEAD (the CEP extension wave: guards, optional
-    steps, and skip strategies each batch+stream, the alternation
-    stream twin, the late-round streaming negation, window Top-N,
-    count windows, dynamic-gap sessions, the temporal as-of join,
-    offset panes, the chained-stateful cascade, streaming
-    followedBy, native OHLC bars, and the oneormore/times twins;
-    plus the
-    state-TTL demonstration, exact-substring dedup, and the
-    Gopher-repetition signals), then the behavioral re-stamps (the
-    alternation token-separator change postdates the r11 stamps; the
-    guard compilation churned cep_stream.py; the TTL machine churned
-    streams.py), the three r11 deferrals drained as promised, the SIX
-    rows-only keys (VERDICT r11 item 5 — their rows>0 evidence was
-    7–11 rounds old), and the dedup/text/streaming stale cohorts.
+def test_round13_recheck_window_shape():
+    """The round-13 window (VERDICT r12 directives 1-3, 5-7): exactly
+    50 RECHECK keys, no unchecked tail — the NINE never-stamped
+    round-13 keys LEAD (the guard-composition showcases batch+stream,
+    followedByAny batch+stream, the timed-out-partials side output
+    batch+stream, and the sliding count window's stream twin), then
+    the FIFTEEN r12 deferrals drained as promised, then the
+    behavioral re-stamps for this round's churned files
+    (cep_stream.py's rewired compiler, cep.py's new registrations,
+    the four ADVICE-fix sites in streams.py), the r10-evidence
+    readers.py cohort, and four streams.py edit-neighbors.
     Derivation lives in tools/staleness.py; evidence is computed from
-    the CORRECTNESS files themselves (capped at r11, the round this
+    the CORRECTNESS files themselves (capped at r12, the round this
     rotation was derived from) so a stale hardcoded list cannot
     drift."""
     import os
@@ -216,21 +210,32 @@ def test_round12_recheck_window_shape():
     )
     # the window IS the prefix — no unchecked tail this round
     assert list(q)[:DRIVER_PREFIX_BUDGET] == list(RECHECK_KEYS)
-    # VERDICT r11 item 5 done-criterion: all six rows-only keys get
-    # r12 driver evidence
-    assert ROWS_ONLY_KEYS <= set(RECHECK_KEYS)
+    # VERDICT r12 directive 5 done-criterion: every r12 deferral key
+    # is drained into the r13 window
+    R12_DEFERRALS = {
+        "text_ngrams", "text_tokenize_wordcount",
+        "stream_checkpoint_restart", "stream_rule_update_enrich",
+        "stream_stream_left_outer", "stream_stream_full_outer",
+        "join_window_tumbling_stream", "window_early_fire_stream",
+        "window_sliding_agg_stream", "window_tumbling_agg_stream",
+        "window_session_agg_stream", "join_interval_stream",
+        "watermark_dedup_stream", "dedup_ngram_jaccard", "dedup_simhash",
+    }
+    assert R12_DEFERRALS <= set(RECHECK_KEYS), (
+        sorted(R12_DEFERRALS - set(RECHECK_KEYS))
+    )
 
-    N_LEADS = 21
+    N_LEADS = 9
     tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
     if tools_dir not in sys.path:
         sys.path.insert(0, tools_dir)
     from staleness import commits_since_stamp, evidence_rounds, key_files
 
     # Lead-section selection criterion, checked mechanically: under
-    # r01..r11 evidence every lead is NEVER-STAMPED (post_stamp
+    # r01..r12 evidence every lead is NEVER-STAMPED (post_stamp
     # sentinel -1). Stable over time: capped evidence is immutable.
     kf = key_files()
-    ev = evidence_rounds(upto=11)
+    ev = evidence_rounds(upto=12)
     post = commits_since_stamp(
         ev, {k: kf[k] for k in RECHECK_KEYS[:N_LEADS]}
     )
@@ -240,13 +245,13 @@ def test_round12_recheck_window_shape():
     )
 
     # Fresh evidence burns a slot only for a behavioral change: every
-    # r11-stamped key in the window must have file commits after the
-    # r11 driver marker (the recency policy — unchanged keys with old
+    # r12-stamped key in the window must have file commits after the
+    # r12 driver marker (the recency policy — unchanged keys with old
     # evidence do not need slots; changed ones do).
-    fresh = [k for k in RECHECK_KEYS if ev.get(k, 0) >= 11]
+    fresh = [k for k in RECHECK_KEYS if ev.get(k, 0) >= 12]
     post_fresh = commits_since_stamp(ev, {k: kf[k] for k in fresh})
     unchanged_fresh = [k for k in fresh if post_fresh[k] <= 0]
     assert not unchanged_fresh, (
-        f"r11-stamped keys in the window without post-stamp churn: "
+        f"r12-stamped keys in the window without post-stamp churn: "
         f"{unchanged_fresh}"
     )

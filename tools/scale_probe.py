@@ -82,6 +82,13 @@ FAMILIES = {
             # dedup_substring probes through the text family
             "pattern_detect_value_guard", "pattern_match_optional",
             "pattern_match_afterskip",
+            # round 13: guard composition showcases (per-variant guard
+            # remapping / guard-gated skip expansion), followedByAny
+            # (equi-join pairs — output complexity IS the match set),
+            # and the timed-out-partials side output (two chained
+            # min-over-struct window passes, no join)
+            "pattern_match_optional_guard", "pattern_match_skipguard",
+            "pattern_detect_followedbyany", "pattern_timeout_partial",
         ],
     },
     "text": {
@@ -169,6 +176,14 @@ FAMILIES = {
             "ts_ohlc_bars_stream",
             "pattern_detect_oneormore_stream",
             "pattern_detect_times_stream",
+            # round 13: the guard-composition twins, the followedByAny
+            # pairs automaton, the timed-out-partials pending machine,
+            # and the CountEvictor-ring sliding count window
+            "pattern_match_optional_guard_stream",
+            "pattern_match_skipguard_stream",
+            "pattern_detect_followedbyany_stream",
+            "pattern_timeout_partial_stream",
+            "window_count_sliding_stream",
         ],
     },
 }
