@@ -244,10 +244,12 @@ DRIVER_CHECKED: frozenset[str] = (
 )
 
 # Round 13 rotation (VERDICT r12 directives 1-3, 5-7; derived with
-# tools/staleness.py, evidence capped at r12). Leads are the NINE
+# tools/staleness.py, evidence capped at r12). Leads are the ELEVEN
 # never-stamped round-13 keys: the guard-composition showcases
 # (guard x optional and guard x skip, each batch+stream — the lifted
-# compile_stream carve-outs), followedByAny (non-deterministic
+# compile_stream carve-outs), the optional x skip composition
+# (batch+stream — the LAST pairwise carve-out, legal with a
+# non-optional first step), followedByAny (non-deterministic
 # relaxed contiguity, batch+stream), the timed-out partial-match
 # side output (batch+stream), and the sliding count window's stream
 # twin. Then the FIFTEEN r12 deferrals, drained as promised (every
@@ -279,6 +281,8 @@ RECHECK_KEYS: tuple[str, ...] = (
     "pattern_timeout_partial",
     "pattern_timeout_partial_stream",
     "window_count_sliding_stream",
+    "pattern_match_optional_skip",
+    "pattern_match_optional_skip_stream",
     # r12 deferrals, drained as promised (contract history: r12's
     # RECHECK_DEFERRALS listed each with "recheck r13")
     "text_ngrams",
@@ -326,8 +330,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     # streams.py neighbors of this round's edits
     "stateful_count_session_stream",
     "stateful_session_timeout_stream",
-    "window_session_dynamic_gap_stream",
-    "window_cascading_rollup_stream",
 )
 
 PRIORITY_EXTRAS: tuple[str, ...] = (
@@ -472,6 +474,16 @@ RECHECK_DEFERRALS: dict[str, str] = {
     "ts_ohlc_bars_stream": (
         "same shape — r12 evidence, own text unchanged; displaced by"
         " the drained r12 deferral cohort (15 keys) — recheck r14"
+    ),
+    "window_session_dynamic_gap_stream": (
+        "same shape — r12 evidence, own text unchanged; displaced by"
+        " the late-round pattern_match_optional_skip lead — recheck"
+        " r14"
+    ),
+    "window_cascading_rollup_stream": (
+        "same shape — r12 evidence, own text unchanged; displaced by"
+        " the late-round pattern_match_optional_skip_stream lead —"
+        " recheck r14"
     ),
 }
 

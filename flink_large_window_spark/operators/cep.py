@@ -250,6 +250,16 @@ class Pattern:
                     "sub-match (runs relation has no per-event ts) — "
                     "unset one of them"
                 )
+            if self.steps[0].min_count == 0:
+                raise ValueError(
+                    "skip strategies enumerate sub-matches over the "
+                    "FIRST step's run, so the first step cannot be "
+                    "optional: the absent variant would have a "
+                    "different expansion base (and no start_off "
+                    "dimension at all) — make a later step optional "
+                    "or drop the skip strategy (round 13; optional "
+                    "NON-first steps compose fine)"
+                )
 
 
 def expand_optional(pat: Pattern) -> list[tuple[Pattern, tuple[str, ...]]]:
@@ -1648,4 +1658,96 @@ def pattern_match_skipguard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_clicks").cast("long").alias("n_clicks"),
         F.round("g_purchase", 4).alias("purchase_val"),
         F.round("g_purchase_ref", 4).alias("clicks_max_val"),
+    )
+
+
+@query(
+    "pattern_match_optional_skip",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type, COUNT(*) AS run_len,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_len, first_id,
+             LAG(event_type, 1) OVER w AS c1, LAG(run_len, 1) OVER w AS l1,
+             LAG(event_type, 2) OVER w AS c2, LAG(run_len, 2) OVER w AS l2
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    ), present AS (
+      SELECT user_id, first_id, CAST(l2 AS INT) AS lv,
+             CAST(1 AS BIGINT) AS n_clicks
+      FROM seq
+      WHERE event_type = 'purchase' AND c1 = 'click' AND l1 = 1
+        AND c2 = 'view' AND l2 >= 2
+    ), absent AS (
+      SELECT user_id, first_id, CAST(l1 AS INT) AS lv,
+             CAST(0 AS BIGINT) AS n_clicks
+      FROM seq
+      WHERE event_type = 'purchase' AND c1 = 'view' AND l1 >= 2
+    ), anchors AS (
+      SELECT * FROM present UNION ALL SELECT * FROM absent
+    ), starts AS (
+      SELECT user_id, first_id, lv, n_clicks,
+             UNNEST(generate_series(1, lv - 1)) AS start_off
+      FROM anchors
+    )
+    SELECT user_id,
+           first_id AS purchase_event,
+           CAST(start_off AS BIGINT) AS start_off,
+           CAST(LEAST(4, lv - start_off + 1) AS BIGINT) AS n_views,
+           n_clicks
+    FROM starts
+    """,
+)
+def pattern_match_optional_skip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Optional × skip-strategy composition (round 13 — erases the
+    last implementable pairwise carve-out; [FLINK-API]
+    ``optional()`` + ``AfterMatchSkipStrategy.skipToNext``):
+    ``PATTERN (V{2,4} C? P+)`` under ``skip='to_next'`` — a view run,
+    optionally exactly one click, then a purchase, with every
+    admissible view-run start its own sub-match.
+
+    The composition is sound exactly when the FIRST step is
+    non-optional (Pattern rejects the other case for both engines):
+    then every expand_optional variant shares the same expansion step,
+    the sub-match enumeration reads each variant's own run lengths,
+    and the variants stay mutually exclusive per anchor — the
+    present/absent branches expand independently and union, which is
+    precisely what the oracle's two-branch UNION + generate_series
+    encodes. The views max (4) bounds CONSUMED counts per sub-match,
+    not the run (the compile_greedy skip rule). Fixture calibration
+    (present+absent anchors): 1+3 / 18+68 / 128+767 at
+    sf0.001/0.01/0.1, each fanning out by its run length.
+
+    Scale: two lag passes over one shared runs relation (AQE dedups
+    the exchange subtree), expansion row-local after the selective
+    anchor filter — the pattern_match_afterskip plan family.
+    """
+    prep(spark)
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 2, 4),
+            Step("clicks", "click", 0, 1),
+            Step("purchase", "purchase", 1, None),
+        ),
+        skip="to_next",
+    )
+    m = compile_pattern(table(spark, sf_dir, "events"), pat)
+    return m.select(
+        "user_id",
+        F.col("anchor_first_id").alias("purchase_event"),
+        F.col("start_off").cast("long").alias("start_off"),
+        F.col("n_views").cast("long").alias("n_views"),
+        F.col("n_clicks").cast("long").alias("n_clicks"),
     )

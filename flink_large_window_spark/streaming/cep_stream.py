@@ -81,10 +81,10 @@ reason:
   **exact=True on the final step**: both range over the MAXIMAL
   anchor run, which is still open at incremental emission time —
   emitting early would change the value the batch oracle computes.
-- **optional steps combined with skip strategies**: a variant that
-  drops the FIRST step changes the sub-match expansion base per
-  variant; the batch compiler handles the combination, the automaton
-  sends it there.
+  (These are the only remaining carve-outs: since round 13 optional
+  steps, skip strategies, and guards all compose — an optional FIRST
+  step under a skip strategy is rejected by Pattern itself, for both
+  engines, because the expansion base would differ per variant.)
 
 Scale: state per key is O(pattern length) for the run window plus
 O(events inside the watermark delay) for the buffer — the same bound
@@ -259,19 +259,17 @@ def compile_stream(pat: Pattern, idle_evict: bool = False):
     tests/test_streaming_parity.py's idle-evict battery.
     """
     last = pat.steps[-1]
-    has_optional = any(s.min_count == 0 for s in pat.steps)
     if last.min_count == 0:
         raise ValueError(
             "the final (anchor) step cannot be optional — a pattern "
             "must end on a concrete anchor run"
         )
-    if pat.skip != "past_last" and has_optional:
-        raise ValueError(
-            "streaming CEP compiles optional steps and skip "
-            "strategies, but not combined: a variant dropping the "
-            "FIRST step changes the sub-match expansion base per "
-            "variant (batch compile_pattern handles the combination)"
-        )
+    # optional x skip composes since round 13: Pattern itself rejects
+    # an optional FIRST step under a skip strategy (the expansion
+    # base would differ per variant), and with the first step pinned
+    # non-optional every variant shares the same expansion step — the
+    # emit-local enumeration reads the variant's own run lengths, so
+    # nothing else changes (pattern_match_optional_skip_stream).
     if last.exact:
         raise ValueError(
             "streaming CEP cannot evaluate final-step exact semantics:"
@@ -2168,3 +2166,92 @@ def pattern_timeout_partial_stream(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return run_to_memory(spark, result, mode="append")
+
+
+@query(
+    "pattern_match_optional_skip_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type, COUNT(*) AS run_len,
+             MIN(ts) AS run_start,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_len, run_start, first_id,
+             LAG(event_type, 1) OVER w AS c1, LAG(run_len, 1) OVER w AS l1,
+             LAG(event_type, 2) OVER w AS c2, LAG(run_len, 2) OVER w AS l2
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    ), wm AS (
+      SELECT epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000 AS ms
+    ), present AS (
+      SELECT user_id, first_id, CAST(l2 AS INT) AS lv,
+             CAST(1 AS BIGINT) AS n_clicks
+      FROM seq, wm
+      WHERE event_type = 'purchase' AND c1 = 'click' AND l1 = 1
+        AND c2 = 'view' AND l2 >= 2
+        AND epoch_us(run_start) // 1000 <= wm.ms
+    ), absent AS (
+      SELECT user_id, first_id, CAST(l1 AS INT) AS lv,
+             CAST(0 AS BIGINT) AS n_clicks
+      FROM seq, wm
+      WHERE event_type = 'purchase' AND c1 = 'view' AND l1 >= 2
+        AND epoch_us(run_start) // 1000 <= wm.ms
+    ), anchors AS (
+      SELECT * FROM present UNION ALL SELECT * FROM absent
+    ), starts AS (
+      SELECT user_id, first_id, lv, n_clicks,
+             UNNEST(generate_series(1, lv - 1)) AS start_off
+      FROM anchors
+    )
+    SELECT user_id,
+           first_id AS purchase_event,
+           CAST(start_off AS BIGINT) AS start_off,
+           CAST(LEAST(4, lv - start_off + 1) AS BIGINT) AS n_views,
+           n_clicks
+    FROM starts
+    """,
+)
+def pattern_match_optional_skip_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_match_optional_skip — optional × skip
+    detected incrementally (round 13; with guard × optional and
+    guard × skip shipped this round, the compiled automaton now
+    serves every pairwise extension composition whose semantics
+    permit incremental emission — only maximal-anchor dependencies,
+    final-step exact / non-'first' anchor guards, remain batch-only).
+
+    Nothing new in the machine: Pattern pins the first step
+    non-optional under a skip strategy (both engines), so every
+    variant shares the expansion step; candidacy picks the variant
+    from the closed-run window and emit() enumerates (start_off,
+    consumed) over that variant's own first-run length — dropped
+    optional steps emit n_<name> = 0 inside each sub-match row.
+    Oracle = the batch two-branch UNION + expansion with the
+    ms-aligned watermark filter on the anchor run's start.
+    """
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 2, 4),
+            Step("clicks", "click", 0, 1),
+            Step("purchase", "purchase", 1, None),
+        ),
+        skip="to_next",
+    )
+    m = pattern_stream(spark, sf_dir, pat)
+    return m.select(
+        "user_id",
+        F.col("anchor_event").alias("purchase_event"),
+        F.col("start_off").cast("long").alias("start_off"),
+        F.col("n_views").cast("long").alias("n_views"),
+        F.col("n_clicks").cast("long").alias("n_clicks"),
+    )

@@ -1566,6 +1566,69 @@ def test_pairs_stream_multibatch_out_of_order(spark, tmp_path):
     }, got
 
 
+def test_optional_skip_stream_multibatch(spark, tmp_path):
+    """Optional x skip composition (round 13): the variant chosen at
+    candidacy drives the sub-match expansion, across a batch
+    boundary. uid 1 (3 views | click+purchase a batch later) takes
+    the PRESENT variant and expands over the view run (to_next: offs
+    1..2, greedy consumed); uid 3 (2 views, purchase) takes the
+    ABSENT variant with n_clicks = 0; uid 4's single view misses the
+    min_count=2 floor entirely. An optional FIRST step under a skip
+    strategy is rejected by Pattern for both engines."""
+    from flink_large_window_spark.operators.cep import Pattern, Step
+
+    with pytest.raises(ValueError, match="first step cannot be"):
+        Pattern(
+            steps=(
+                Step("clicks", "click", 0, 1),
+                Step("views", "view", 2, 4),
+                Step("purchase", "purchase", 1, None),
+            ),
+            skip="to_next",
+        )
+
+    batch1 = [
+        _event_row(1, 0, 0, "view"),
+        _event_row(1, 5, 1, "view"),
+        _event_row(1, 10, 2, "view"),
+        _event_row(3, 0, 30, "view"),
+        _event_row(3, 5, 31, "view"),
+        _event_row(4, 0, 40, "view"),
+    ]
+    batch2 = [
+        _event_row(1, 15, 3, "click"),
+        _event_row(1, 20, 4, "purchase"),
+        _event_row(3, 10, 32, "purchase"),
+        _event_row(4, 5, 42, "purchase"),
+        _event_row(2, 60, 9, "click"),  # watermark tail
+    ]
+    d = _write_batches(tmp_path, batch1, batch2)
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 2, 4),
+            Step("clicks", "click", 0, 1),
+            Step("purchase", "purchase", 1, None),
+        ),
+        skip="to_next",
+    )
+    out = _run_compiled_split_stream(spark, d, pat)
+    got = {
+        (
+            r["user_id"],
+            r["anchor_event"],
+            r["start_off"],
+            r["n_views"],
+            r["n_clicks"],
+        )
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 4, 1, 3, 1),
+        (1, 4, 2, 2, 1),
+        (3, 32, 1, 2, 0),
+    }, got
+
+
 def test_cep_idle_evict_matches_batch_and_shrinks_state(spark, tmp_path):
     """TTL layered into the compiled CEP automaton (round 13 — VERDICT
     r12 directive 7): idle keys evict without changing a single

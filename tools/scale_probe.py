@@ -89,6 +89,7 @@ FAMILIES = {
             # min-over-struct window passes, no join)
             "pattern_match_optional_guard", "pattern_match_skipguard",
             "pattern_detect_followedbyany", "pattern_timeout_partial",
+            "pattern_match_optional_skip",
         ],
     },
     "text": {
@@ -184,6 +185,7 @@ FAMILIES = {
             "pattern_detect_followedbyany_stream",
             "pattern_timeout_partial_stream",
             "window_count_sliding_stream",
+            "pattern_match_optional_skip_stream",
         ],
     },
 }
