@@ -244,15 +244,16 @@ DRIVER_CHECKED: frozenset[str] = (
 )
 
 # Round 13 rotation (VERDICT r12 directives 1-3, 5-7; derived with
-# tools/staleness.py, evidence capped at r12). Leads are the ELEVEN
+# tools/staleness.py, evidence capped at r12). Leads are the TWELVE
 # never-stamped round-13 keys: the guard-composition showcases
 # (guard x optional and guard x skip, each batch+stream — the lifted
 # compile_stream carve-outs), the optional x skip composition
 # (batch+stream — the LAST pairwise carve-out, legal with a
 # non-optional first step), followedByAny (non-deterministic
 # relaxed contiguity, batch+stream), the timed-out partial-match
-# side output (batch+stream), and the sliding count window's stream
-# twin. Then the FIFTEEN r12 deferrals, drained as promised (every
+# side output (batch+stream), the sliding count window's stream
+# twin, and the statestore reader (the State-Processor-API half of
+# savepoint rescale). Then the FIFTEEN r12 deferrals, drained as promised (every
 # r11-evidence streaming twin plus the two append-only-churn text
 # and dedup keys). Then the behavioral re-stamps for this round's
 # churned files: the nine r12-stamped cep_stream.py twins (the
@@ -283,6 +284,7 @@ RECHECK_KEYS: tuple[str, ...] = (
     "window_count_sliding_stream",
     "pattern_match_optional_skip",
     "pattern_match_optional_skip_stream",
+    "stream_state_reader",
     # r12 deferrals, drained as promised (contract history: r12's
     # RECHECK_DEFERRALS listed each with "recheck r13")
     "text_ngrams",
@@ -327,9 +329,8 @@ RECHECK_KEYS: tuple[str, ...] = (
     "source_jsonl_roundtrip",
     "source_orc_roundtrip",
     "scan_schema_evolution",
-    # streams.py neighbors of this round's edits
+    # streams.py neighbor of this round's edits
     "stateful_count_session_stream",
-    "stateful_session_timeout_stream",
 )
 
 PRIORITY_EXTRAS: tuple[str, ...] = (
@@ -484,6 +485,10 @@ RECHECK_DEFERRALS: dict[str, str] = {
         "same shape — r12 evidence, own text unchanged; displaced by"
         " the late-round pattern_match_optional_skip_stream lead —"
         " recheck r14"
+    ),
+    "stateful_session_timeout_stream": (
+        "same shape — r12 evidence, own text unchanged; displaced by"
+        " the late-round stream_state_reader lead — recheck r14"
     ),
 }
 

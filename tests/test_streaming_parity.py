@@ -1566,6 +1566,72 @@ def test_pairs_stream_multibatch_out_of_order(spark, tmp_path):
     }, got
 
 
+def test_state_reader_redistributes_losslessly(spark):
+    """The statestore data source (round 13): checkpointed keyed
+    state, read offline, must (a) equal the batch aggregate exactly
+    and (b) reshuffle losslessly to a DIFFERENT partitioning — the
+    inspection/redistribution half of Flink's savepoint rescale. The
+    write-back half (no state writer in Spark) is the documented
+    residual."""
+    from flink_large_window_spark.scratch import scratch_dir
+    from flink_large_window_spark.streaming.streams import (
+        STREAM_SHUFFLE_PARTITIONS,
+        _events_stream,
+    )
+
+    ev = (
+        _events_stream(spark, SF_SMOKE)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .count()
+    )
+    ckpt = scratch_dir("flws_rescale_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+    )
+    try:
+        q = (
+            ev.writeStream.format("memory")
+            .queryName("flws_rescale_sink")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    st = spark.read.format("statestore").option("path", ckpt).load()
+    original = {
+        (r["key"]["user_id"], r["value"]["count"]) for r in st.collect()
+    }
+    # state came from STREAM_SHUFFLE_PARTITIONS stores
+    n_parts = {r["partition_id"] for r in st.collect()}
+    assert n_parts <= set(range(STREAM_SHUFFLE_PARTITIONS))
+    # the batch ground truth
+    batch = {
+        (r["user_id"], r["n"])
+        for r in spark.read.parquet(SF_SMOKE + "/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert original == batch
+    # redistribute to a DIFFERENT partition count: lossless by key
+    re4 = st.repartition(4, F.col("key"))
+    redistributed = {
+        (r["key"]["user_id"], r["value"]["count"]) for r in re4.collect()
+    }
+    assert redistributed == original
+    spread = (
+        re4.select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert 1 <= spread <= 4
+
+
 def test_optional_skip_stream_multibatch(spark, tmp_path):
     """Optional x skip composition (round 13): the variant chosen at
     candidacy drives the sub-match expansion, across a batch
