@@ -444,3 +444,199 @@ def test_skip_strategies_match_reference_on_random_streams(spark):
         assert len(want) > 0, f"degenerate sweep (0 matches) for {mode}"
     # the modes must differ on these streams (no_skip ⊋ to_next)
     assert _ref_skip(rows, 2, 4, "no_skip") != _ref_skip(rows, 2, 4, "to_next")
+
+
+# ---------------------------------------------------------------------------
+# Round 13: the extension COMPOSITIONS (optional x guard, skip x
+# guard, optional x skip, and the triple) against an INDEPENDENT
+# reference — the variant expansion and sub-match enumeration are
+# re-implemented here from the documented semantics (not by calling
+# expand_optional), so a bug in the compiler's composition machinery
+# cannot hide in a shared helper.
+
+import itertools
+from dataclasses import replace as _replace
+
+from flink_large_window_spark.operators.cep import compile_pattern
+
+
+def _ref_greedy_named(rows, pat: Pattern, lift_first_max: bool = False):
+    """Maximal-run matcher returning (user, anchor_first_id,
+    {step_name: run_len}); ``lift_first_max`` applies the
+    skip-strategy candidacy rule (the first step's max bounds
+    CONSUMED counts, not the run)."""
+    by_user = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_user[r[0]].append(r)
+    steps = pat.steps
+    k = len(steps)
+    out = []
+    for u, evs in by_user.items():
+        runs = _runs(evs)
+        for i in range(k - 1, len(runs)):
+            win = runs[i - k + 1 : i + 1]
+            ok = True
+            for j, (s, (cls, res)) in enumerate(zip(steps[:-1], win[:-1])):
+                ok = ok and cls == s.cls and s.min_count <= len(res)
+                if s.max_count is not None and not (
+                    lift_first_max and j == 0
+                ):
+                    ok = ok and len(res) <= s.max_count
+            last = steps[-1]
+            cls, res = win[-1]
+            ok = ok and cls == last.cls and len(res) >= last.min_count
+            if ok and pat.within_hours is not None:
+                ok = res[0][1] <= win[0][1][0][1] + dt.timedelta(
+                    hours=pat.within_hours
+                )
+            if ok:
+                ok = _guards_ok(
+                    steps, {s.name: r[1] for s, r in zip(steps, win)}
+                )
+            if ok:
+                out.append(
+                    (u, res[0][2],
+                     {s.name: len(r[1]) for s, r in zip(steps, win)})
+                )
+    return out
+
+
+def _ref_composed(rows, pat: Pattern):
+    """Reference for composed patterns: independent present/absent
+    enumeration over optional steps (a guard ON a dropped step is
+    dropped with it; a guard REFERENCING a dropped step kills the
+    variant), then per-variant maximal-run matching, then the
+    after-match sub-match enumeration over the first step's run."""
+    opts = [i for i, s in enumerate(pat.steps) if s.min_count == 0]
+    first = pat.steps[0]
+    expand = pat.skip != "past_last"
+    out = []
+    for mask in itertools.product((True, False), repeat=len(opts)):
+        present = {i for i, keep in zip(opts, mask) if keep}
+        vsteps, dropped = [], []
+        for i, s in enumerate(pat.steps):
+            if s.min_count == 0 and i not in present:
+                dropped.append(s.name)
+            elif s.min_count == 0:
+                vsteps.append(_replace(s, min_count=1))
+            else:
+                vsteps.append(s)
+        if any(
+            s.guard is not None and s.guard.ref_step in dropped
+            for s in vsteps
+        ):
+            continue
+        v = _replace(pat, steps=tuple(vsteps))
+        for u, aid, counts in _ref_greedy_named(
+            rows, v, lift_first_max=expand
+        ):
+            base = tuple(counts.get(s.name, 0) for s in pat.steps[:-1])
+            if not expand:
+                out.append((u, aid) + base)
+                continue
+            l1 = counts[first.name]
+            rest = base[1:]
+            for off in range(1, l1 - first.min_count + 2):
+                greedy = l1 - off + 1
+                if first.max_count is not None:
+                    greedy = min(greedy, first.max_count)
+                if pat.skip == "to_next":
+                    out.append((u, aid, off, greedy) + rest)
+                else:
+                    for n in range(first.min_count, greedy + 1):
+                        out.append((u, aid, off, n) + rest)
+    return sorted(out)
+
+
+COMPOSED_PATTERNS = [
+    # guard ON the optional step (absent variant matches unguarded)
+    Pattern(
+        steps=(
+            Step("v", "view", 1, None),
+            Step("c", "click", 0, 1,
+                 guard=Guard("first", ">", "v", "min")),
+            Step("p", "purchase", 1, None),
+        ),
+        within_hours=24,
+        val_col="value",
+    ),
+    # guard REFERENCING the optional step (absent variant is killed)
+    Pattern(
+        steps=(
+            Step("v", "view", 1, 2),
+            Step("c", "click", 0, 2),
+            Step("p", "purchase", 1, None,
+                 guard=Guard("first", "<", "c", "sum")),
+        ),
+        within_hours=48,
+        val_col="value",
+    ),
+    # skip x guard, both policies
+    Pattern(
+        steps=(
+            Step("c", "click", 2, 4),
+            Step("p", "purchase", 1, None,
+                 guard=Guard("first", ">", "c", "max")),
+        ),
+        skip="to_next",
+        val_col="value",
+    ),
+    Pattern(
+        steps=(
+            Step("v", "view", 1, 3),
+            Step("e", "error", 1, None,
+                 guard=Guard("max", ">=", "v", "first")),
+        ),
+        skip="no_skip",
+        val_col="value",
+    ),
+    # optional x skip (non-optional first step)
+    Pattern(
+        steps=(
+            Step("v", "view", 2, 4),
+            Step("c", "click", 0, 1),
+            Step("p", "purchase", 1, None),
+        ),
+        skip="to_next",
+    ),
+    # the TRIPLE: optional + guard + skip in one pattern
+    Pattern(
+        steps=(
+            Step("v", "view", 2, 3),
+            Step("c", "click", 0, 1,
+                 guard=Guard("first", "<", "v", "max")),
+            Step("p", "purchase", 1, None),
+        ),
+        skip="no_skip",
+        val_col="value",
+    ),
+]
+
+
+def test_composed_matches_reference_on_random_streams(spark):
+    rows = _random_streams(n_users=300, max_len=14, seed=31)
+    df = _df(spark, rows)
+    for pat in COMPOSED_PATTERNS:
+        m = compile_pattern(df, pat)
+        names = [s.name for s in pat.steps[:-1]]
+        if pat.skip == "past_last":
+            got = sorted(
+                (r["user_id"], r["anchor_first_id"])
+                + tuple(int(r[f"n_{n}"]) for n in names)
+                for r in m.collect()
+            )
+        else:
+            got = sorted(
+                (r["user_id"], r["anchor_first_id"], int(r["start_off"]),
+                 int(r[f"n_{names[0]}"]))
+                + tuple(int(r[f"n_{n}"]) for n in names[1:])
+                for r in m.collect()
+            )
+        want = _ref_composed(rows, pat)
+        assert got == want, (
+            f"{pat}: extra={sorted(set(got) - set(want))[:3]} "
+            f"missing={sorted(set(want) - set(got))[:3]}"
+        )
+        # non-vacuous: the generated streams must actually exercise
+        # each composed pattern
+        assert want, f"composed pattern produced zero matches: {pat}"
