@@ -1782,6 +1782,69 @@ def test_cep_idle_evict_matches_batch_and_shrinks_state(spark, tmp_path):
     assert results[False] - results[True] == 1, results
 
 
+def test_cep_idle_evict_guarded_stub_keeps_value_aggregates(
+    spark, tmp_path
+):
+    """Idle eviction under a GUARDED pattern (the needs_val state
+    schema): the stub must carry the open run's value aggregates so a
+    merged-run candidate evaluates its guard against the TRUE (old)
+    first value. uid 1: views (v=9 at t0) idle past within, then more
+    views + purchase v=5 — the guard first(p) > first(v run) compares
+    5 > 9 on the MERGED run (suppressed in batch by within anyway);
+    uid 2: fresh views v=1 then purchase v=5 inside within -> match
+    with g_p=5, ref(first of view run)=1."""
+    from flink_large_window_spark.operators.cep import (
+        Guard,
+        Pattern,
+        Step,
+    )
+
+    batch1 = [
+        _vrow(1, 0, 0, "view", 9.0),
+        _vrow(1, 5, 1, "view", 2.0),
+    ]
+    batch2 = [_vrow(9, 110, 90, "view", 0.0)]  # wm -> t0+100m
+    batch3 = [_vrow(9, 115, 91, "view", 0.0)]  # timers fire: uid1 stub
+    batch4 = [
+        _vrow(1, 125, 2, "view", 3.0),
+        _vrow(1, 130, 3, "purchase", 5.0),
+        _vrow(2, 130, 20, "view", 1.0),
+        _vrow(2, 135, 21, "purchase", 5.0),
+        _vrow(8, 150, 80, "click", 0.0),  # final wm -> t0+140m
+    ]
+    d = _write_batches_valued(tmp_path, batch1, batch2, batch3, batch4)
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None),
+            Step(
+                "purchase",
+                "purchase",
+                1,
+                None,
+                guard=Guard("first", ">", "views", "first"),
+            ),
+        ),
+        within_hours=1,
+        val_col="value",
+    )
+    out = _run_compiled_split_stream(spark, d, pat, idle_evict=True)
+    got = {
+        (
+            r["user_id"],
+            r["anchor_event"],
+            r["n_views"],
+            r["g_purchase"],
+            r["g_purchase_ref"],
+        )
+        for r in out.collect()
+    }
+    # uid 1 suppressed: the merged view run STARTS at t0, so within
+    # fails at the t0+130m anchor regardless of the guard — exactly
+    # what the batch compiler computes on the same rows. uid 2 passes
+    # its guard (5 > 1).
+    assert got == {(2, 21, 1, 5.0, 1.0)}, got
+
+
 def test_cep_idle_evict_requires_within(spark):
     from flink_large_window_spark.operators.cep import Pattern, Step
     from flink_large_window_spark.streaming.cep_stream import (
