@@ -244,16 +244,17 @@ DRIVER_CHECKED: frozenset[str] = (
 )
 
 # Round 13 rotation (VERDICT r12 directives 1-3, 5-7; derived with
-# tools/staleness.py, evidence capped at r12). Leads are the TWELVE
-# never-stamped round-13 keys: the guard-composition showcases
+# tools/staleness.py, evidence capped at r12). Leads are the
+# FOURTEEN never-stamped round-13 keys: the guard-composition showcases
 # (guard x optional and guard x skip, each batch+stream — the lifted
 # compile_stream carve-outs), the optional x skip composition
 # (batch+stream — the LAST pairwise carve-out, legal with a
 # non-optional first step), followedByAny (non-deterministic
 # relaxed contiguity, batch+stream), the timed-out partial-match
 # side output (batch+stream), the sliding count window's stream
-# twin, and the statestore reader (the State-Processor-API half of
-# savepoint rescale). Then the FIFTEEN r12 deferrals, drained as promised (every
+# twin, the statestore reader (the State-Processor-API half of
+# savepoint rescale), and middle negation (notFollowedBy BETWEEN
+# steps, batch+stream). Then the FIFTEEN r12 deferrals, drained as promised (every
 # r11-evidence streaming twin plus the two append-only-churn text
 # and dedup keys). Then the behavioral re-stamps for this round's
 # churned files: the nine r12-stamped cep_stream.py twins (the
@@ -285,6 +286,8 @@ RECHECK_KEYS: tuple[str, ...] = (
     "pattern_match_optional_skip",
     "pattern_match_optional_skip_stream",
     "stream_state_reader",
+    "pattern_detect_followedby_nobetween",
+    "pattern_detect_followedby_nobetween_stream",
     # r12 deferrals, drained as promised (contract history: r12's
     # RECHECK_DEFERRALS listed each with "recheck r13")
     "text_ngrams",
@@ -324,10 +327,9 @@ RECHECK_KEYS: tuple[str, ...] = (
     "window_count_tumbling_stream",
     "join_asof_stream",
     "window_topn_stream",
-    # readers.py cohort (r10 evidence; docstring-only churn)
+    # readers.py cohort representatives (r10 evidence;
+    # docstring-only churn — jsonl/orc siblings defer, same class)
     "source_csv_roundtrip",
-    "source_jsonl_roundtrip",
-    "source_orc_roundtrip",
     "scan_schema_evolution",
     # streams.py neighbor of this round's edits
     "stateful_count_session_stream",
@@ -489,6 +491,19 @@ RECHECK_DEFERRALS: dict[str, str] = {
     "stateful_session_timeout_stream": (
         "same shape — r12 evidence, own text unchanged; displaced by"
         " the late-round stream_state_reader lead — recheck r14"
+    ),
+    "source_jsonl_roundtrip": (
+        "r10 evidence; the only post-stamp readers.py churn is the"
+        " r13 Kafka re-probe DOCSTRING note — own text unchanged, and"
+        " the csv sibling + scan_schema_evolution represent the"
+        " cohort in the window; displaced by the late-round"
+        " pattern_detect_followedby_nobetween lead — recheck r14"
+    ),
+    "source_orc_roundtrip": (
+        "same shape as source_jsonl_roundtrip — r10 evidence,"
+        " docstring-only churn; displaced by the late-round"
+        " pattern_detect_followedby_nobetween_stream lead — recheck"
+        " r14"
     ),
 }
 

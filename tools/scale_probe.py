@@ -90,6 +90,7 @@ FAMILIES = {
             "pattern_match_optional_guard", "pattern_match_skipguard",
             "pattern_detect_followedbyany", "pattern_timeout_partial",
             "pattern_match_optional_skip",
+            "pattern_detect_followedby_nobetween",
         ],
     },
     "text": {
@@ -186,6 +187,7 @@ FAMILIES = {
             "pattern_timeout_partial_stream",
             "window_count_sliding_stream",
             "pattern_match_optional_skip_stream",
+            "pattern_detect_followedby_nobetween_stream",
         ],
     },
 }
