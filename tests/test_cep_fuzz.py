@@ -640,3 +640,107 @@ def test_composed_matches_reference_on_random_streams(spark):
         # non-vacuous: the generated streams must actually exercise
         # each composed pattern
         assert want, f"composed pattern produced zero matches: {pat}"
+
+
+# ---------------------------------------------------------------------------
+# Round 13: the horizon-pair family (followedByAny, middle negation)
+# and the timed-out-partials side output against brute-force
+# references — the DuckDB oracles prove Spark and DuckDB agree on the
+# SQL; these prove the SQL means what the Flink semantics say, via
+# the dumbest possible O(n^2) per-user enumeration.
+
+from flink_large_window_spark.operators.cep import (
+    compile_horizon_pairs,
+    compile_timeout_partials,
+)
+
+
+def _ref_pairs(rows, anchor, target, horizon_us, blocker=None):
+    by_user = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_user[r[0]].append(r)
+    out = []
+    for u, evs in by_user.items():
+        pos = [(int(e[1].timestamp() * 1e6), e[2], e[3]) for e in evs]
+        for a_us, a_id, a_cls in pos:
+            if a_cls != anchor:
+                continue
+            for t_us, t_id, t_cls in pos:
+                if t_cls != target:
+                    continue
+                if not (a_us < t_us <= a_us + horizon_us):
+                    continue
+                if blocker is not None and any(
+                    c == blocker and (a_us, a_id) < (us, i) < (t_us, t_id)
+                    for us, i, c in pos
+                ):
+                    continue
+                out.append((u, a_id, t_id, t_us - a_us))
+    return sorted(out)
+
+
+def _ref_timeouts(rows, first, second, third, horizon_us):
+    by_user = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_user[r[0]].append(r)
+    out = []
+    for u, evs in by_user.items():
+        pos = [(int(e[1].timestamp() * 1e6), e[2], e[3]) for e in evs]
+        for i, (v_us, v_id, v_cls) in enumerate(pos):
+            if v_cls != first:
+                continue
+            deadline = v_us + horizon_us
+            fc = next(
+                (p for p in pos[i + 1:] if p[2] == second), None
+            )
+            if fc is None or fc[0] > deadline:
+                out.append((u, v_id, 1, deadline))
+                continue
+            j = pos.index(fc)
+            fp = next(
+                (p for p in pos[j + 1:] if p[2] == third), None
+            )
+            if fp is None or fp[0] > deadline:
+                out.append((u, v_id, 2, deadline))
+    return sorted(out)
+
+
+def test_pairs_and_timeouts_match_bruteforce_on_random_streams(spark):
+    rows = _random_streams(n_users=250, max_len=14, seed=53)
+    df = _df(spark, rows)
+    pat = Pattern(steps=(Step("x", "click"),))
+    h = 12 * 3600 * 1_000_000
+
+    m = compile_horizon_pairs(
+        df, pat, anchor_cls="click", target_cls="purchase", hours=12
+    )
+    got = sorted(
+        (r["user_id"], r["anchor_id"], r["target_id"], r["gap_us"])
+        for r in m.collect()
+    )
+    want = _ref_pairs(rows, "click", "purchase", h)
+    assert got == want and want
+
+    m2 = compile_horizon_pairs(
+        df, pat, anchor_cls="click", target_cls="purchase", hours=12,
+        not_between_cls="error",
+    )
+    got2 = sorted(
+        (r["user_id"], r["anchor_id"], r["target_id"], r["gap_us"])
+        for r in m2.collect()
+    )
+    want2 = _ref_pairs(rows, "click", "purchase", h, blocker="error")
+    assert got2 == want2 and want2
+    assert len(want2) < len(want), "negation never fired"
+
+    m3 = compile_timeout_partials(
+        df, pat, first_cls="view", second_cls="click",
+        third_cls="purchase", hours=12,
+    )
+    got3 = sorted(
+        (r["user_id"], r["start_event"], r["n_matched"], r["deadline_us"])
+        for r in m3.collect()
+    )
+    want3 = _ref_timeouts(rows, "view", "click", "purchase", h)
+    assert got3 == want3
+    assert {n for _, _, n, _ in want3} == {1, 2}, "both stall depths"
