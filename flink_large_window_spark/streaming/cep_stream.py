@@ -257,6 +257,34 @@ def compile_stream(pat: Pattern, idle_evict: bool = False):
     run awaiting min_count) blocks it, as does any held event and an
     unexpired within-deadline — pinned by
     tests/test_streaming_parity.py's idle-evict battery.
+
+    **Residual state floor** (ADVICE r13 item 1 — "idle keys evict"
+    would overstate; this is what actually remains, and why each
+    piece is correctness-forced rather than a TODO):
+
+    - a STUB-bed pattern-class key retains its O(1) scalars FOREVER,
+      with no timer re-armed: maximal-run contiguity has no time
+      bound, so a same-class event arriving arbitrarily late still
+      EXTENDS the stubbed run, and the stub's old start must survive
+      to keep merged-run candidates failing ``within`` exactly as the
+      batch oracle does. There is no instant at which full removal
+      becomes provably safe, hence no follow-up timer to arm.
+    - a ``pend == 1`` key retains its FULL window state, also with no
+      TTL timer: the pending anchor run can reach ``min_count`` via
+      same-class extensions arbitrarily late (``within`` bounds the
+      match's START spread, not the anchor run's extension), at which
+      point emission reads the closed-run window — so neither removal
+      nor a stub downgrade (which drops that window) is ever sound
+      while the run stays open. The run closes only when a
+      different-class event arrives, and that event re-enters the
+      handler anyway — a timer would buy nothing.
+
+    So with eviction on, worst-case retained state is O(1) per idle
+    key whose LAST event is pattern-class, plus full O(pattern
+    length) windows for keys sitting on a live pending anchor — the
+    semantic floor of maximal-run CEP, not an implementation gap.
+    Keys whose last run is a separator class (the common idle shape)
+    are removed outright.
     """
     last = pat.steps[-1]
     if last.min_count == 0:
@@ -1209,9 +1237,15 @@ def compile_absence_stream(
             else:
                 pending.append((us, eid))
         # Evict suppressors no pending or future anchor can reach:
-        # pending/future anchors have anchor_us > wm_ms*1000 −
-        # horizon_us − 999, and suppression needs p_us >= anchor_us.
-        floor_us = wm_ms * 1000 - horizon_us - 999
+        # a pending anchor has (us + horizon_us) // 1000 >= wm_ms,
+        # which for non-negative ints is exactly us >= wm_ms*1000 −
+        # horizon_us; a future anchor folds from the hold buffer
+        # (us // 1000 > wm_ms) or a later batch, so its us exceeds
+        # wm_ms*1000 outright. Suppression needs p_us >= anchor_us,
+        # so the exact floor is sound (ADVICE r13 item 4: the former
+        # −999 µs slack was dead conservatism inconsistent with
+        # compile_pairs_stream's exact floor).
+        floor_us = wm_ms * 1000 - horizon_us
         purchases = [p for p in purchases if p >= floor_us]
         state.update(
             (
@@ -2106,7 +2140,11 @@ def compile_timeout_stream(
             done = j < len(thirds) and thirds[j][0] <= deadline
             if not done:
                 emitted.append((key[0], eid, 2, deadline))
-        floor_us = wm_ms * 1000 - horizon_us - 999
+        # Exact eviction floor — same derivation as the absence
+        # machine's (a pending anchor's deadline // 1000 >= wm_ms is
+        # exactly us >= wm_ms*1000 − horizon_us; followers must sort
+        # at or after their anchor). ADVICE r13 item 4.
+        floor_us = wm_ms * 1000 - horizon_us
         seconds = [e for e in seconds if e[0] >= floor_us]
         thirds = [e for e in thirds if e[0] >= floor_us]
         state.update(

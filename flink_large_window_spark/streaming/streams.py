@@ -140,7 +140,12 @@ def hold_timer_ms(hold, wm_ms):
     return max(min(e[0] for e in hold) // 1000 - 1, wm_ms + 1)
 
 
-def run_to_memory(spark: SparkSession, out: DataFrame, mode: str = "append") -> DataFrame:
+def run_to_memory(
+    spark: SparkSession,
+    out: DataFrame,
+    mode: str = "append",
+    checkpoint: str | None = None,
+) -> DataFrame:
     """Drain a streaming DataFrame into a memory sink, return the table.
 
     RocksDB state store provider is enabled for the run — the Flink
@@ -154,6 +159,13 @@ def run_to_memory(spark: SparkSession, out: DataFrame, mode: str = "append") -> 
     driver). The partition count is baked into each checkpoint; every
     run here uses a fresh checkpoint, so lowering it is safe. On a real
     cluster this is sized to state volume ÷ executor memory instead.
+
+    ``checkpoint`` overrides the auto-generated checkpoint location —
+    the state-reader keys pass their own so they can re-open the
+    finished query's state store offline (ADVICE r13 item 2: the
+    reader formerly hand-copied this whole launch block to learn the
+    path, and the copy had already drifted — it skipped the
+    LAST_STATE_METRICS capture).
     """
     global _SINK_SEQ
     _SINK_SEQ += 1
@@ -172,7 +184,9 @@ def run_to_memory(spark: SparkSession, out: DataFrame, mode: str = "append") -> 
             .queryName(name)
             .outputMode(mode)
             .option(
-                "checkpointLocation", scratch_dir("flws_ckpt_")
+                "checkpointLocation",
+                checkpoint if checkpoint is not None
+                else scratch_dir("flws_ckpt_"),
             )
             .trigger(availableNow=True)
             .start()
@@ -2428,12 +2442,17 @@ def compile_asof_stream():
                         errors.append((us, int(eid)))
         out, pending = [], []
         clicks.sort()  # (us, id) asc — prefix max is the last element
+        # parallel key list for the bisect probes: bisect's key=
+        # parameter needs Python >= 3.10, and the other handlers
+        # already bisect over plain lists (ADVICE r13 item 3) —
+        # keep the module interpreter-portable the same way
+        click_us = [c[0] for c in clicks]
         for us, eid in errors:
             if us // 1000 < wm_ms:
                 # max (ts, id) click with ts <= error ts: bisect for
                 # the prefix boundary; the sorted prefix's last
                 # element IS its max tuple
-                idx = bisect.bisect_right(clicks, us, key=lambda c: c[0])
+                idx = bisect.bisect_right(click_us, us)
                 m = clicks[idx - 1] if idx else None
                 if best is not None and (m is None or best > m):
                     m = best
@@ -2732,30 +2751,7 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
     )
     ckpt = scratch_dir("flws_statereader_")
-    global _SINK_SEQ
-    _SINK_SEQ += 1
-    name = f"flws_stream_sink_{_SINK_SEQ}"
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
-    )
-    try:
-        q = (
-            ev.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    run_to_memory(spark, ev, mode="update", checkpoint=ckpt)
     state = spark.read.format("statestore").option("path", ckpt).load()
     return state.select(
         F.col("key.user_id").alias("user_id"),
