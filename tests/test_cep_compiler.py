@@ -718,11 +718,14 @@ def test_horizon_rejects_quantified_or_within_pattern(spark):
 
 
 def test_stream_compile_guard_validation():
-    """compile_stream (round 12): non-final guards compile with any
-    aggregate; a final-step guard compiles ONLY with 'first' (every
-    other aggregate ranges over the still-open maximal anchor run);
-    guarded patterns get the extended value-aggregate state schema
-    while unguarded patterns keep the base schema exactly."""
+    """compile_stream: non-final guards compile with any aggregate;
+    a final-step guard with 'first' emits at anchor-run OPEN (the
+    aggregate is fixed the instant the run opens); a final-step guard
+    with any MAXIMAL-run aggregate compiles too since round 14, but
+    switches the pattern to run-CLOSE emission — visible in the
+    output schema, which gains the settled anchor run's n_<last>
+    measure. Guarded patterns get the extended value-aggregate state
+    schema while unguarded patterns keep the base schema exactly."""
     from flink_large_window_spark.streaming.cep_stream import (
         STREAM_STATE_SCHEMA,
         STREAM_STATE_SCHEMA_VAL,
@@ -758,10 +761,36 @@ def test_stream_compile_guard_validation():
         pat(mid_guard=Guard("sum", "<=", "views", "max", factor=2.0))
     )
     assert schema == STREAM_STATE_SCHEMA_VAL
-    # final-step guard with a maximal-run aggregate is rejected
+    # final-step guard with a maximal-run aggregate: compiles since
+    # round 14 as a run-CLOSE pattern — the output schema carries the
+    # closed anchor run's length (open-emission patterns cannot know
+    # it; run-close ones must)
     for agg in ("last", "min", "max", "sum"):
-        with pytest.raises(ValueError, match="first"):
-            compile_stream(pat(anchor_guard=Guard(agg, ">", "views", "max")))
+        _, out, schema = compile_stream(
+            pat(anchor_guard=Guard(agg, ">", "views", "max"))
+        )
+        assert schema == STREAM_STATE_SCHEMA_VAL
+        assert [f.name for f in out.fields] == [
+            "user_id", "anchor_event", "n_views", "n_clicks",
+            "n_purchase",
+            "g_purchase", "g_purchase_ref",
+            "pattern_start_us", "pattern_end_us",
+        ]
+    # final-step exact: same run-close switch, unguarded state schema
+    _, out, schema = compile_stream(
+        Pattern(
+            steps=(
+                Step("views", "view", 1, None),
+                Step("clicks", "click", 1, 2, exact=True),
+            ),
+            within_hours=24,
+        )
+    )
+    assert schema == STREAM_STATE_SCHEMA
+    assert [f.name for f in out.fields] == [
+        "user_id", "anchor_event", "n_views", "n_clicks",
+        "pattern_start_us", "pattern_end_us",
+    ]
 
 
 def _guard_events_nullable(spark, vals):

@@ -124,6 +124,10 @@ def _ref_greedy(rows, pat: Pattern):
             last = steps[-1]
             cls, res = win[-1]
             ok = ok and cls == last.cls and len(res) >= last.min_count
+            if last.exact and last.max_count is not None:
+                # final-step exactness: the anchor's MAXIMAL run is
+                # itself capped (round 14) — same rule as middles
+                ok = ok and len(res) <= last.max_count
             if ok and pat.within_hours is not None:
                 ok = res[0][1] <= win[0][1][0][1] + dt.timedelta(
                     hours=pat.within_hours
@@ -257,6 +261,23 @@ GREEDY_PATTERNS = [
             Step("e2", "error", 1, None),
         ),
         within_hours=48,
+    ),
+    # FINAL-step exactness (round 14): the anchor run itself is a
+    # maximal run of exactly min..max — the close-emission semantics
+    # whose streaming twin defers to anchor-run close; here the batch
+    # compiler's run_len <= max cap is what the reference mirrors
+    Pattern(
+        steps=(
+            Step("v", "view", 1, None),
+            Step("c", "click", 1, 2, exact=True),
+        ),
+        within_hours=24,
+    ),
+    Pattern(
+        steps=(
+            Step("e", "error", 1, 1),
+            Step("p", "purchase", 2, 3, exact=True),
+        ),
     ),
     # iterative conditions (round 12 — VERDICT r11 directive 2):
     # guards over previously-matched events' values, each exercising a
@@ -485,6 +506,10 @@ def _ref_greedy_named(rows, pat: Pattern, lift_first_max: bool = False):
             last = steps[-1]
             cls, res = win[-1]
             ok = ok and cls == last.cls and len(res) >= last.min_count
+            if last.exact and last.max_count is not None:
+                # final-step exactness: the anchor's MAXIMAL run is
+                # itself capped (round 14) — same rule as middles
+                ok = ok and len(res) <= last.max_count
             if ok and pat.within_hours is not None:
                 ok = res[0][1] <= win[0][1][0][1] + dt.timedelta(
                     hours=pat.within_hours

@@ -2871,3 +2871,437 @@ def test_ttl_held_successor_tail_case(spark, tmp_path):
     )
     sql = entry_mod.oracle_sql()["stateful_session_ttl_stream"]
     assert len(con.execute(sql).df()) == 0
+
+
+# ---- round 14: run-CLOSE emission (final-step exact / non-'first'
+# final guards — the last two compile_stream carve-outs, lifted) ----
+
+
+def _cep_runclose_cases():
+    """(stream_key, batch_key, anchor col, measures, Pattern) for the
+    two run-close emission shapes. Their parity filter differs from
+    the open-emission keys': a match emits only once its anchor run
+    is CLOSED (next run on the key starts) before the final
+    watermark."""
+    from flink_large_window_spark.operators.cep import (
+        Guard,
+        Pattern,
+        Step,
+    )
+
+    return [
+        (
+            "pattern_detect_times_exact_stream",
+            "pattern_detect_times_exact",
+            "click_event",
+            ("n_views", "n_clicks"),
+            Pattern(
+                steps=(
+                    Step("views", "view", 1, None),
+                    Step("clicks", "click", 1, 2, exact=True),
+                ),
+                within_hours=24,
+            ),
+        ),
+        (
+            "pattern_match_finalguard_stream",
+            "pattern_match_finalguard",
+            "purchase_event",
+            ("n_views", "n_purchases", "purchases_max_val",
+             "views_max_val"),
+            Pattern(
+                steps=(
+                    Step("views", "view", 1, None),
+                    Step(
+                        "purchases",
+                        "purchase",
+                        1,
+                        None,
+                        guard=Guard("max", ">", "views", "max"),
+                    ),
+                ),
+                within_hours=24,
+                val_col="value",
+            ),
+        ),
+    ]
+
+
+def _next_run_start_us(sf_dir):
+    """(user_id, run_start_us) -> next run's start_us (None if the
+    run is the user's last) from the fixture events — the closing
+    instant the run-close oracle filter reads, computed independently
+    of both engines (pandas, not SQL)."""
+    import os
+
+    import pandas as pd
+
+    ev = pd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type"])
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    out = {}
+    for uid, g in ev.groupby("user_id"):
+        runs = []
+        for ts, cls in zip(g["ts"], g["event_type"]):
+            if runs and runs[-1][0] == cls:
+                continue
+            runs.append((cls, int(ts.value) // 1_000))
+        for i, (_cls, start_us) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            out[(uid, start_us)] = nxt
+    return out
+
+
+def _runclose_expected(spark, batch_key, anchor_col, measures, wm_ms):
+    """The batch key's matches whose anchor run CLOSED (next run
+    started) at or before the final watermark — the run-close twin's
+    exact expected emission set."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    nxt = _next_run_start_us(SF_SMOKE)
+    out = set()
+    for r in REGISTRY[batch_key](spark, SF_SMOKE).collect():
+        end_us = _us(r["pattern_end"])
+        close_us = nxt[(r["user_id"], end_us)]
+        if close_us is None or close_us // 1000 > wm_ms:
+            continue
+        out.add(
+            (r["user_id"], r[anchor_col])
+            + tuple(r[m] for m in measures)
+            + (_us(r["pattern_start"]), end_us)
+        )
+    return out
+
+
+@pytest.mark.parametrize("case", range(2))
+def test_pattern_stream_runclose_parity(spark, max_ts, case):
+    """Run-close twins emit EXACTLY the batch matches whose anchor
+    run the final watermark CLOSED — equality, like the open-emission
+    parity, but on the shifted boundary (the closing run's start, not
+    the anchor's). A maximal anchor run the stream never saw closed
+    must NOT emit even when the batch compiler matches it."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    stream_key, batch_key, anchor_col, measures, _pat = (
+        _cep_runclose_cases()[case]
+    )
+    wm_ms = _us((max_ts.replace(tzinfo=None) - WM).isoformat(sep=" ")) // 1000
+    expected = _runclose_expected(spark, batch_key, anchor_col,
+                                  measures, wm_ms)
+    stream = {
+        (r["user_id"], r[anchor_col])
+        + tuple(r[m] for m in measures)
+        + (r["pattern_start_us"], r["pattern_end_us"])
+        for r in REGISTRY[stream_key](spark, SF_SMOKE).collect()
+    }
+    assert stream == expected, (
+        f"extra: {sorted(stream - expected)[:3]} "
+        f"missing: {sorted(expected - stream)[:3]}"
+    )
+    assert stream, "no matches emitted"
+    # the boundary genuinely differs from the open-emission filter:
+    # at least one batch match is excluded by run-close (still open
+    # or closed after the final watermark)
+    batch_n = REGISTRY[batch_key](spark, SF_SMOKE).count()
+    assert len(expected) < batch_n, (
+        "run-close filter excluded nothing — test is vacuous"
+    )
+
+
+@pytest.mark.parametrize("n_files", [2, 3])
+@pytest.mark.parametrize("case", range(2))
+def test_pattern_stream_runclose_multibatch(
+    spark, max_ts, tmp_path, n_files, case
+):
+    """Cross-batch run-close continuation: an anchor run that OPENS in
+    one micro-batch (pend=1 held in state) and CLOSES in a later one
+    must emit at the closing fold with the full run's length/value
+    aggregates — and the final emission set must still equal the
+    closed-before-final-watermark batch filter."""
+    import os
+    import time as _time
+
+    import pyarrow.parquet as pq
+
+    stream_key, batch_key, anchor_col, measures, pat = (
+        _cep_runclose_cases()[case]
+    )
+    src = os.path.join(SF_SMOKE, "events.parquet")
+    t = pq.read_table(src)
+    ts_series = t["ts"].to_pandas()
+    order = ts_series.sort_values().index
+    d = str(tmp_path)
+    lo = ts_series.min() - pd.Timedelta(seconds=1)
+    for part in range(n_files):
+        hi_idx = min(len(order) * (part + 1) // n_files, len(order)) - 1
+        hi = ts_series.iloc[order[hi_idx]]
+        mask = (ts_series > lo) & (ts_series <= hi)
+        if part > 0:
+            _time.sleep(1.1)  # file source orders by modification time
+        pq.write_table(
+            t.filter(mask.values),
+            os.path.join(d, f"part_{part:03d}.parquet"),
+        )
+        lo = hi
+
+    out = _run_compiled_split_stream(spark, d, pat)
+    guard_cols = []
+    for s in pat.steps:
+        if s.guard is not None:
+            guard_cols += [f"g_{s.name}", f"g_{s.name}_ref"]
+    for c in guard_cols:
+        out = out.withColumn(c, F.round(F.col(c), 4))
+    got = {
+        (r["user_id"], r["anchor_event"])
+        + tuple(r[f"n_{s.name}"] for s in pat.steps)
+        + tuple(r[c] for c in guard_cols)
+        + (r["pattern_start_us"], r["pattern_end_us"])
+        for r in out.collect()
+    }
+    wm_ms = _us((max_ts.replace(tzinfo=None) - WM).isoformat(sep=" ")) // 1000
+    expected = _runclose_expected(spark, batch_key, anchor_col,
+                                  measures, wm_ms)
+    assert got == expected, (
+        f"extra: {sorted(got - expected)[:3]} "
+        f"missing: {sorted(expected - got)[:3]}"
+    )
+    assert got, "no matches emitted"
+
+
+def test_runclose_exact_rejects_run_grown_past_max_across_batches(
+    spark, tmp_path
+):
+    """The semantic heart of run-close exactness: an anchor run that
+    satisfies the exact bounds at OPEN but grows past max_count in a
+    LATER micro-batch must NOT emit (open-boundary emission would
+    have already fired it — the r12/r13 rejection argument made
+    concrete), while a run the closing fold catches inside the bounds
+    emits with its final length."""
+    from flink_large_window_spark.operators.cep import Pattern, Step
+
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None),
+            Step("clicks", "click", 1, 2, exact=True),
+        ),
+        within_hours=24,
+    )
+    # user 1: view, click@1, click@2 | batch 2: click@3 (run grows to
+    # 3 > max), purchase@4 closes it -> NO match. user 2: view,
+    # click@1 | batch 2: click@2, purchase@3 closes at len 2 -> match
+    # with n_clicks=2 (the cross-batch-settled length). user 3 pushes
+    # the watermark far past both users' closes.
+    d = _write_batches(
+        tmp_path,
+        [
+            _event_row(1, 0, 10, "view"),
+            _event_row(1, 1, 11, "click"),
+            _event_row(1, 2, 12, "click"),
+            _event_row(2, 0, 20, "view"),
+            _event_row(2, 1, 21, "click"),
+            _event_row(3, 0, 30, "signup"),
+        ],
+        [
+            _event_row(1, 3, 13, "click"),
+            _event_row(1, 4, 14, "purchase"),
+            _event_row(2, 2, 22, "click"),
+            _event_row(2, 3, 23, "purchase"),
+            _event_row(3, 600, 31, "signup"),  # watermark push
+        ],
+    )
+    out = _run_compiled_split_stream(spark, d, pat)
+    got = {
+        (r["user_id"], r["anchor_event"], r["n_views"], r["n_clicks"])
+        for r in out.collect()
+    }
+    assert got == {(2, 21, 1, 2)}, got
+
+
+def test_runclose_finalguard_settles_on_full_run_not_first_event(
+    spark, tmp_path
+):
+    """A final-step max-guard that FAILS on the anchor run's first
+    event but PASSES once a later batch extends the run must emit
+    (the deferred check reads the closed run's aggregates) — the
+    exact case open-boundary emission gets wrong, proving the 'defer'
+    candidacy is load-bearing rather than a re-labeled open check."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+    import time as _time
+
+    from flink_large_window_spark.operators.cep import (
+        Guard,
+        Pattern,
+        Step,
+    )
+
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None),
+            Step(
+                "purchases",
+                "purchase",
+                1,
+                None,
+                guard=Guard("max", ">", "views", "max"),
+            ),
+        ),
+        within_hours=24,
+        val_col="value",
+    )
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def row(uid, minutes, eid, cls, val):
+        return {
+            "user_id": uid, "ts": t0 + dt.timedelta(minutes=minutes),
+            "event_id": eid, "event_type": cls, "value": val,
+        }
+
+    schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("event_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("value", pa.float64()),
+        ]
+    )
+    batches = [
+        [
+            # user 1: view(5.0) then purchase(3.0) — guard FALSE on
+            # the first anchor event
+            row(1, 0, 10, "view", 5.0),
+            row(1, 1, 11, "purchase", 3.0),
+            # user 2: guard true on first event, run closes in batch 2
+            row(2, 0, 20, "view", 1.0),
+            row(2, 1, 21, "purchase", 4.0),
+        ],
+        [
+            # user 1's run EXTENDS with 8.0 -> max(3,8) > 5 — guard
+            # flips TRUE at close
+            row(1, 2, 12, "purchase", 8.0),
+            row(1, 3, 13, "error", 0.0),  # closes user 1's run
+            row(2, 2, 22, "error", 0.0),  # closes user 2's run
+            row(3, 600, 31, "signup", 0.0),  # watermark push
+        ],
+    ]
+    d = str(tmp_path)
+    for i, batch in enumerate(batches):
+        if i > 0:
+            _time.sleep(1.1)
+        pq.write_table(pa.Table.from_pylist(batch, schema=schema),
+                       os.path.join(d, f"part_{i:03d}.parquet"))
+    out = _run_compiled_split_stream(spark, d, pat)
+    got = {
+        (r["user_id"], r["anchor_event"], r["n_purchases"],
+         float(r["g_purchases"]), float(r["g_purchases_ref"]))
+        for r in out.collect()
+    }
+    assert got == {(1, 11, 2, 8.0, 5.0), (2, 21, 1, 4.0, 1.0)}, got
+
+
+def test_state_reader_decodes_cep_automaton_state(spark):
+    """The statestore source must decode an applyInPandasWithState
+    checkpoint whose value is the compiled CEP automaton's composite
+    blob — nested struct with STRING/LONG arrays (the closed-run
+    window), scalars (the open run) and the hold buffer — and the
+    decoded state must equal an independent pandas reconstruction of
+    what the fold semantics say each key holds at the final
+    watermark: cur = the user's last folded maximal run, win = the
+    (k=1) closed run before it, buf = exactly the events above the
+    watermark. This is VERDICT r13 item 5's second half: the reader
+    handles arbitrary user-defined composite state, not just built-in
+    aggregate buffers."""
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from flink_large_window_spark.operators.cep import Pattern, Step
+    from flink_large_window_spark.streaming.cep_stream import compile_stream
+    from flink_large_window_spark.streaming.streams import (
+        _events_stream,
+        run_to_memory,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None),
+            Step("purchase", "purchase", 1, None),
+        ),
+        within_hours=24,
+    )
+    handler, out_schema, state_schema = compile_stream(pat)
+    ev = (
+        _events_stream(spark, SF_SMOKE)
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    res = ev.groupBy("user_id").applyInPandasWithState(
+        handler,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    ckpt = tempfile.mkdtemp(prefix="flws_test_cepstate_")
+    run_to_memory(spark, res, mode="append", checkpoint=ckpt)
+
+    st = spark.read.format("statestore").option("path", ckpt).load()
+    got = {}
+    for r in st.collect():
+        # applyInPandasWithState stores the user blob nested under
+        # value.groupState, beside the operator's timeoutTimestamp
+        v = r["value"]["groupState"]
+        got[r["key"]["user_id"]] = (
+            v["cur_cls"], v["cur_len"], v["cur_start"], v["cur_first"],
+            tuple(v["win_cls"]), tuple(v["win_len"]),
+            tuple(sorted(v["buf_id"])),
+        )
+
+    # independent reconstruction: fold = events with ts_ms <= final
+    # watermark (split_by_watermark's admission contract), runs over
+    # the folded sequence, buf = the rest
+    evp = pd.read_parquet(
+        os.path.join(SF_SMOKE, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    ).sort_values(["user_id", "ts", "event_id"])
+    wm_ms = int(evp["ts"].max().value) // 1_000_000 - 600_000
+    want = {}
+    for uid, g in evp.groupby("user_id"):
+        runs, held = [], []
+        for ts, eid, cls in zip(g["ts"], g["event_id"], g["event_type"]):
+            us = int(ts.value) // 1_000
+            if us // 1000 > wm_ms:
+                held.append(int(eid))
+                continue
+            if runs and runs[-1][0] == cls:
+                runs[-1][1] += 1
+            else:
+                runs.append([cls, 1, us, int(eid)])
+        if not runs and not held:
+            continue
+        cur = runs[-1] if runs else [None, None, None, None]
+        prev = runs[-2] if len(runs) >= 2 else None
+        want[uid] = (
+            cur[0], cur[1], cur[2], cur[3],
+            (prev[0],) if prev else (),
+            (prev[1],) if prev else (),
+            tuple(sorted(held)),
+        )
+    assert got == want, (
+        f"state mismatch; sample got={list(got.items())[:2]} "
+        f"want={list(want.items())[:2]}"
+    )
+    assert any(v[4] for v in got.values()), (
+        "no key carried a closed-run window — array decode unexercised"
+    )
+    assert any(v[6] for v in got.values()), (
+        "no key carried held events — buffer decode unexercised"
+    )
