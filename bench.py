@@ -100,6 +100,13 @@ HEADLINE = [
     # NOT in the frozen BENCH.json — governing baseline in
     # NEW_KEY_BASELINES / BASELINE.md, measured under new_keys_total_s.
     "pattern_match_recognize",
+    # Round-14 addition (VERDICT r13 item 6): the horizon-pair
+    # family's only bench representative — followedByAny is the
+    # suite's one output-complexity-bound key (its match set IS the
+    # equi-join pair volume, 872k rows at 100x), so a regression in
+    # compile_horizon_pairs was invisible to the bench. Same
+    # measured-then-frozen protocol as pattern_match_recognize.
+    "pattern_detect_followedbyany",
 ]
 
 
@@ -213,6 +220,9 @@ NEW_KEY_BASELINES = {
     # round-10 first median (BASELINE.md addendum): the CEP compiler's
     # greedy strategy's bench representative (cep covers only suffix)
     "pattern_match_recognize": 0.8386,
+    # round-14 first median (BASELINE.md addendum): the horizon-pair
+    # (followedBy enumeration) representative
+    "pattern_detect_followedbyany": 0.3195,
 }
 
 

@@ -91,6 +91,10 @@ FAMILIES = {
             "pattern_detect_followedbyany", "pattern_timeout_partial",
             "pattern_match_optional_skip",
             "pattern_detect_followedby_nobetween",
+            # round 14: final-step exactness (anchor-run cap) and the
+            # non-'first' final guard — one more row-local conjunct
+            # each on the shared runs relation
+            "pattern_detect_times_exact", "pattern_match_finalguard",
         ],
     },
     "text": {
@@ -188,6 +192,12 @@ FAMILIES = {
             "window_count_sliding_stream",
             "pattern_match_optional_skip_stream",
             "pattern_detect_followedby_nobetween_stream",
+            # round 14: the run-CLOSE emission twins (final-step
+            # exact / non-'first' final guard) and the composite
+            # windowed-state reader
+            "pattern_detect_times_exact_stream",
+            "pattern_match_finalguard_stream",
+            "stream_state_reader_window",
         ],
     },
 }
