@@ -231,6 +231,23 @@ _R12_EXTRAS: frozenset[str] = frozenset(
         "window_tumbling_offset_stream",
     }
 )
+# round 13 first exposure (CORRECTNESS_r13.json): the fourteen
+# never-stamped round-13 leads — the guard-composition showcases,
+# optional x skip, followedByAny, the timed-out-partials side output,
+# the sliding count window's stream twin, the statestore reader, and
+# middle negation (each batch+stream where applicable).
+_R13_EXTRAS: frozenset[str] = frozenset(
+    {
+        "pattern_match_optional_guard", "pattern_match_optional_guard_stream",
+        "pattern_match_skipguard", "pattern_match_skipguard_stream",
+        "pattern_detect_followedbyany", "pattern_detect_followedbyany_stream",
+        "pattern_timeout_partial", "pattern_timeout_partial_stream",
+        "window_count_sliding_stream", "pattern_match_optional_skip",
+        "pattern_match_optional_skip_stream", "stream_state_reader",
+        "pattern_detect_followedby_nobetween",
+        "pattern_detect_followedby_nobetween_stream",
+    }
+)
 DRIVER_CHECKED: frozenset[str] = (
     frozenset(CONTRACT_KEYS)
     | _R01_EXTRAS
@@ -241,72 +258,61 @@ DRIVER_CHECKED: frozenset[str] = (
     | _R10_EXTRAS
     | _R11_EXTRAS
     | _R12_EXTRAS
+    | _R13_EXTRAS
 )
 
-# Round 13 rotation (VERDICT r12 directives 1-3, 5-7; derived with
-# tools/staleness.py, evidence capped at r12). Leads are the
-# FOURTEEN never-stamped round-13 keys: the guard-composition showcases
-# (guard x optional and guard x skip, each batch+stream — the lifted
-# compile_stream carve-outs), the optional x skip composition
-# (batch+stream — the LAST pairwise carve-out, legal with a
-# non-optional first step), followedByAny (non-deterministic
-# relaxed contiguity, batch+stream), the timed-out partial-match
-# side output (batch+stream), the sliding count window's stream
-# twin, the statestore reader (the State-Processor-API half of
-# savepoint rescale), and middle negation (notFollowedBy BETWEEN
-# steps, batch+stream). Then the FIFTEEN r12 deferrals, drained as promised (every
-# r11-evidence streaming twin plus the two append-only-churn text
-# and dedup keys). Then the behavioral re-stamps for this round's
-# churned files: the nine r12-stamped cep_stream.py twins (the
-# compiled automaton gained per-variant guard remapping, the opt-in
-# idle-evict layer, and bisect resolution in the absence/horizon
-# machines), the five r12-stamped cep.py batch keys (file churn:
-# the four new registrations + compile_horizon_pairs /
-# compile_timeout_partials), the four streams.py keys whose
-# functions the r12-ADVICE fixes touched (TTL state-schema slim,
-# count-window state removal, as-of bisect, Top-N timer note), the
-# four readers.py keys (r10 evidence, docstring-only churn — the
-# Kafka re-probe note — but 3-round-old evidence anyway), and four
-# streams.py neighbors of this round's edits (the stateful family
-# beside the TTL machine; the dynamic-gap and cascading twins beside
-# the count-sliding insertion). The six remaining streams.py
-# SQL-oracle keys whose own text is unchanged defer with written
-# justifications (RECHECK_DEFERRALS). Exactly 50.
+# Round 14 rotation (VERDICT r13 directives 1, 4, 5, 8; derived with
+# tools/staleness.py, evidence capped at r13). Leads are the FIVE
+# never-stamped round-14 keys: the run-CLOSE emission pair — final-
+# step exact quantifier and non-'first' final guard, batch+stream
+# each (the LAST two compile_stream carve-outs, lifted by moving
+# emission from anchor-run open to anchor-run close) — plus the
+# composite windowed-state reader. Then the ELEVEN r13 deferrals,
+# drained as promised (the nine r12-evidence streams.py keys and the
+# two r10-evidence readers.py round-trips). Then the rows-only sextet
+# (directive 8: last stamped r12; the r6 convention caps rows-only
+# evidence age at ~2 rounds). Then the behavioral re-stamps for this
+# round's churned files: the FIFTEEN r13-stamped cep_stream.py twins
+# (compile_stream was rewired for run-close emission — candidacy
+# modes, emit() signature, and the exact eviction floors in the
+# absence/timeout machines all changed text), the ELEVEN r13-stamped
+# cep.py batch keys (file churn: the two round-14 registrations), and
+# the TWO streams.py keys this round's edits touched directly
+# (join_asof_stream — the portable-bisect resolution rewrite — and
+# stream_state_reader, now launched through the shared run_to_memory
+# checkpoint path). The sixteen remaining streams.py SQL-oracle keys
+# whose own text is unchanged defer with written justifications
+# (RECHECK_DEFERRALS), as do the two r13-stamped readers.py keys
+# (docstring-only churn). Exactly 50.
 RECHECK_KEYS: tuple[str, ...] = (
-    # never-stamped round-13 keys (leads)
-    "pattern_match_optional_guard",
-    "pattern_match_optional_guard_stream",
-    "pattern_match_skipguard",
-    "pattern_match_skipguard_stream",
-    "pattern_detect_followedbyany",
-    "pattern_detect_followedbyany_stream",
-    "pattern_timeout_partial",
-    "pattern_timeout_partial_stream",
-    "window_count_sliding_stream",
-    "pattern_match_optional_skip",
-    "pattern_match_optional_skip_stream",
-    "stream_state_reader",
-    "pattern_detect_followedby_nobetween",
-    "pattern_detect_followedby_nobetween_stream",
-    # r12 deferrals, drained as promised (contract history: r12's
-    # RECHECK_DEFERRALS listed each with "recheck r13")
-    "text_ngrams",
-    "text_tokenize_wordcount",
-    "stream_checkpoint_restart",
-    "stream_rule_update_enrich",
-    "stream_stream_left_outer",
-    "stream_stream_full_outer",
-    "join_window_tumbling_stream",
-    "window_early_fire_stream",
-    "window_sliding_agg_stream",
-    "window_tumbling_agg_stream",
-    "window_session_agg_stream",
-    "join_interval_stream",
-    "watermark_dedup_stream",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    # behavioral re-stamps: cep_stream.py cohort (r12 evidence,
-    # compile_stream rewired this round)
+    # never-stamped round-14 keys (leads)
+    "pattern_detect_times_exact",
+    "pattern_detect_times_exact_stream",
+    "pattern_match_finalguard",
+    "pattern_match_finalguard_stream",
+    "stream_state_reader_window",
+    # r13 deferrals, drained as promised (contract history: r13's
+    # RECHECK_DEFERRALS listed each with "recheck r14")
+    "stream_foreachbatch_upsert",
+    "stream_static_enrich",
+    "stream_watermark_skew",
+    "stream_allowed_lateness_reemit",
+    "window_tumbling_offset_stream",
+    "ts_ohlc_bars_stream",
+    "window_session_dynamic_gap_stream",
+    "window_cascading_rollup_stream",
+    "stateful_session_timeout_stream",
+    "source_jsonl_roundtrip",
+    "source_orc_roundtrip",
+    # rows-only sextet rotation (VERDICT r13 item 8; last stamped r12)
+    "source_rate_stream",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "window_large_day_stream",
+    "stream_late_drop",
+    "agg_hll_sketch_merge",
+    # behavioral re-stamps: cep_stream.py cohort (r13 evidence,
+    # compile_stream rewired for run-close emission this round)
     "pattern_match_recognize_stream",
     "pattern_match_alternation_stream",
     "pattern_detect_value_guard_stream",
@@ -316,23 +322,27 @@ RECHECK_KEYS: tuple[str, ...] = (
     "pattern_detect_followedby_stream",
     "pattern_detect_oneormore_stream",
     "pattern_detect_times_stream",
-    # cep.py cohort (r12 evidence, file churn: new registrations)
+    "pattern_match_optional_guard_stream",
+    "pattern_match_skipguard_stream",
+    "pattern_detect_followedbyany_stream",
+    "pattern_timeout_partial_stream",
+    "pattern_match_optional_skip_stream",
+    "pattern_detect_followedby_nobetween_stream",
+    # cep.py cohort (r13 evidence, file churn: round-14 registrations)
     "pattern_match_recognize",
     "pattern_match_alternation",
     "pattern_detect_value_guard",
     "pattern_match_optional",
     "pattern_match_afterskip",
-    # streams.py keys the ADVICE fixes touched directly
-    "stateful_session_ttl_stream",
-    "window_count_tumbling_stream",
+    "pattern_match_optional_guard",
+    "pattern_match_skipguard",
+    "pattern_match_optional_skip",
+    "pattern_detect_followedbyany",
+    "pattern_timeout_partial",
+    "pattern_detect_followedby_nobetween",
+    # streams.py keys this round's edits touched directly
     "join_asof_stream",
-    "window_topn_stream",
-    # readers.py cohort representatives (r10 evidence;
-    # docstring-only churn — jsonl/orc siblings defer, same class)
-    "source_csv_roundtrip",
-    "scan_schema_evolution",
-    # streams.py neighbor of this round's edits
-    "stateful_count_session_stream",
+    "stream_state_reader",
 )
 
 PRIORITY_EXTRAS: tuple[str, ...] = (
@@ -443,67 +453,167 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
 # be re-justified or drained every round: a key may not sit here with
 # a stale rationale.
 RECHECK_DEFERRALS: dict[str, str] = {
-    # The fifteen r12 deferrals are DRAINED into the r13 window as
+    # The eleven r13 deferrals are DRAINED into the r14 window as
     # promised. New deferrals: the streams.py SQL-oracle keys whose
-    # own function text is unchanged this round — the r13 streams.py
-    # churn is the four ADVICE-fix sites (TTL schema, count-window
-    # removal, as-of bisect, Top-N note) plus the count-sliding
-    # APPEND, all of which have their own keys in the window — and
-    # whose slots the nine new leads + fifteen drained promises
-    # consumed. Same shape as the r12 ledger; drain in r14.
-    "stream_foreachbatch_upsert": (
-        "r12 evidence; r13 streams.py churn is the ADVICE-fix sites"
-        " + the count-sliding append — own text unchanged; displaced"
-        " by the pattern_match_optional_guard(+_stream) leads —"
-        " recheck r14"
+    # own function text is unchanged this round (the r14 streams.py
+    # churn sites all have their own keys in the window) and the two
+    # r13-stamped readers.py keys under docstring-only churn. Same
+    # shape as the r12/r13 ledgers; drain in r15.
+    "join_interval_stream": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
     ),
-    "stream_static_enrich": (
-        "same shape — r12 evidence, own text unchanged; displaced by"
-        " the pattern_match_skipguard(+_stream) leads — recheck r14"
+    "join_window_tumbling_stream": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
     ),
-    "stream_watermark_skew": (
-        "same shape — r12 evidence, own text unchanged; displaced by"
-        " the pattern_detect_followedbyany(+_stream) leads — recheck"
-        " r14"
+    "stateful_count_session_stream": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
     ),
-    "stream_allowed_lateness_reemit": (
-        "same shape — r12 evidence, own text unchanged; displaced by"
-        " the pattern_timeout_partial(+_stream) leads — recheck r14"
+    "stateful_session_ttl_stream": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
     ),
-    "window_tumbling_offset_stream": (
-        "same shape — r12 evidence, own text unchanged; displaced by"
-        " the window_count_sliding_stream lead — recheck r14"
+    "stream_checkpoint_restart": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
     ),
-    "ts_ohlc_bars_stream": (
-        "same shape — r12 evidence, own text unchanged; displaced by"
-        " the drained r12 deferral cohort (15 keys) — recheck r14"
+    "stream_rule_update_enrich": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
     ),
-    "window_session_dynamic_gap_stream": (
-        "same shape — r12 evidence, own text unchanged; displaced by"
-        " the late-round pattern_match_optional_skip lead — recheck"
-        " r14"
+    "stream_stream_full_outer": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
     ),
-    "window_cascading_rollup_stream": (
-        "same shape — r12 evidence, own text unchanged; displaced by"
-        " the late-round pattern_match_optional_skip_stream lead —"
-        " recheck r14"
+    "stream_stream_left_outer": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
     ),
-    "stateful_session_timeout_stream": (
-        "same shape — r12 evidence, own text unchanged; displaced by"
-        " the late-round stream_state_reader lead — recheck r14"
+    "watermark_dedup_stream": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
     ),
-    "source_jsonl_roundtrip": (
-        "r10 evidence; the only post-stamp readers.py churn is the"
-        " r13 Kafka re-probe DOCSTRING note — own text unchanged, and"
-        " the csv sibling + scan_schema_evolution represent the"
-        " cohort in the window; displaced by the late-round"
-        " pattern_detect_followedby_nobetween lead — recheck r14"
+    "window_count_sliding_stream": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
     ),
-    "source_orc_roundtrip": (
-        "same shape as source_jsonl_roundtrip — r10 evidence,"
-        " docstring-only churn; displaced by the late-round"
-        " pattern_detect_followedby_nobetween_stream lead — recheck"
-        " r14"
+    "window_count_tumbling_stream": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
+    ),
+    "window_early_fire_stream": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
+    ),
+    "window_session_agg_stream": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
+    ),
+    "window_sliding_agg_stream": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
+    ),
+    "window_topn_stream": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
+    ),
+    "window_tumbling_agg_stream": (
+        "r13 evidence; the r14 streams.py churn is the portable-bisect"
+        " rewrite inside compile_asof_stream (its own key"
+        " join_asof_stream is in the window), the optional checkpoint"
+        " param on run_to_memory (default path byte-equivalent), and"
+        " the stream_state_reader_window append — own text unchanged;"
+        " displaced by the run-close leads + the drained r13 deferral"
+        " cohort — recheck r15"
+    ),
+    "source_csv_roundtrip": (
+        "r13 evidence; the only r14 readers.py churn is the Kafka"
+        " re-probe DOCSTRING refresh, and the cohort's two r10-"
+        "evidence round-trips (jsonl/orc) drain in this window — own"
+        " text unchanged; recheck r15"
+    ),
+    "scan_schema_evolution": (
+        "r13 evidence; the only r14 readers.py churn is the Kafka"
+        " re-probe DOCSTRING refresh, and the cohort's two r10-"
+        "evidence round-trips (jsonl/orc) drain in this window — own"
+        " text unchanged; recheck r15"
     ),
 }
 

@@ -158,7 +158,7 @@ def test_window_covers_changed_since_stamp_keys():
     inside the driver's 50-key window or carry a documented
     justification in contract.RECHECK_DEFERRALS. A future rewire that
     forgets to rotate its keys into the window fails here instead of
-    shipping stamp-less. Evidence capped at r11 (the round the r12
+    shipping stamp-less. Evidence capped at r13 (the round the r14
     rotation was derived from — the r7 lesson: a rotation test must
     not read the very sweep it pins)."""
     import os
@@ -171,7 +171,7 @@ def test_window_covers_changed_since_stamp_keys():
 
     from flink_large_window_spark.contract import RECHECK_DEFERRALS
 
-    uncovered = window_gaps(upto=12)
+    uncovered = window_gaps(upto=13)
     assert not uncovered, (
         f"changed-since-stamp SQL-oracle keys outside the window and "
         f"undocumented: {sorted(uncovered)}"
@@ -182,23 +182,19 @@ def test_window_covers_changed_since_stamp_keys():
     assert not double, f"RECHECK_DEFERRALS entries also in window: {double}"
 
 
-def test_round13_recheck_window_shape():
-    """The round-13 window (VERDICT r12 directives 1-3, 5-7): exactly
-    50 RECHECK keys, no unchecked tail — the FOURTEEN never-stamped
-    round-13 keys LEAD (the guard-composition showcases batch+stream,
-    the optional x skip composition batch+stream, followedByAny
-    batch+stream, the timed-out-partials side output batch+stream,
-    the sliding count window's stream twin, the statestore reader,
-    and middle negation batch+stream), then
-    the FIFTEEN r12 deferrals drained as promised, then the
-    behavioral re-stamps for this round's churned files
-    (cep_stream.py's rewired compiler, cep.py's new registrations,
-    the four ADVICE-fix sites in streams.py), the r10-evidence
-    readers.py cohort, and four streams.py edit-neighbors.
-    Derivation lives in tools/staleness.py; evidence is computed from
-    the CORRECTNESS files themselves (capped at r12, the round this
-    rotation was derived from) so a stale hardcoded list cannot
-    drift."""
+def test_round14_recheck_window_shape():
+    """The round-14 window (VERDICT r13 directives 1, 4, 5, 8):
+    exactly 50 RECHECK keys, no unchecked tail — the FIVE
+    never-stamped round-14 keys LEAD (the run-close emission pair,
+    batch+stream each, plus the composite windowed-state reader),
+    then the ELEVEN r13 deferrals drained as promised, then the
+    rows-only sextet rotation (directive 8), then the behavioral
+    re-stamps for this round's churned files (cep_stream.py's
+    run-close rewiring, cep.py's new registrations, and the two
+    directly-edited streams.py keys). Derivation lives in
+    tools/staleness.py; evidence is computed from the CORRECTNESS
+    files themselves (capped at r13, the round this rotation was
+    derived from) so a stale hardcoded list cannot drift."""
     import os
     import sys
 
@@ -212,32 +208,37 @@ def test_round13_recheck_window_shape():
     )
     # the window IS the prefix — no unchecked tail this round
     assert list(q)[:DRIVER_PREFIX_BUDGET] == list(RECHECK_KEYS)
-    # VERDICT r12 directive 5 done-criterion: every r12 deferral key
-    # is drained into the r13 window
-    R12_DEFERRALS = {
-        "text_ngrams", "text_tokenize_wordcount",
-        "stream_checkpoint_restart", "stream_rule_update_enrich",
-        "stream_stream_left_outer", "stream_stream_full_outer",
-        "join_window_tumbling_stream", "window_early_fire_stream",
-        "window_sliding_agg_stream", "window_tumbling_agg_stream",
-        "window_session_agg_stream", "join_interval_stream",
-        "watermark_dedup_stream", "dedup_ngram_jaccard", "dedup_simhash",
+    # VERDICT r13 directive 1 done-criterion: every r13 deferral key
+    # is drained into the r14 window
+    R13_DEFERRALS = {
+        "stream_foreachbatch_upsert", "stream_static_enrich",
+        "stream_watermark_skew", "stream_allowed_lateness_reemit",
+        "window_tumbling_offset_stream", "ts_ohlc_bars_stream",
+        "window_session_dynamic_gap_stream",
+        "window_cascading_rollup_stream",
+        "stateful_session_timeout_stream", "source_jsonl_roundtrip",
+        "source_orc_roundtrip",
     }
-    assert R12_DEFERRALS <= set(RECHECK_KEYS), (
-        sorted(R12_DEFERRALS - set(RECHECK_KEYS))
+    assert R13_DEFERRALS <= set(RECHECK_KEYS), (
+        sorted(R13_DEFERRALS - set(RECHECK_KEYS))
+    )
+    # VERDICT r13 directive 8 done-criterion: the rows-only sextet is
+    # in the window
+    assert ROWS_ONLY_KEYS <= set(RECHECK_KEYS), (
+        sorted(ROWS_ONLY_KEYS - set(RECHECK_KEYS))
     )
 
-    N_LEADS = 14
+    N_LEADS = 5
     tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
     if tools_dir not in sys.path:
         sys.path.insert(0, tools_dir)
     from staleness import commits_since_stamp, evidence_rounds, key_files
 
     # Lead-section selection criterion, checked mechanically: under
-    # r01..r12 evidence every lead is NEVER-STAMPED (post_stamp
+    # r01..r13 evidence every lead is NEVER-STAMPED (post_stamp
     # sentinel -1). Stable over time: capped evidence is immutable.
     kf = key_files()
-    ev = evidence_rounds(upto=12)
+    ev = evidence_rounds(upto=13)
     post = commits_since_stamp(
         ev, {k: kf[k] for k in RECHECK_KEYS[:N_LEADS]}
     )
@@ -247,13 +248,19 @@ def test_round13_recheck_window_shape():
     )
 
     # Fresh evidence burns a slot only for a behavioral change: every
-    # r12-stamped key in the window must have file commits after the
-    # r12 driver marker (the recency policy — unchanged keys with old
-    # evidence do not need slots; changed ones do).
-    fresh = [k for k in RECHECK_KEYS if ev.get(k, 0) >= 12]
+    # r13-stamped key in the window must have file commits after the
+    # r13 driver marker (the recency policy — unchanged keys with old
+    # evidence do not need slots; changed ones do). The rows-only
+    # sextet is exempt: its slots are the directive-8 age rotation,
+    # not churn-driven.
+    fresh = [
+        k for k in RECHECK_KEYS
+        if ev.get(k, 0) >= 13 and k not in ROWS_ONLY_KEYS
+    ]
     post_fresh = commits_since_stamp(ev, {k: kf[k] for k in fresh})
     unchanged_fresh = [k for k in fresh if post_fresh[k] <= 0]
     assert not unchanged_fresh, (
-        f"r12-stamped keys in the window without post-stamp churn: "
+        f"r13-stamped keys in the window without post-stamp churn: "
         f"{unchanged_fresh}"
     )
+
