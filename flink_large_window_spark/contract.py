@@ -275,8 +275,11 @@ DRIVER_CHECKED: frozenset[str] = (
 # round's churned files: the FIFTEEN r13-stamped cep_stream.py twins
 # (compile_stream was rewired for run-close emission — candidacy
 # modes, emit() signature, and the exact eviction floors in the
-# absence/timeout machines all changed text), the ELEVEN r13-stamped
-# cep.py batch keys (file churn: the two round-14 registrations), and
+# absence/timeout machines all changed text), TEN of the eleven r13-stamped
+# cep.py batch keys (file churn: the two round-14 registrations;
+# pattern_detect_value_guard defers, displaced by the late-round
+# pattern_detect_cep_stream lead — the per-event suffix automaton,
+# round 14's sixth never-stamped key), and
 # the TWO streams.py keys this round's edits touched directly
 # (join_asof_stream — the portable-bisect resolution rewrite — and
 # stream_state_reader, now launched through the shared run_to_memory
@@ -291,6 +294,7 @@ RECHECK_KEYS: tuple[str, ...] = (
     "pattern_match_finalguard",
     "pattern_match_finalguard_stream",
     "stream_state_reader_window",
+    "pattern_detect_cep_stream",
     # r13 deferrals, drained as promised (contract history: r13's
     # RECHECK_DEFERRALS listed each with "recheck r14")
     "stream_foreachbatch_upsert",
@@ -331,7 +335,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     # cep.py cohort (r13 evidence, file churn: round-14 registrations)
     "pattern_match_recognize",
     "pattern_match_alternation",
-    "pattern_detect_value_guard",
     "pattern_match_optional",
     "pattern_match_afterskip",
     "pattern_match_optional_guard",
@@ -454,8 +457,16 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
 # a stale rationale.
 RECHECK_DEFERRALS: dict[str, str] = {
     # The eleven r13 deferrals are DRAINED into the r14 window as
-    # promised. New deferrals: the streams.py SQL-oracle keys whose
-    # own function text is unchanged this round (the r14 streams.py
+    # promised.
+    "pattern_detect_value_guard": (
+        "r13 evidence; the r14 cep.py churn is the two appended"
+        " round-14 registrations — own text unchanged, and ten cohort"
+        " siblings re-stamp in the window; displaced by the late-round"
+        " pattern_detect_cep_stream lead (the per-event suffix"
+        " automaton) — recheck r15"
+    ),
+    # New deferrals: the streams.py SQL-oracle keys whose own
+    # function text is unchanged this round (the r14 streams.py
     # churn sites all have their own keys in the window) and the two
     # r13-stamped readers.py keys under docstring-only churn. Same
     # shape as the r12/r13 ledgers; drain in r15.

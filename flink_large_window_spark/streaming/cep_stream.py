@@ -2671,3 +2671,333 @@ def pattern_match_finalguard_stream(
         "pattern_start_us",
         "pattern_end_us",
     )
+
+
+#: Suffix-automaton state (round 14 — per-EVENT anchoring): the last
+#: W folded events (W = the pattern's event length − 1, +1 when the
+#: earliest step is exact and needs its far-boundary event) plus the
+#: watermark hold buffer. Unlike the run-fold machine there is no run
+#: compression — per-event anchoring is exactly what compression
+#: discards — but W is a compile-time constant, so state stays O(1)
+#: per key.
+SUFFIX_STATE_SCHEMA = StructType(
+    [
+        StructField("win_us", ArrayType(LongType())),
+        StructField("win_id", ArrayType(LongType())),
+        StructField("win_cls", ArrayType(StringType())),
+        StructField("win_nul", ArrayType(LongType())),
+        StructField("buf_id", ArrayType(LongType())),
+        StructField("buf_us", ArrayType(LongType())),
+        StructField("buf_cls", ArrayType(StringType())),
+        StructField("buf_nul", ArrayType(LongType())),
+    ]
+)
+
+SUFFIX_STATE_SCHEMA_VAL = StructType(
+    list(SUFFIX_STATE_SCHEMA.fields)
+    + [
+        StructField("win_val", ArrayType(DoubleType())),
+        StructField("buf_val", ArrayType(DoubleType())),
+    ]
+)
+
+
+def compile_suffix_stream(pat: Pattern):
+    """Compile a FIXED-count pattern into a per-EVENT-anchored
+    ``applyInPandasWithState`` handler — the streaming image of
+    :func:`operators.cep.compile_suffix` (round 14; retires the last
+    'does not stream' line in the CEP inventory: the suffix-anchored
+    start that the run-fold machine's compression discards, carried
+    since round 12 as pattern_detect_cep's documented residual).
+
+    Per-event anchoring is trivially incremental: every predecessor a
+    suffix match reads sits at a FIXED lag offset, so a window of the
+    last W folded events (W = pattern event length − 1, +1 when the
+    earliest step carries ``exact``) decides each anchor the moment
+    the anchor itself folds — no deferral, no pend state, no variant
+    expansion. A shorter-than-W window means the far events simply do
+    not exist (key history shorter than the pattern), which is the
+    same NULL-lag semantics the batch plan has; an ``exact`` boundary
+    with no event beyond it passes, exactly like the batch plan's
+    ``guard.isNull() | ~matches`` disjunct. Guards aggregate over the
+    fixed offsets with the suffix route's NULL semantics
+    (min/max/sum skip NULL values; all-NULL → NULL → no match).
+
+    Emission boundary: the anchor's own fold (``ts_ms <= wm_ms``,
+    split_by_watermark's admission) — the oracle is the batch SQL
+    plus the ms-aligned anchor-folded filter, the ORIGINAL run-fold
+    convention (no run-close shift: nothing here ranges over an open
+    run).
+
+    Returns ``(handler, out_schema, state_schema)``. Out columns:
+    key, anchor_event, one (g_<name>, g_<name>_ref) pair per guarded
+    step, pattern_start_us, pattern_end_us.
+    """
+    if not all(s.fixed() for s in pat.steps):
+        raise ValueError("suffix strategy requires fixed quantifiers")
+    last = pat.steps[-1]
+    if last.min_count != 1:
+        raise ValueError("suffix strategy anchors on a single final event")
+
+    # Offsets from the anchor (0 = the anchor), walking backwards —
+    # the same layout compile_suffix builds with lag columns.
+    offsets: dict[str, list[int]] = {last.name: [0]}
+    checks: list[tuple[tuple[str, ...], int]] = []  # (classes, offset)
+    exact_guards: list[tuple[tuple[str, ...], int]] = []
+    off = 1
+    for s in reversed(pat.steps[:-1]):
+        offsets[s.name] = list(range(off, off + s.min_count))
+        for _ in range(s.min_count):
+            checks.append((s.clses(), off))
+            off += 1
+        if s.exact:
+            exact_guards.append((s.clses(), off))
+    total = off  # pattern length in events
+    w_len = total - 1 + (1 if exact_guards and max(
+        o for _, o in exact_guards) >= total else 0)
+    anchor_clses = last.clses()
+    within_us = (
+        pat.within_hours * 3600 * 1_000_000
+        if pat.within_hours is not None
+        else None
+    )
+    guard_specs = [
+        (s.name, s.guard) for s in pat.steps if s.guard is not None
+    ]
+    needs_val = bool(guard_specs)
+    state_schema = (
+        SUFFIX_STATE_SCHEMA_VAL if needs_val else SUFFIX_STATE_SCHEMA
+    )
+    fields = [
+        StructField(pat.key, LongType()),
+        StructField("anchor_event", LongType()),
+    ]
+    for name, _g in guard_specs:
+        fields.append(StructField(f"g_{name}", DoubleType()))
+        fields.append(StructField(f"g_{name}_ref", DoubleType()))
+    fields += [
+        StructField("pattern_start_us", LongType()),
+        StructField("pattern_end_us", LongType()),
+    ]
+    out_schema = StructType(fields)
+    out_cols = [f.name for f in out_schema.fields]
+    ts_col, id_col, cls_col = pat.ts, pat.order_id, pat.cls_col
+    val_col = pat.val_col
+
+    def _agg(vals, agg):
+        """Values listed anchor-first (offset asc). Mirrors
+        _suffix_val_agg: 'first' = the EARLIEST matched event."""
+        if agg == "first":
+            return vals[-1]
+        if agg == "last":
+            return vals[0]
+        nn = [v for v in vals if v is not None]
+        if not nn:
+            return None
+        if agg == "min":
+            return min(nn)
+        if agg == "max":
+            return max(nn)
+        return sum(nn)
+
+    def handler(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def dec(v):
+            return None if v is None or v != v else float(v)
+
+        if state.exists:
+            if needs_val:
+                (w_us, w_id, w_cls, w_nul,
+                 b_id, b_us, b_cls, b_nul, w_val, b_val) = state.get
+            else:
+                (w_us, w_id, w_cls, w_nul,
+                 b_id, b_us, b_cls, b_nul) = state.get
+                w_val = b_val = None
+            win = [
+                (int(u), int(i), None if n else c,
+                 dec(w_val[j]) if needs_val else None)
+                for j, (u, i, c, n) in enumerate(
+                    zip(w_us, w_id, w_cls, w_nul)
+                )
+            ]
+            buf = [
+                (int(u), int(i), None if n else c,
+                 dec(b_val[j]) if needs_val else None)
+                for j, (u, i, c, n) in enumerate(
+                    zip(b_us, b_id, b_cls, b_nul)
+                )
+            ]
+        else:
+            win, buf = [], []
+        wm_ms = state.getCurrentWatermarkMs()
+        if not state.hasTimedOut:
+            for chunk in pdfs:
+                vals = (
+                    chunk[val_col] if needs_val else [None] * len(chunk)
+                )
+                for ts, eid, cls, val in zip(
+                    chunk[ts_col], chunk[id_col], chunk[cls_col], vals
+                ):
+                    buf.append(
+                        (int(ts.value) // 1_000, int(eid),
+                         None if pd.isna(cls) else cls,
+                         None if val is None or pd.isna(val)
+                         else float(val))
+                    )
+        ready, hold = split_by_watermark(buf, wm_ms)
+        out = []
+        nan = float("nan")
+        for us, eid, cls, val in ready:
+            if cls is not None and cls in anchor_clses:
+                ok = True
+                for clses, o in checks:
+                    e = win[-o] if o <= len(win) else None
+                    if e is None or e[2] is None or e[2] not in clses:
+                        ok = False
+                        break
+                if ok:
+                    for clses, o in exact_guards:
+                        e = win[-o] if o <= len(win) else None
+                        # absent boundary passes (batch: isNull | ~cls)
+                        if e is not None and e[2] is not None \
+                                and e[2] in clses:
+                            ok = False
+                            break
+                # checks reference offsets 1..total-1 and fail on a
+                # short window, so when ok the lookup is in range
+                start_us = (
+                    win[-(total - 1)][0] if ok and total > 1 else us
+                )
+                if ok and within_us is not None and total > 1:
+                    ok = us <= start_us + within_us
+                gvals = []
+                if ok and guard_specs:
+                    def at(o):
+                        if o == 0:
+                            return val
+                        return win[-o][3] if o <= len(win) else None
+
+                    for name, g in guard_specs:
+                        lhs = _agg([at(o) for o in offsets[name]], g.agg)
+                        rhs = _agg(
+                            [at(o) for o in offsets[g.ref_step]],
+                            g.ref_agg,
+                        )
+                        if lhs is None or rhs is None or not GUARD_CMPS[
+                            g.cmp
+                        ](lhs, rhs * g.factor):
+                            ok = False
+                            break
+                        gvals += [lhs, rhs]
+                if ok:
+                    out.append(
+                        tuple([key[0], int(eid)] + gvals
+                              + [int(start_us), int(us)])
+                    )
+            win.append((us, eid, cls, val))
+            del win[: max(0, len(win) - w_len)]
+        base = (
+            [e[0] for e in win],
+            [e[1] for e in win],
+            ["" if e[2] is None else e[2] for e in win],
+            [1 if e[2] is None else 0 for e in win],
+            [e[1] for e in hold],
+            [e[0] for e in hold],
+            ["" if e[2] is None else e[2] for e in hold],
+            [1 if e[2] is None else 0 for e in hold],
+        )
+        if needs_val:
+            base = base + (
+                [nan if e[3] is None else float(e[3]) for e in win],
+                [nan if e[3] is None else float(e[3]) for e in hold],
+            )
+        state.update(base)
+        if hold:
+            state.setTimeoutTimestamp(hold_timer_ms(hold, wm_ms))
+        yield pd.DataFrame(
+            {c: [r[i] for r in out] for i, c in enumerate(out_cols)}
+        )
+
+    return handler, out_schema, state_schema
+
+
+def suffix_pattern_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    pat: Pattern,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """events.parquet as a bounded replay → per-event suffix automaton
+    → memory sink (the suffix-strategy sibling of pattern_stream)."""
+    cols = [pat.key, pat.ts, pat.order_id, pat.cls_col]
+    if pat.val_col is not None and any(
+        s.guard is not None for s in pat.steps
+    ):
+        cols.append(pat.val_col)
+    ev = (
+        _events_stream(spark, sf_dir)
+        .withWatermark(pat.ts, watermark)
+        .select(*cols)
+    )
+    handler, out_schema, state_schema = compile_suffix_stream(pat)
+    result = ev.groupBy(pat.key).applyInPandasWithState(
+        handler,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_to_memory(spark, result, mode="append")
+
+
+@query(
+    "pattern_detect_cep_stream",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type, 1) OVER w AS prev1,
+             LAG(event_type, 2) OVER w AS prev2,
+             LAG(ts, 2)         OVER w AS ts0
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           event_id AS purchase_event,
+           epoch_us(ts0) AS pattern_start_us,
+           epoch_us(ts)  AS pattern_end_us
+    FROM seq
+    WHERE event_type = 'purchase'
+      AND prev1 = 'click' AND prev2 = 'click'
+      AND ts <= ts0 + INTERVAL 6 HOUR
+      AND epoch_us(ts) // 1000
+          <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
+    """,
+)
+def pattern_detect_cep_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of pattern_detect_cep — per-EVENT anchoring
+    (round 14): strictly consecutive click → click → purchase within
+    6 h, every qualifying purchase EVENT a match even inside a longer
+    click run (the semantics the run-fold automaton's compression
+    deliberately discards, documented since round 12 as the one CEP
+    key without a stream twin). The suffix machine keeps only the
+    last W = 2 folded events per key — per-event anchoring with O(1)
+    compile-time-constant state — and decides each anchor the moment
+    it folds, so the oracle is the batch SQL plus the ORIGINAL
+    ms-aligned anchor-folded filter. With this key every batch CEP
+    key streams; no carve-out lines remain.
+
+    Scale: O(pattern length) state per key (smaller than the run-fold
+    machine's window — no run lengths, no value slots unguarded), one
+    shuffle on user_id, timers only for watermark re-folds.
+    """
+    pat = Pattern(
+        steps=(Step("clicks", "click", 2, 2), Step("buy", "purchase")),
+        within_hours=6,
+    )
+    return suffix_pattern_stream(spark, sf_dir, pat).select(
+        "user_id",
+        F.col("anchor_event").alias("purchase_event"),
+        "pattern_start_us",
+        "pattern_end_us",
+    )

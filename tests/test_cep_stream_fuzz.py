@@ -39,13 +39,16 @@ from flink_large_window_spark.operators.cep import Guard, Pattern, Step
 from flink_large_window_spark.streaming.cep_stream import (
     _emit_on_close,
     compile_stream,
+    compile_suffix_stream,
 )
 
 from tests.test_cep_fuzz import (
     GREEDY_PATTERNS,
+    SUFFIX_PATTERNS,
     _canonicalize_ref,
     _random_streams,
     _ref_greedy,
+    _ref_suffix,
     _runs,
 )
 
@@ -83,13 +86,13 @@ class _FakeGroupState:
         self.timeout_ms = ms
 
 
-def _replay(rows, pat: Pattern, n_batches: int, seed: int):
+def _replay(rows, pat: Pattern, n_batches: int, seed: int,
+            compile_fn=compile_stream):
     """Replay `rows` through the compiled handler in n_batches
     event-time-ordered cuts; returns the emitted tuples
     (user, anchor_event, n_<step>..., pattern_start_us,
     pattern_end_us)."""
-    handler, out_schema, _ = compile_stream(pat)
-    guarded = any(s.guard is not None for s in pat.steps)
+    handler, out_schema, _ = compile_fn(pat)
     rng = np.random.default_rng(seed)
     ordered = sorted(rows, key=lambda r: (r[1], r[2]))  # global ts order
     cuts = sorted(
@@ -267,3 +270,45 @@ def test_stream_fuzz_multibatch_differs_from_singlebatch_inputs():
         users_after = {e[0] for e in ordered[c:c + 20]}
         near += bool(users_before & users_after)
     assert near, "batch cuts isolate users entirely — sweep too sparse"
+
+
+def test_suffix_stream_fuzz_matches_anchor_filtered_reference():
+    """The per-event suffix automaton (round 14): every fixed-count
+    pattern from the batch suffix sweep — including exact boundaries
+    and fixed-offset guards — replayed through compile_suffix_stream
+    in random batch cuts must emit exactly the reference suffix
+    matches whose ANCHOR the final watermark folded (per-event
+    anchoring decides at the anchor's own fold; no run-close shift)."""
+    rng_rows = _random_streams(n_users=120, max_len=14, seed=11)
+    rows = []
+    prev_by_user: dict[int, str] = {}
+    for u, ts, eid, cls, val in rng_rows:  # the batch sweep's click bias
+        if cls == "error" and prev_by_user.get(u) == "click":
+            cls = "click"
+        rows.append((u, ts, eid, cls, val))
+        prev_by_user[u] = cls
+    id_ms = {
+        (r[0], r[2]): int(pd.Timestamp(r[1]).value) // 1_000_000
+        for r in rows
+    }
+    n_checked = 0
+    for pi, pat in enumerate(SUFFIX_PATTERNS):
+        for n_batches, seed in ((1, 7), (4, 31)):
+            got_raw, wm = _replay(
+                rows, pat, n_batches, seed + pi,
+                compile_fn=compile_suffix_stream,
+            )
+            got = {(r[0], r[1]) for r in got_raw}
+            want = {
+                (u, eid)
+                for u, eid in _ref_suffix(rows, pat)
+                if id_ms[(u, eid)] <= wm
+            }
+            assert got == want, (
+                f"suffix pattern {pi} ({pat.steps}) batches={n_batches}: "
+                f"extra={sorted(got - want)[:3]} "
+                f"missing={sorted(want - got)[:3]}"
+            )
+            assert want, f"degenerate suffix sweep for {pat.steps}"
+            n_checked += 1
+    assert n_checked == 2 * len(SUFFIX_PATTERNS)

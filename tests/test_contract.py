@@ -184,9 +184,10 @@ def test_window_covers_changed_since_stamp_keys():
 
 def test_round14_recheck_window_shape():
     """The round-14 window (VERDICT r13 directives 1, 4, 5, 8):
-    exactly 50 RECHECK keys, no unchecked tail — the FIVE
+    exactly 50 RECHECK keys, no unchecked tail — the SIX
     never-stamped round-14 keys LEAD (the run-close emission pair,
-    batch+stream each, plus the composite windowed-state reader),
+    batch+stream each, the composite windowed-state reader, and the
+    per-event suffix automaton's pattern_detect_cep_stream),
     then the ELEVEN r13 deferrals drained as promised, then the
     rows-only sextet rotation (directive 8), then the behavioral
     re-stamps for this round's churned files (cep_stream.py's
@@ -228,7 +229,7 @@ def test_round14_recheck_window_shape():
         sorted(ROWS_ONLY_KEYS - set(RECHECK_KEYS))
     )
 
-    N_LEADS = 5
+    N_LEADS = 6
     tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
     if tools_dir not in sys.path:
         sys.path.insert(0, tools_dir)

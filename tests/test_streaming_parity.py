@@ -3305,3 +3305,98 @@ def test_state_reader_decodes_cep_automaton_state(spark):
     assert any(v[6] for v in got.values()), (
         "no key carried held events — buffer decode unexercised"
     )
+
+
+def test_pattern_stream_suffix_parity(spark, max_ts):
+    """The per-event suffix automaton (round 14) must emit EXACTLY
+    the batch suffix key's matches whose anchor the final watermark
+    folded — per-event anchoring (a purchase inside a longer click
+    run still matches via its last-2-clicks suffix), the semantics
+    the run-fold machine's compression discards."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    batch = {
+        (r["user_id"], _us(r["pattern_start"]), _us(r["pattern_end"]))
+        for r in REGISTRY["pattern_detect_cep"](spark, SF_SMOKE).collect()
+    }
+    stream = {
+        (r["user_id"], r["pattern_start_us"], r["pattern_end_us"])
+        for r in REGISTRY["pattern_detect_cep_stream"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    wm_ms = _us((max_ts.replace(tzinfo=None) - WM).isoformat(sep=" ")) // 1000
+    expected = {r for r in batch if r[-1] // 1000 <= wm_ms}
+    assert stream == expected, (
+        f"extra: {sorted(stream - expected)[:3]} "
+        f"missing: {sorted(expected - stream)[:3]}"
+    )
+    assert stream, "no suffix matches emitted"
+
+
+def test_suffix_stream_window_straddles_batches(spark, tmp_path):
+    """A suffix match whose predecessor events arrived in an EARLIER
+    micro-batch must still fire (the last-W window persists in
+    state), and a click run longer than the pattern must match via
+    its suffix per-event — the two properties that distinguish this
+    machine from the run-fold automaton."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark.operators.cep import Pattern, Step
+    from flink_large_window_spark.streaming.cep_stream import (
+        compile_suffix_stream,
+    )
+    from flink_large_window_spark.streaming.streams import run_to_memory
+    from flink_large_window_spark.tables import prep
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pat = Pattern(
+        steps=(Step("clicks", "click", 2, 2), Step("buy", "purchase")),
+        within_hours=6,
+    )
+    # user 1: click@0, click@1 | batch 2: purchase@2 (straddle);
+    # user 2: click, click, click, purchase in one batch — the
+    # 3-click run matches via its last-2 suffix (per-event anchor);
+    # user 3: click, purchase (too short) — no match; watermark push.
+    d = _write_batches(
+        tmp_path,
+        [
+            _event_row(1, 0, 10, "click"),
+            _event_row(1, 1, 11, "click"),
+            _event_row(2, 0, 20, "click"),
+            _event_row(2, 1, 21, "click"),
+            _event_row(2, 2, 22, "click"),
+            _event_row(2, 3, 23, "purchase"),
+            _event_row(3, 0, 30, "click"),
+            _event_row(3, 1, 31, "purchase"),
+        ],
+        [
+            _event_row(1, 2, 12, "purchase"),
+            _event_row(4, 600, 40, "signup"),  # watermark push
+        ],
+    )
+    prep(spark)
+    handler, out_schema, state_schema = compile_suffix_stream(pat)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "part_*.parquet")
+        .parquet(d)
+    )
+    ev = stream.withWatermark("ts", "10 minutes")
+    res = ev.groupBy("user_id").applyInPandasWithState(
+        handler,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = run_to_memory(spark, res, mode="append")
+    got = {(r["user_id"], r["anchor_event"]) for r in out.collect()}
+    assert got == {(1, 12), (2, 23)}, got
