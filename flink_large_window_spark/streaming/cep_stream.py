@@ -97,6 +97,16 @@ now compiles for the stream (an optional FIRST step under a skip
 strategy is rejected by Pattern itself, for both engines, because
 the expansion base would differ per variant).
 
+The module's SECOND machine, :func:`compile_suffix_stream` (round
+14), streams the batch SUFFIX strategy — per-EVENT anchoring over
+fixed-count steps, where the run-fold machine's compression is
+exactly wrong (a purchase inside a longer click run matches via its
+last-2-clicks suffix; the run window has no per-event positions). A
+bounded window of the last W folded events (W = pattern event length
+− 1, compile-time constant) decides each anchor at its own fold;
+with it, EVERY batch CEP shape has a streaming twin
+(pattern_detect_cep_stream closes the last documented residual).
+
 Scale: state per key is O(pattern length) for the run window plus
 O(events inside the watermark delay) for the buffer — the same bound
 Flink CEP's event-time NFA keeps. No joins, no window state; the one

@@ -86,10 +86,10 @@ def test_rotation_tail_fits_window():
 
 #: The declared rows-only keys (no SQL oracle BY DESIGN — approx
 #: sketches, wall-clock rate smoke, runtime drop accounting; each
-#: carries a compensating pytest). The r12 window deliberately spends
-#: six slots on them (VERDICT r11 item 5: their rows>0 driver evidence
-#: was 7–11 rounds old); any OTHER oracle-less key in the window is
-#: still a bug.
+#: carries a compensating pytest). The r12 and r14 windows each spend
+#: six slots on them (VERDICT r11 item 5 / r13 item 8: rows-only
+#: evidence should not age past ~2 rounds); any OTHER oracle-less key
+#: in the window is still a bug.
 ROWS_ONLY_KEYS = frozenset(
     {
         "agg_approx_percentile",
