@@ -167,6 +167,14 @@ WATCH_LIST_RUNS = {
     # "Round-13"). Sub-second key -> n=5 + 4 warmups like its
     # sibling.
     "pattern_detect_cep": 5,
+    # r14 (VERDICT r13 item 3): sim_ann_ivf_topk drifted 1.25 -> 1.40
+    # across two driver benches; isolated per protocol it reads
+    # 0.90-1.16 raw across three wall-clock slots (SCALING.md
+    # "Round-14: ... isolated") with the 1.16 landing on a slot shared
+    # with a concurrent streaming query — session drift, not
+    # regression; joins the watch list so round benches sample its
+    # steady state (the pattern_detect_cep precedent).
+    "sim_ann_ivf_topk": 5,
 }
 
 # Environment probes, two CLASSES since round 9 (VERDICT r8 item 4).
