@@ -455,6 +455,38 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
 # (VERDICT r10 item 4; the generalization of its item 1). Entries must
 # be re-justified or drained every round: a key may not sit here with
 # a stale rationale.
+#: One justification shared by the sixteen streams.py keys whose own
+#: function text is unchanged this round (review r14: sixteen
+#: byte-identical copies were a stale-rationale hazard — the r15
+#: drain edits ONE string now).
+_R14_STREAMS_DEFERRAL = (
+    "r13 evidence; the r14 streams.py churn is the portable-bisect"
+    " rewrite inside compile_asof_stream (its own key join_asof_stream"
+    " is in the window), the optional checkpoint param on"
+    " run_to_memory (default path byte-equivalent), and the"
+    " stream_state_reader_window append — own text unchanged;"
+    " displaced by the run-close leads + the drained r13 deferral"
+    " cohort — recheck r15"
+)
+_R14_STREAMS_DEFERRED = (
+    "join_interval_stream",
+    "join_window_tumbling_stream",
+    "stateful_count_session_stream",
+    "stateful_session_ttl_stream",
+    "stream_checkpoint_restart",
+    "stream_rule_update_enrich",
+    "stream_stream_full_outer",
+    "stream_stream_left_outer",
+    "watermark_dedup_stream",
+    "window_count_sliding_stream",
+    "window_count_tumbling_stream",
+    "window_early_fire_stream",
+    "window_session_agg_stream",
+    "window_sliding_agg_stream",
+    "window_topn_stream",
+    "window_tumbling_agg_stream",
+)
+
 RECHECK_DEFERRALS: dict[str, str] = {
     # The eleven r13 deferrals are DRAINED into the r14 window as
     # promised.
@@ -470,150 +502,6 @@ RECHECK_DEFERRALS: dict[str, str] = {
     # churn sites all have their own keys in the window) and the two
     # r13-stamped readers.py keys under docstring-only churn. Same
     # shape as the r12/r13 ledgers; drain in r15.
-    "join_interval_stream": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
-    "join_window_tumbling_stream": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
-    "stateful_count_session_stream": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
-    "stateful_session_ttl_stream": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
-    "stream_checkpoint_restart": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
-    "stream_rule_update_enrich": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
-    "stream_stream_full_outer": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
-    "stream_stream_left_outer": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
-    "watermark_dedup_stream": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
-    "window_count_sliding_stream": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
-    "window_count_tumbling_stream": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
-    "window_early_fire_stream": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
-    "window_session_agg_stream": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
-    "window_sliding_agg_stream": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
-    "window_topn_stream": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
-    "window_tumbling_agg_stream": (
-        "r13 evidence; the r14 streams.py churn is the portable-bisect"
-        " rewrite inside compile_asof_stream (its own key"
-        " join_asof_stream is in the window), the optional checkpoint"
-        " param on run_to_memory (default path byte-equivalent), and"
-        " the stream_state_reader_window append — own text unchanged;"
-        " displaced by the run-close leads + the drained r13 deferral"
-        " cohort — recheck r15"
-    ),
     "source_csv_roundtrip": (
         "r13 evidence; the only r14 readers.py churn is the Kafka"
         " re-probe DOCSTRING refresh, and the cohort's two r10-"
@@ -627,6 +515,9 @@ RECHECK_DEFERRALS: dict[str, str] = {
         " text unchanged; recheck r15"
     ),
 }
+RECHECK_DEFERRALS.update(
+    {k: _R14_STREAMS_DEFERRAL for k in _R14_STREAMS_DEFERRED}
+)
 
 
 def driver_priority_order(keys) -> list[str]:

@@ -218,7 +218,11 @@ def _emit_on_close(pat: Pattern) -> bool:
     ms-aligned run-CLOSED-before-final-watermark filter (the closing
     run's start, not the anchor run's)."""
     last = pat.steps[-1]
-    return last.exact or (
+    # exact with max_count=None is a no-op in the batch compiler
+    # (compile_greedy caps the anchor run only when a max exists), so
+    # it must not shift the stream's emission boundary either
+    # (review r14): the pattern is semantically the non-exact twin.
+    return (last.exact and last.max_count is not None) or (
         last.guard is not None and last.guard.agg != "first"
     )
 
@@ -2748,6 +2752,16 @@ def compile_suffix_stream(pat: Pattern):
     last = pat.steps[-1]
     if last.min_count != 1:
         raise ValueError("suffix strategy anchors on a single final event")
+    if pat.skip != "past_last":
+        # mirror compile_pattern's routing contract: skip strategies
+        # compile through the greedy sub-match expansion, never the
+        # suffix path — compiling here would silently drop the
+        # start_off enumeration (review r14)
+        raise ValueError(
+            "suffix streaming supports only skip='past_last'; "
+            "skip strategies expand sub-matches through the greedy "
+            "strategy (compile_stream)"
+        )
 
     # Offsets from the anchor (0 = the anchor), walking backwards —
     # the same layout compile_suffix builds with lag columns.

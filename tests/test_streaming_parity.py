@@ -3400,3 +3400,40 @@ def test_suffix_stream_window_straddles_batches(spark, tmp_path):
     out = run_to_memory(spark, res, mode="append")
     got = {(r["user_id"], r["anchor_event"]) for r in out.collect()}
     assert got == {(1, 12), (2, 23)}, got
+
+
+def test_state_reader_window_boundary_clear_at_every_sf():
+    """stream_state_reader_window's oracle retains windows with a
+    strict end > final-watermark compare, which is only provably
+    engine-equal while no hour-window end lands EXACTLY on the final
+    watermark (MAX(ts) minus 10 min) — Spark's eviction tie behavior
+    at equality is version-defined. This pins the precondition as an
+    enforced invariant instead of silent fixture coupling (review
+    r14): a regenerated fixture that lands on the boundary fails HERE
+    with a message, not as a flaky parity mismatch."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con.execute(
+            f"CREATE OR REPLACE VIEW events AS SELECT * FROM "
+            f"read_parquet('/root/testdata/{sf}/events.parquet')"
+        )
+        n = con.execute(
+            """
+            SELECT COUNT(*) FROM (
+              SELECT DISTINCT
+                epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+                  // 1000 AS end_ms
+              FROM events
+            )
+            WHERE end_ms = epoch_us((SELECT MAX(ts) FROM events))
+                           // 1000 - 600000
+            """
+        ).fetchone()[0]
+        assert n == 0, (
+            f"{sf}: an hour-window end sits exactly on the final "
+            "watermark; stream_state_reader_window's strict-> oracle "
+            "boundary is no longer provably engine-equal — re-probe "
+            "Spark's eviction tie semantics before trusting the key"
+        )
