@@ -3437,3 +3437,96 @@ def test_state_reader_window_boundary_clear_at_every_sf():
             "boundary is no longer provably engine-equal — re-probe "
             "Spark's eviction tie semantics before trusting the key"
         )
+
+
+def test_runclose_pend_blocks_idle_evict_until_closing_fold(
+    spark, tmp_path
+):
+    """Run-close emission x idle_evict (round 14): a close-mode
+    pattern's pending anchor run (pend=1 from run OPEN, regardless of
+    min_count) must block TTL eviction across an idle stretch longer
+    than the within bound, because the match's window is still
+    needed at the closing fold — and the match must then emit with
+    the full settled run. A separator-idle key on the same stream
+    must still evict (the TTL layer stays live for keys without a
+    pending anchor)."""
+    from flink_large_window_spark.operators.cep import Pattern, Step
+    from flink_large_window_spark.streaming.cep_stream import (
+        compile_stream,
+    )
+    from flink_large_window_spark.streaming.streams import (
+        LAST_STATE_METRICS,
+        run_to_memory,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    import flink_large_window_spark.streaming.streams as S
+
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None),
+            Step("clicks", "click", 1, 2, exact=True),
+        ),
+        within_hours=1,
+    )
+    # uid 1: view@0, click@5 (anchor OPENS, within ok; pend=1), then
+    # IDLE for 120 min (past within), then click@125 extends the run
+    # (merged run, still <= max), purchase@130 closes it -> MATCH
+    # with n_clicks=2 must emit; eviction must never have fired.
+    # uid 2: error@0 then idle -> separator state, REMOVED by TTL.
+    # uid 9: watermark movers in every batch.
+    d = _write_batches(
+        tmp_path,
+        [
+            _event_row(1, 0, 10, "view"),
+            _event_row(1, 5, 11, "click"),
+            _event_row(2, 0, 20, "error"),
+            _event_row(9, 0, 90, "signup"),
+        ],
+        [_event_row(9, 90, 91, "signup")],   # watermark past within
+        [
+            _event_row(1, 125, 12, "click"),
+            _event_row(1, 130, 13, "purchase"),
+            _event_row(9, 600, 92, "signup"),  # final watermark push
+        ],
+    )
+
+    def run(idle_evict):
+        handler, out_schema, state_schema = compile_stream(
+            pat, idle_evict=idle_evict
+        )
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, event_id long,"
+                " event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "part_*.parquet")
+            .parquet(d)
+        )
+        ev = stream.withWatermark("ts", "10 minutes")
+        res = ev.groupBy("user_id").applyInPandasWithState(
+            handler,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        out = run_to_memory(spark, res, mode="append")
+        rows = {
+            (r["user_id"], r["anchor_event"], r["n_views"], r["n_clicks"])
+            for r in out.collect()
+        }
+        n_state = sum(
+            op["numRowsTotal"] for op in S.LAST_STATE_METRICS[-1:]
+        )
+        return rows, n_state
+
+    rows_on, state_on = run(True)
+    rows_off, state_off = run(False)
+    # the pending close-mode match survives eviction and emits with
+    # the MERGED run's length (pend blocked the TTL; the stub path
+    # would have dropped the view run the candidacy needs)
+    assert rows_on == rows_off == {(1, 11, 1, 2)}, (rows_on, rows_off)
+    # ... while the separator-idle key (uid 2) still evicted: one
+    # fewer final state row than the control run
+    assert state_on < state_off, (state_on, state_off)
