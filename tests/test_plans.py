@@ -414,3 +414,21 @@ def test_compiled_cep_plans_are_join_free(spark):
     suffix = _plan(REGISTRY["pattern_detect_cep"](spark, SF_SMOKE))
     assert "Join" not in suffix
     assert suffix.count("Window") == 1
+
+
+def test_runclose_batch_plans_are_join_free(spark):
+    """The round-14 batch shapes keep the compiled-CEP plan
+    guarantees: final-step exactness and the non-'first' final guard
+    are single row-local conjuncts over the SAME runs relation — no
+    join appears, no exchange is added (the runs aggregation plus its
+    runs-level lag window is the whole plan, exactly like the
+    unguarded greedy keys)."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    exact = _plan(REGISTRY["pattern_detect_times_exact"](spark, SF_SMOKE))
+    assert "Join" not in exact
+    assert exact.count("HashAggregate") >= 2  # map-side runs partial
+
+    guard = _plan(REGISTRY["pattern_match_finalguard"](spark, SF_SMOKE))
+    assert "Join" not in guard
+    assert guard.count("HashAggregate") >= 2

@@ -198,6 +198,7 @@ FAMILIES = {
             "pattern_detect_times_exact_stream",
             "pattern_match_finalguard_stream",
             "stream_state_reader_window",
+            "stream_state_reader",
         ],
     },
 }
