@@ -312,3 +312,158 @@ def test_suffix_stream_fuzz_matches_anchor_filtered_reference():
             assert want, f"degenerate suffix sweep for {pat.steps}"
             n_checked += 1
     assert n_checked == 2 * len(SUFFIX_PATTERNS)
+
+
+def test_pending_state_machines_fuzz_match_bruteforce():
+    """The four pending-state machines (absence, preceding-horizon
+    count, followedByAny pairs ± blocker, timed-out partials)
+    replayed through the SAME fake-GroupState harness on random
+    streams, compared against the O(n²) brute-force references of
+    test_cep_fuzz with each machine's documented ms-aligned emission
+    boundary. Completes the harness's coverage: every
+    applyInPandasWithState CEP machine in the module now has a
+    randomized multi-batch handler-level sweep (round 14)."""
+    from flink_large_window_spark.streaming.cep_stream import (
+        ABSENCE_OUT_SCHEMA,
+        ABSENCE_STATE_SCHEMA,
+        HORIZON_OUT_SCHEMA,
+        HORIZON_STATE_SCHEMA,
+        PAIRS_OUT_SCHEMA,
+        PAIRS_STATE_SCHEMA,
+        PAIRS_STATE_SCHEMA_BLK,
+        TIMEOUT_OUT_SCHEMA,
+        TIMEOUT_STATE_SCHEMA,
+        compile_absence_stream,
+        compile_horizon_count_stream,
+        compile_pairs_stream,
+        compile_timeout_stream,
+    )
+
+    from tests.test_cep_fuzz import _ref_pairs, _ref_timeouts
+
+    h = 6 * 3600 * 1_000_000
+    pat = Pattern(steps=(Step("x", "click"),))  # _replay cols only
+    rows_all = _random_streams(n_users=200, max_len=16, seed=331)
+    id_ms = {
+        (r[0], r[2]): int(pd.Timestamp(r[1]).value) // 1_000_000
+        for r in rows_all
+    }
+    us_of = {
+        (r[0], r[2]): int(pd.Timestamp(r[1]).value) // 1_000
+        for r in rows_all
+    }
+
+    def keep(classes):
+        # the registered keys filter classes BEFORE the keyed shuffle;
+        # the machines assume the same
+        return [r for r in rows_all if r[3] in classes]
+
+    for n_batches in (1, 4):
+        # --- absence: click NOT followed by purchase within 6h ---
+        rows = keep({"click", "purchase"})
+        got_raw, wm = _replay(
+            rows, pat, n_batches, 41,
+            compile_fn=lambda _p: (
+                compile_absence_stream("click", "purchase", h),
+                ABSENCE_OUT_SCHEMA, ABSENCE_STATE_SCHEMA,
+            ),
+        )
+        got = {(r[0], r[1]) for r in got_raw}
+        by_user = defaultdict(list)
+        for r in rows:
+            by_user[r[0]].append(r)
+        want = set()
+        for u, evs in by_user.items():
+            pos = [(us_of[(u, e[2])], e[2], e[3]) for e in evs]
+            for a_us, a_id, a_cls in pos:
+                if a_cls != "click":
+                    continue
+                if (a_us + h) // 1000 >= wm:  # horizon not closed
+                    continue
+                if any(
+                    c == "purchase" and a_us <= t_us <= a_us + h
+                    for t_us, _i, c in pos
+                ):
+                    continue
+                want.add((u, a_id))
+            # NOTE: frame is [anchor, anchor+h] inclusive at µs
+        assert got == want and want, (
+            f"absence n_batches={n_batches}: "
+            f"extra={sorted(got - want)[:3]} "
+            f"missing={sorted(want - got)[:3]}"
+        )
+
+        # --- preceding-horizon count: >= 2 clicks in [p-6h, p] ---
+        got_raw, wm = _replay(
+            rows, pat, n_batches, 43,
+            compile_fn=lambda _p: (
+                compile_horizon_count_stream("purchase", "click", h, 2),
+                HORIZON_OUT_SCHEMA, HORIZON_STATE_SCHEMA,
+            ),
+        )
+        got = {(r[0], r[1], r[2]) for r in got_raw}
+        want = set()
+        for u, evs in by_user.items():
+            pos = [(us_of[(u, e[2])], e[2], e[3]) for e in evs]
+            for a_us, a_id, a_cls in pos:
+                if a_cls != "purchase" or a_us // 1000 >= wm:
+                    continue
+                n = sum(
+                    1 for t_us, _i, c in pos
+                    if c == "click" and a_us - h <= t_us <= a_us
+                )
+                if n >= 2:
+                    want.add((u, a_id, n))
+        assert got == want and want, f"horizon n_batches={n_batches}"
+
+        # --- pairs (followedByAny), with and without a blocker ---
+        rows3 = keep({"click", "purchase", "error"})
+        for blocker, st_schema in (
+            (None, PAIRS_STATE_SCHEMA),
+            ("error", PAIRS_STATE_SCHEMA_BLK),
+        ):
+            src = rows if blocker is None else rows3
+            got_raw, wm = _replay(
+                src, pat, n_batches, 47,
+                compile_fn=lambda _p, b=blocker, s=st_schema: (
+                    compile_pairs_stream("click", "purchase", h,
+                                         blocker_cls=b),
+                    PAIRS_OUT_SCHEMA, s,
+                ),
+            )
+            got = {tuple(r) for r in got_raw}
+            want = {
+                (u, a, t, gap)
+                for u, a, t, gap in _ref_pairs(
+                    src, "click", "purchase", h, blocker=blocker
+                )
+                if id_ms[(u, t)] < wm  # target settles strictly
+            }
+            assert got == want and want, (
+                f"pairs blocker={blocker} n_batches={n_batches}: "
+                f"extra={sorted(got - want)[:2]} "
+                f"missing={sorted(want - got)[:2]}"
+            )
+
+        # --- timed-out partials: view->click->purchase within 6h ---
+        rows4 = keep({"view", "click", "purchase"})
+        got_raw, wm = _replay(
+            rows4, pat, n_batches, 53,
+            compile_fn=lambda _p: (
+                compile_timeout_stream("view", "click", "purchase", h),
+                TIMEOUT_OUT_SCHEMA, TIMEOUT_STATE_SCHEMA,
+            ),
+        )
+        got = {tuple(r) for r in got_raw}
+        want = {
+            (u, s, n, d)
+            for u, s, n, d in _ref_timeouts(
+                rows4, "view", "click", "purchase", h
+            )
+            if d // 1000 < wm  # deadline passed strictly
+        }
+        assert got == want and want, (
+            f"timeouts n_batches={n_batches}: "
+            f"extra={sorted(got - want)[:2]} "
+            f"missing={sorted(want - got)[:2]}"
+        )
