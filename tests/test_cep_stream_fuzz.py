@@ -467,3 +467,38 @@ def test_pending_state_machines_fuzz_match_bruteforce():
             f"extra={sorted(got - want)[:2]} "
             f"missing={sorted(want - got)[:2]}"
         )
+
+
+def test_idle_evict_never_changes_emissions_on_random_streams():
+    """TTL eviction soundness as a randomized invariant: for every
+    within-bounded greedy pattern (including the run-close shapes,
+    whose pend flag must block eviction until the closing fold), the
+    idle_evict=True replay's emission set must equal the
+    idle_evict=False replay's EXACTLY — eviction may only drop state
+    no future match can read. The targeted parity battery pins
+    crafted divergence scenarios (merged-run suppression, stub
+    retention); this sweeps the invariant across random streams,
+    batch cuts, and the TTL timer's interleaving with data batches."""
+    rows = _random_streams(n_users=150, max_len=16, seed=733)
+    n_checked = 0
+    for pi, pat in enumerate(STREAM_FUZZ_PATTERNS):
+        if pat.within_hours is None:
+            continue  # idle_evict requires a within bound
+        c_rows, c_pat = _canonicalize_ref(rows, pat)
+        for n_batches in (3, 6):
+            plain, wm1 = _replay(c_rows, c_pat, n_batches, 61 + pi)
+            evict, wm2 = _replay(
+                c_rows, c_pat, n_batches, 61 + pi,
+                compile_fn=lambda p: compile_stream(p, idle_evict=True),
+            )
+            assert wm1 == wm2
+            got_p = _strip_guard_cols(c_pat, plain)
+            got_e = _strip_guard_cols(c_pat, evict)
+            assert got_e == got_p, (
+                f"pattern {pi} ({pat.steps}) batches={n_batches}: "
+                f"evicted-run extra={sorted(got_e - got_p)[:3]} "
+                f"missing={sorted(got_p - got_e)[:3]}"
+            )
+            assert got_p, f"degenerate sweep for {pat.steps}"
+            n_checked += 1
+    assert n_checked >= 10
