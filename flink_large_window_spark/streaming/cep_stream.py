@@ -139,6 +139,7 @@ from ..operators.cep import (
     Guard,
     Pattern,
     Step,
+    apply_until,
     canonicalize_alternation,
     expand_optional,
 )
@@ -362,6 +363,12 @@ def compile_stream(pat: Pattern, idle_evict: bool = False):
         raise ValueError(
             "canonicalize alternation on the stream before compiling "
             "(pattern_stream does this)"
+        )
+    if any(s.until is not None for s in pat.steps):
+        raise ValueError(
+            "resolve until stop conditions on the stream before "
+            "compiling (apply_until — pattern_stream does this); an "
+            "unresolved until would silently consume stop events"
         )
     if idle_evict and pat.within_hours is None:
         raise ValueError(
@@ -820,18 +827,27 @@ def pattern_stream(
     pat: Pattern,
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """events.parquet as a bounded replay → canonicalize alternation
-    (row-local, streaming-safe) → compiled automaton → memory sink."""
+    """events.parquet as a bounded replay → resolve until stop
+    conditions + canonicalize alternation (both row-local projections,
+    streaming-safe) → compiled automaton → memory sink."""
+    has_guard = any(s.guard is not None for s in pat.steps)
+    has_until = any(s.until is not None for s in pat.steps)
     cols = [pat.key, pat.ts, pat.order_id, pat.cls_col]
-    if pat.val_col is not None and any(
-        s.guard is not None for s in pat.steps
-    ):
+    if pat.val_col is not None and (has_guard or has_until):
         cols.append(pat.val_col)
     ev = (
         _events_stream(spark, sf_dir)
         .withWatermark(pat.ts, watermark)
         .select(*cols)
     )
+    if has_until:
+        # Pure relabel projection (operators/cep.py round 15) — the
+        # automaton then sees a plain pattern, with stop events as
+        # foreign-class run boundaries; the value column was only
+        # needed for the relabel unless guards read it too.
+        ev, pat = apply_until(ev, pat)
+        if not has_guard:
+            ev = ev.drop(pat.val_col)
     if any(len(s.clses()) > 1 for s in pat.steps):
         ev, pat = canonicalize_alternation(ev, pat)
     handler, out_schema, state_schema = compile_stream(pat)
@@ -2752,6 +2768,17 @@ def compile_suffix_stream(pat: Pattern):
     last = pat.steps[-1]
     if last.min_count != 1:
         raise ValueError("suffix strategy anchors on a single final event")
+    if last.exact:
+        # ADVICE r14 — mirror compile_suffix: the exact_guards walk
+        # covers steps[:-1] only, so a strict FINAL boundary (a
+        # one-event lookahead past the anchor) would compile silently
+        # unchecked; per-event anchoring decides each anchor on its
+        # predecessors alone, so reject rather than ignore.
+        raise ValueError(
+            "suffix streaming cannot enforce exact on the FINAL step "
+            "(it would need a one-event lookahead past the anchor); "
+            "use a run-anchored form (compile_stream run-close)"
+        )
     if pat.skip != "past_last":
         # mirror compile_pattern's routing contract: skip strategies
         # compile through the greedy sub-match expansion, never the
@@ -3022,6 +3049,81 @@ def pattern_detect_cep_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suffix_pattern_stream(spark, sf_dir, pat).select(
         "user_id",
         F.col("anchor_event").alias("purchase_event"),
+        "pattern_start_us",
+        "pattern_end_us",
+    )
+
+
+@query(
+    "pattern_detect_until_stream",
+    oracle="""
+    WITH relabeled AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'view' AND value > 100
+                  THEN 'view||stop' ELSE event_type END AS event_type
+      FROM events
+    ), ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn_t
+      FROM relabeled
+    ), runs AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS run_start, COUNT(*) AS run_len,
+             MIN(rn) AS start_rn, ARG_MIN(event_id, rn) AS first_id
+      FROM ordered
+      GROUP BY user_id, event_type, rn - rn_t
+    ), seq AS (
+      SELECT user_id, event_type, run_start, first_id,
+             LAG(event_type, 1) OVER w AS c1,
+             LAG(run_len, 1)    OVER w AS l1,
+             LAG(run_start, 1)  OVER w AS s1
+      FROM runs
+      WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    )
+    SELECT user_id,
+           first_id AS purchase_event,
+           CAST(l1 AS BIGINT) AS n_views,
+           epoch_us(s1) AS pattern_start_us,
+           epoch_us(run_start) AS pattern_end_us
+    FROM seq
+    WHERE event_type = 'purchase' AND c1 = 'view'
+      AND run_start <= s1 + INTERVAL 6 HOUR
+      AND epoch_us(run_start) // 1000
+          <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
+    """,
+)
+def pattern_detect_until_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_detect_until (round 15 — VERDICT r14
+    item 5): Flink ``oneOrMore().until(value > 100)`` detected
+    incrementally. The stop condition is resolved by the SAME
+    row-local relabel the batch compiler uses (``apply_until``,
+    applied by :func:`pattern_stream` on the stream BEFORE the
+    automaton — streaming-safe, stateless): stop events arrive at the
+    run-fold machine as a foreign synthetic class, closing the open
+    view run exactly like any class change, so the compiled automaton
+    is byte-identical to the oneOrMore twin's. Oracle = the batch
+    runs algebra over the relabeled CTE + the ms-aligned anchor-run
+    OPEN fold filter (the original run-fold convention — the anchor
+    is a plain unguarded run, nothing ranges over it at emission).
+    """
+    pat = Pattern(
+        steps=(
+            Step("views", "view", 1, None, until=(">", 100.0)),
+            Step("buy", "purchase", 1, None),
+        ),
+        within_hours=6,
+        val_col="value",
+    )
+    m = pattern_stream(spark, sf_dir, pat)
+    return m.select(
+        "user_id",
+        F.col("anchor_event").alias("purchase_event"),
+        "n_views",
         "pattern_start_us",
         "pattern_end_us",
     )
