@@ -920,3 +920,142 @@ def test_optional_step_referenced_by_later_guard(spark):
         ).count()
         == 0
     )
+
+
+# ---------------------------------------------------------------- until
+
+def _events_val(spark, rows):
+    """rows: (user_id, minutes, event_type, value)."""
+    data = [
+        (int(u), T0 + dt.timedelta(minutes=m), i, t, float(v))
+        for i, (u, m, t, v) in enumerate(rows)
+    ]
+    return spark.createDataFrame(
+        data,
+        "user_id long, ts timestamp, event_id long, event_type string,"
+        " value double",
+    )
+
+
+def _until_pat():
+    return Pattern(
+        steps=(
+            Step("v", "view", 1, None, until=(">", 100.0)),
+            Step("p", "purchase", 1, None),
+        ),
+        within_hours=6,
+        val_col="value",
+    )
+
+
+def test_until_splits_run_and_restarts_after_stop(spark):
+    # view(50) view(60) view(150=STOP) view(40) purchase:
+    # the stop event closes the first run and belongs to no step; the
+    # run AFTER it (one low view) directly precedes the purchase.
+    df = _events_val(
+        spark,
+        [
+            (1, 0, "view", 50),
+            (1, 1, "view", 60),
+            (1, 2, "view", 150),
+            (1, 3, "view", 40),
+            (1, 4, "purchase", 10),
+        ],
+    )
+    out = compile_pattern(df, _until_pat()).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_v == 1  # only the post-stop view run is consumed
+    assert r.start_ts == T0 + dt.timedelta(minutes=3)
+
+
+def test_until_stop_event_breaks_contiguity_to_next_step(spark):
+    # view(50) view(150=STOP) purchase: the purchase's immediate
+    # predecessor is the stop event, not a view run -> no match
+    # (Flink: the until-terminating event would itself have to match
+    # the next step, and it is a view, not a purchase).
+    df = _events_val(
+        spark,
+        [(1, 0, "view", 50), (1, 1, "view", 150), (1, 2, "purchase", 5)],
+    )
+    assert compile_pattern(df, _until_pat()).collect() == []
+
+
+def test_until_without_stop_events_is_plain_oneormore(spark):
+    df = _events_val(
+        spark,
+        [
+            (1, 0, "view", 10),
+            (1, 1, "view", 20),
+            (1, 2, "purchase", 5),
+        ],
+    )
+    out = compile_pattern(df, _until_pat()).collect()
+    assert len(out) == 1 and out[0].n_v == 2
+
+
+def test_until_validation():
+    # bounded quantifier rejected (Flink: until needs a looping step)
+    with pytest.raises(ValueError, match="unbounded"):
+        Pattern(
+            steps=(
+                Step("v", "view", 1, 3, until=(">", 100.0)),
+                Step("p", "purchase"),
+            ),
+            val_col="value",
+        )
+    # needs val_col
+    with pytest.raises(ValueError, match="val_col"):
+        Pattern(
+            steps=(
+                Step("v", "view", 1, None, until=(">", 100.0)),
+                Step("p", "purchase"),
+            ),
+        )
+    # alternation step cannot carry until
+    with pytest.raises(ValueError, match="alternation"):
+        Pattern(
+            steps=(
+                Step("v", ("view", "click"), 1, None, until=(">", 1.0)),
+                Step("p", "purchase"),
+            ),
+            val_col="value",
+        )
+    # the until class may not appear in another step
+    with pytest.raises(ValueError, match="function on classes"):
+        Pattern(
+            steps=(
+                Step("a", "view", 1, None, until=(">", 1.0)),
+                Step("b", "click", 1, None),
+                Step("c", "view", 1, None),
+            ),
+            val_col="value",
+        )
+    # bad comparator
+    with pytest.raises(ValueError, match="until cmp"):
+        Step("v", "view", 1, None, until=("!=", 1.0))
+
+
+def test_compile_greedy_rejects_unresolved_until(spark):
+    df = _events_val(spark, [(1, 0, "view", 1), (1, 1, "purchase", 1)])
+    with pytest.raises(ValueError, match="apply_until"):
+        compile_greedy(df, _until_pat())
+
+
+def test_suffix_rejects_final_step_exact(spark):
+    # ADVICE r14: exact on the FINAL step needs a one-event lookahead
+    # the per-event suffix anchor does not have — explicit rejection,
+    # not silent compilation, in BOTH compilers.
+    from flink_large_window_spark.streaming.cep_stream import (
+        compile_suffix_stream,
+    )
+
+    pat = _pat(
+        [Step("c", "click", 2, 2), Step("p", "purchase", 1, 1, exact=True)],
+        within=6,
+    )
+    df = _events(spark, [(1, 0, "click"), (1, 1, "click"), (1, 2, "purchase")])
+    with pytest.raises(ValueError, match="FINAL step"):
+        compile_suffix(df, pat)
+    with pytest.raises(ValueError, match="FINAL step"):
+        compile_suffix_stream(pat)

@@ -3530,3 +3530,56 @@ def test_runclose_pend_blocks_idle_evict_until_closing_fold(
     # ... while the separator-idle key (uid 2) still evicted: one
     # fewer final state row than the control run
     assert state_on < state_off, (state_on, state_off)
+
+
+def test_state_reader_window_watermark_tie_evicts(spark, tmp_path):
+    """PINS the eviction-boundary tie polarity of
+    stream_state_reader_window's oracle (ADVICE r14 item 2): the
+    oracle retains windows with ``end > final watermark``; at an
+    EXACT window-end == watermark millisecond the window must
+    therefore be EVICTED from the store (Spark finalizes a window
+    when ``watermark >= end``, in the availableNow run's closing
+    no-data batch). Fixture data keeps every boundary strictly clear
+    (probed r14), so only synthetic data can pin the tie.
+
+    Construction: one event in window [01:00, 02:00) and a final
+    event at exactly 02:10:00.000 → final watermark = 02:00.000 ==
+    the first window's end. Expected store: ONLY the final event's
+    own window [02:00, 03:00)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark.streaming.streams import (
+        stream_state_reader_window,
+    )
+
+    t = dt.datetime(2024, 3, 1, 1, 0, 0)
+    schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("event_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+            pa.field("value", pa.float64()),
+        ]
+    )
+    rows = [
+        {"user_id": 1, "ts": t + dt.timedelta(minutes=30), "event_id": 0,
+         "event_type": "view", "value": 1.5},
+        # the tie-maker: max ts = 02:10:00.000 exactly
+        {"user_id": 1, "ts": t + dt.timedelta(minutes=70), "event_id": 1,
+         "event_type": "click", "value": 2.5},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    got = sorted(
+        (r["w_start"], r["event_type"], r["n"], r["sum_value"])
+        for r in stream_state_reader_window(spark, str(tmp_path)).collect()
+    )
+    # [01:00, 02:00) has end == watermark -> evicted (tie polarity);
+    # [02:00, 03:00) has end > watermark -> retained
+    assert got == [("2024-03-01 02:00:00", "click", 1, 2.5)], got
