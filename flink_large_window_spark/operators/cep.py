@@ -49,6 +49,13 @@ relabeling must be a function on classes — a class appearing in two
 steps with *different* class sets is rejected (the run would have no
 canonical owner).
 
+``oneOrMore().until(cond)`` stop conditions (round 15 — Flink's loop
+stop condition) are likewise pure relabeling (:func:`apply_until`,
+resolved before any strategy): an event of the looping class whose
+value satisfies the stop predicate becomes a private synthetic class,
+so it terminates the run, is consumed by no step, and breaks
+contiguity — the consecutive-loop semantics argued at :class:`Step`.
+
 Scale notes (100 TB): every strategy shuffles once on the partition
 key and stays row-local after the per-key sort — no self-joins, no
 state beyond a bounded lag frame (suffix/horizon) or the run relation

@@ -97,6 +97,17 @@ now compiles for the stream (an optional FIRST step under a skip
 strategy is rejected by Pattern itself, for both engines, because
 the expansion base would differ per variant).
 
+- **until stop conditions** (round 15 — VERDICT r14 item 5, Flink
+  ``oneOrMore().until(cond)``): resolved BEFORE the machine by the
+  same row-local relabel the batch compiler uses
+  (``operators.cep.apply_until``, called by :func:`pattern_stream`):
+  stop events arrive as a private synthetic class that closes the
+  open run like any class change, so the automaton itself is
+  untouched — zero new state, zero new machinery
+  (pattern_detect_until_stream). compile_stream rejects an
+  UNRESOLVED until explicitly (it would silently consume stop
+  events into runs).
+
 The module's SECOND machine, :func:`compile_suffix_stream` (round
 14), streams the batch SUFFIX strategy — per-EVENT anchoring over
 fixed-count steps, where the run-fold machine's compression is

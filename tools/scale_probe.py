@@ -95,6 +95,10 @@ FAMILIES = {
             # non-'first' final guard — one more row-local conjunct
             # each on the shared runs relation
             "pattern_detect_times_exact", "pattern_match_finalguard",
+            # round 15: the oneOrMore().until() stop condition — a
+            # row-local relabel projection ahead of the same
+            # one-shuffle runs-relation plan
+            "pattern_detect_until",
         ],
     },
     "text": {
@@ -199,6 +203,12 @@ FAMILIES = {
             "pattern_match_finalguard_stream",
             "stream_state_reader_window",
             "stream_state_reader",
+            # round 15: the until stop-condition twin (relabel ahead
+            # of the unchanged run-fold machine) and the automaton-
+            # state reader (offline statestore decode of the compiled
+            # machine's blob)
+            "pattern_detect_until_stream",
+            "stream_state_reader_automaton",
         ],
     },
 }
