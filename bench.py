@@ -175,6 +175,16 @@ WATCH_LIST_RUNS = {
     # regression; joins the watch list so round benches sample its
     # steady state (the pattern_detect_cep precedent).
     "sim_ann_ivf_topk": 5,
+    # r15 (VERDICT r14 item 2): ts_resample_gapfill read raw 1.08 ->
+    # 1.52 across the r13/r14 driver benches (norm 2.00 on the r14
+    # fast-probe session) with no isolation history; isolated per
+    # protocol this round it reads at-baseline raws with tight bands
+    # across multiple wall-clock slots, and 0.977 in the round's
+    # clean bench (SCALING.md "Round-15: ts_resample_gapfill
+    # isolated") — verdict session drift on a sub-second key (the
+    # partsupp-quartet profile); joins the watch list either way per
+    # the directive so round benches sample its steady state.
+    "ts_resample_gapfill": 5,
 }
 
 # Environment probes, two CLASSES since round 9 (VERDICT r8 item 4).
