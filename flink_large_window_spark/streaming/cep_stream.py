@@ -153,6 +153,7 @@ from ..operators.cep import (
     apply_until,
     canonicalize_alternation,
     expand_optional,
+    repeat_group,
 )
 from ..registry import query
 from ..scratch import scratch_dir
@@ -3253,4 +3254,53 @@ def stream_state_reader_automaton(
         F.coalesce(F.size(f"{g}.buf_id"), F.lit(0))
         .cast("long")
         .alias("n_buf"),
+    )
+
+
+@query(
+    "pattern_detect_group_times_stream",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type, 1) OVER w AS c1,
+             LAG(event_type, 2) OVER w AS c2,
+             LAG(event_type, 3) OVER w AS c3,
+             LAG(ts, 3)         OVER w AS ts0
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           event_id AS anchor_event,
+           epoch_us(ts0) AS pattern_start_us,
+           epoch_us(ts)  AS pattern_end_us
+    FROM seq
+    WHERE event_type = 'click'
+      AND c1 = 'view' AND c2 = 'click' AND c3 = 'view'
+      AND ts <= ts0 + INTERVAL 72 HOUR
+      AND epoch_us(ts) // 1000
+          <= epoch_us((SELECT MAX(ts) FROM events)) // 1000 - 600000
+    """,
+)
+def pattern_detect_group_times_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of pattern_detect_group_times: the
+    ``(view click){2}`` nested group detected incrementally by the
+    per-event suffix machine. :func:`repeat_group` expands the group
+    BEFORE compilation, so compile_suffix_stream sees a flat
+    four-step fixed pattern — zero machine change (the same
+    sugar-not-machinery story as the batch half), W = 3 folded
+    predecessors per anchor. Oracle = the batch lag conjunction + the
+    ms-aligned anchor-folded filter (per-event anchoring's original
+    emission boundary — nothing ranges over an open run).
+    """
+    pat = Pattern(
+        steps=repeat_group((Step("v", "view"), Step("c", "click")), 2),
+        within_hours=72,
+    )
+    return suffix_pattern_stream(spark, sf_dir, pat).select(
+        "user_id",
+        "anchor_event",
+        "pattern_start_us",
+        "pattern_end_us",
     )

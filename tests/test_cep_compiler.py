@@ -1059,3 +1059,63 @@ def test_suffix_rejects_final_step_exact(spark):
         compile_suffix(df, pat)
     with pytest.raises(ValueError, match="FINAL step"):
         compile_suffix_stream(pat)
+
+
+# ---------------------------------------------------------- repeat_group
+
+def test_repeat_group_expansion_and_match(spark):
+    from flink_large_window_spark.operators.cep import repeat_group
+
+    steps = repeat_group((Step("v", "view"), Step("c", "click")), 2)
+    assert [s.name for s in steps] == ["v_r1", "c_r1", "v_r2", "c_r2"]
+    # (view click){2}: matches only the full alternation
+    df = _events(
+        spark,
+        [
+            (1, 0, "view"), (1, 1, "click"), (1, 2, "view"),
+            (1, 3, "click"),
+            # user 2: only one occurrence — no match
+            (2, 0, "view"), (2, 1, "click"),
+        ],
+    )
+    out = compile_pattern(df, _pat(steps, within=72)).collect()
+    assert len(out) == 1
+    assert out[0].user_id == 1 and out[0].anchor_id == 3
+    assert out[0].start_ts == T0
+
+
+def test_repeat_group_guard_remaps_per_occurrence(spark):
+    from flink_large_window_spark.operators.cep import repeat_group
+
+    steps = repeat_group(
+        (
+            Step("v", "view"),
+            Step("c", "click", guard=Guard("first", ">", "v", "first")),
+        ),
+        2,
+    )
+    # each occurrence's click guard references ITS OWN view
+    assert steps[1].guard.ref_step == "v_r1"
+    assert steps[3].guard.ref_step == "v_r2"
+    # and Pattern validation accepts the remapped references
+    Pattern(steps=steps, val_col="value")
+
+
+def test_repeat_group_validation():
+    from flink_large_window_spark.operators.cep import repeat_group
+
+    with pytest.raises(ValueError, match="times >= 1"):
+        repeat_group((Step("v", "view"),), 0)
+    with pytest.raises(ValueError, match="fixed quantifiers"):
+        repeat_group((Step("v", "view", 1, None),), 2)
+    with pytest.raises(ValueError, match="fixed quantifiers"):
+        repeat_group((Step("v", "view", 0, 1),), 2)
+    with pytest.raises(ValueError, match="cannot contain"):
+        repeat_group(
+            (Step("v", "view", 1, None, until=(">", 1.0)),), 2
+        )
+    with pytest.raises(ValueError, match="inside the group"):
+        repeat_group(
+            (Step("c", "click", guard=Guard("first", ">", "x", "max")),),
+            2,
+        )

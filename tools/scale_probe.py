@@ -97,8 +97,11 @@ FAMILIES = {
             "pattern_detect_times_exact", "pattern_match_finalguard",
             # round 15: the oneOrMore().until() stop condition — a
             # row-local relabel projection ahead of the same
-            # one-shuffle runs-relation plan
+            # one-shuffle runs-relation plan — and the nested-group
+            # fixed repetition (repeat_group expansion → the plain
+            # suffix conjunction)
             "pattern_detect_until",
+            "pattern_detect_group_times",
         ],
     },
     "text": {
@@ -209,6 +212,7 @@ FAMILIES = {
             # machine's blob)
             "pattern_detect_until_stream",
             "stream_state_reader_automaton",
+            "pattern_detect_group_times_stream",
         ],
     },
 }
