@@ -474,7 +474,7 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
 # (VERDICT r10 item 4; the generalization of its item 1). Entries must
 # be re-justified or drained every round: a key may not sit here with
 # a stale rationale.
-#: One justification shared by the seven dedup.py keys whose own
+#: One justification shared by the eight dedup.py keys whose own
 #: function text is unchanged this round (the r12/r13/r14 ledger
 #: convention: one shared string, re-justified or drained next
 #: round).

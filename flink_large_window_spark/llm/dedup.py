@@ -812,7 +812,9 @@ def _cluster_cc_loop(
             )
             .localCheckpoint()
         )
-        changed = compressed.agg(F.sum("chg")).first()[0]
+        # SUM over zero rows is NULL — an empty corpus must converge
+        # on iteration 1 like the old count() did (review r15)
+        changed = compressed.agg(F.sum("chg")).first()[0] or 0
         labels = compressed.drop("chg")
         if changed == 0:
             break

@@ -539,9 +539,15 @@ def compile_pattern(df: DataFrame, pat: Pattern) -> DataFrame:
     if (
         all(s.fixed() for s in pat.steps)
         and last.min_count == 1
+        and not last.exact
         and pat.skip == "past_last"
     ):
         return compile_suffix(df, pat)
+    # includes the final (1,1,exact) shape — "an ISOLATED single
+    # final event": the greedy anchor cap (run_len <= 1) implements
+    # the boundary the suffix strategy cannot (no lookahead);
+    # compile_suffix's own raise remains for direct callers
+    # (review r15).
     return compile_greedy(df, pat)
 
 

@@ -839,10 +839,18 @@ def pattern_stream(
     sf_dir: str,
     pat: Pattern,
     watermark: str = "10 minutes",
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """events.parquet as a bounded replay → resolve until stop
     conditions + canonicalize alternation (both row-local projections,
-    streaming-safe) → compiled automaton → memory sink."""
+    streaming-safe) → compiled automaton → memory sink.
+
+    ``checkpoint`` passes through to run_to_memory so state-reader
+    keys can re-open the finished query's store offline WITHOUT
+    copying this launch block (the ADVICE r13 lesson one layer up —
+    a hand-rolled copy in stream_state_reader_automaton had already
+    dropped the has_until column rule it never knew about; review
+    r15)."""
     has_guard = any(s.guard is not None for s in pat.steps)
     has_until = any(s.until is not None for s in pat.steps)
     cols = [pat.key, pat.ts, pat.order_id, pat.cls_col]
@@ -871,7 +879,7 @@ def pattern_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
-    return run_to_memory(spark, result, mode="append")
+    return run_to_memory(spark, result, mode="append", checkpoint=checkpoint)
 
 
 @query(
@@ -3226,26 +3234,25 @@ def stream_state_reader_automaton(
         ),
         within_hours=24,
     )
-    handler, out_schema, state_schema = compile_stream(pat)
-    ev = (
-        _events_stream(spark, sf_dir)
-        .withWatermark("ts", "10 minutes")
-        .select("user_id", "ts", "event_id", "event_type")
-    )
-    res = ev.groupBy("user_id").applyInPandasWithState(
-        handler,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.EventTimeTimeout,
-    )
     ckpt = scratch_dir("flws_statereader_cep_")
-    run_to_memory(spark, res, mode="append", checkpoint=ckpt)
+    # the shared launcher owns the column rules / machine wiring —
+    # never copy its launch block (review r15)
+    pattern_stream(spark, sf_dir, pat, checkpoint=ckpt)
     state = spark.read.format("statestore").option("path", ckpt).load()
     g = "value.groupState"
     return state.select(
         F.col("key.user_id").alias("user_id"),
-        F.col(f"{g}.cur_cls").alias("cur_cls"),
+        # The blob encodes "no open run" as cur_cls='' (cur_len is
+        # the open-run flag, module docstring) and a NULL-class run
+        # as cur_nul=1 — decode BOTH back to SQL NULL or a user
+        # whose every event is held above the final watermark (no
+        # folded run) would emit '' where the oracle's outer join
+        # yields NULL (review r15).
+        F.when(
+            F.col(f"{g}.cur_len").isNotNull()
+            & (F.col(f"{g}.cur_nul") == 0),
+            F.col(f"{g}.cur_cls"),
+        ).alias("cur_cls"),
         F.col(f"{g}.cur_len").alias("cur_len"),
         F.col(f"{g}.cur_first").alias("cur_first"),
         F.coalesce(F.size(f"{g}.win_cls"), F.lit(0))

@@ -1119,3 +1119,25 @@ def test_repeat_group_validation():
             (Step("c", "click", guard=Guard("first", ">", "x", "max")),),
             2,
         )
+
+
+def test_final_single_exact_routes_to_greedy_anchor_cap(spark):
+    # review r15: all-fixed pattern with a final (1,1,exact=True)
+    # step must compile (greedy anchor cap = "an ISOLATED final
+    # event"), not hit compile_suffix's final-exact rejection.
+    df = _events(
+        spark,
+        [
+            # user 1: click click purchase (isolated) -> match
+            (1, 0, "click"), (1, 1, "click"), (1, 2, "purchase"),
+            # user 2: click click purchase purchase (run of 2) -> no
+            (2, 0, "click"), (2, 1, "click"),
+            (2, 2, "purchase"), (2, 3, "purchase"),
+        ],
+    )
+    pat = _pat(
+        [Step("c", "click", 2, 2), Step("p", "purchase", 1, 1, exact=True)],
+        within=6,
+    )
+    out = compile_pattern(df, pat).collect()
+    assert [r.user_id for r in out] == [1]

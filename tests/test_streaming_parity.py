@@ -3583,3 +3583,56 @@ def test_state_reader_window_watermark_tie_evicts(spark, tmp_path):
     # [01:00, 02:00) has end == watermark -> evicted (tie polarity);
     # [02:00, 03:00) has end > watermark -> retained
     assert got == [("2024-03-01 02:00:00", "click", 1, 2.5)], got
+
+
+def test_state_reader_automaton_late_only_user_null_open_run(
+    spark, tmp_path
+):
+    """review r15: a user whose EVERY event is held above the final
+    watermark has no folded open run — the blob stores cur_cls=''
+    (the handler's no-run encoding) and the reader must decode it
+    back to NULL to match the oracle's outer join, with the events
+    counted in n_buf."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark.streaming.cep_stream import (
+        stream_state_reader_automaton,
+    )
+
+    t = dt.datetime(2024, 3, 1, 12, 0, 0)
+    schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("event_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+        ]
+    )
+    rows = [
+        # user 1: a folded view run + the max-ts tail event
+        {"user_id": 1, "ts": t, "event_id": 0, "event_type": "view"},
+        {"user_id": 1, "ts": t + dt.timedelta(minutes=60), "event_id": 1,
+         "event_type": "click"},
+        # user 2: both events within 10 min of max ts -> all held
+        {"user_id": 2, "ts": t + dt.timedelta(minutes=55), "event_id": 2,
+         "event_type": "view"},
+        {"user_id": 2, "ts": t + dt.timedelta(minutes=58), "event_id": 3,
+         "event_type": "purchase"},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    got = {
+        r["user_id"]: (r["cur_cls"], r["cur_len"], r["n_buf"])
+        for r in stream_state_reader_automaton(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # user 1: view run folded (click@max is the watermark tail, held)
+    assert got[1] == ("view", 1, 1), got
+    # user 2: no folded run -> cur_cls NULL (not ''), both events held
+    assert got[2] == (None, None, 2), got
