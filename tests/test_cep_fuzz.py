@@ -25,6 +25,7 @@ from flink_large_window_spark.operators.cep import (
     Step,
     compile_greedy,
     compile_suffix,
+    repeat_group,
 )
 
 T0 = dt.datetime(2024, 1, 1)
@@ -769,3 +770,40 @@ def test_pairs_and_timeouts_match_bruteforce_on_random_streams(spark):
     want3 = _ref_timeouts(rows, "view", "click", "purchase", h)
     assert got3 == want3
     assert {n for _, _, n, _ in want3} == {1, 2}, "both stall depths"
+
+
+def test_repeat_group_matches_reference_on_alternating_streams(spark):
+    """round 15: a repeat_group expansion — (view click){2} — must be
+    indistinguishable from the equivalent hand-flattened fixed pattern
+    on random streams (the group construct is compile-time sugar).
+    The 5-class uniform streams almost never produce a strict
+    v,c,v,c suffix, so the alphabet is folded to {view, click, NULL}
+    (view|error→view, click|purchase→click, NULL kept for null-run
+    coverage) — alternations become common while the stream stays
+    seeded-random."""
+    rng_rows = _random_streams(n_users=200, max_len=14, seed=29)
+    fold = {"view": "view", "error": "view",
+            "click": "click", "purchase": "click", None: None}
+    rows = [(u, ts, eid, fold[cls], val)
+            for u, ts, eid, cls, val in rng_rows]
+    pat = Pattern(
+        steps=repeat_group((Step("v", "view"), Step("c", "click")), 2),
+        within_hours=48,
+    )
+    df = _df(spark, rows)
+    got = sorted(
+        (r["user_id"], r["anchor_id"])
+        for r in compile_suffix(df, pat).collect()
+    )
+    want = _ref_suffix(rows, pat)
+    assert got == want, f"group-expansion divergence: {got[:3]} {want[:3]}"
+    assert len(want) > 0, "degenerate sweep (0 matches)"
+    # and the flattened-by-hand twin is literally the same spec
+    flat = Pattern(
+        steps=(
+            Step("v_r1", "view"), Step("c_r1", "click"),
+            Step("v_r2", "view"), Step("c_r2", "click"),
+        ),
+        within_hours=48,
+    )
+    assert flat.steps == pat.steps
