@@ -185,6 +185,14 @@ WATCH_LIST_RUNS = {
     # partsupp-quartet profile); joins the watch list either way per
     # the directive so round benches sample its steady state.
     "ts_resample_gapfill": 5,
+    # r15 (round close): pattern_detect_followedbyany read raw 2.007
+    # in one closing bench (n=3) after 0.71 in the SAME session's
+    # earlier clean bench; isolated per protocol minutes later it
+    # reads 0.757 / 0.754 across two fresh processes with tight
+    # bands (SCALING.md "Round-15: followedbyany") — the sub-second
+    # n=3 variance profile again; n=5 + 4 warm-ups so benches sample
+    # its steady state.
+    "pattern_detect_followedbyany": 5,
 }
 
 # Environment probes, two CLASSES since round 9 (VERDICT r8 item 4).
