@@ -276,7 +276,7 @@ DRIVER_CHECKED: frozenset[str] = (
 
 # Round 15 rotation (VERDICT r14 directives 1, 3a, 5, 6; derived
 # with tools/staleness.py, evidence capped at r14). Leads are the
-# FIVE never-stamped round-15 keys: the oneOrMore().until()
+# SIX never-stamped round-15 keys: the oneOrMore().until()
 # stop-condition pair (batch+stream — VERDICT r14 item 5, compiled
 # by the apply_until relabel), the automaton-state reader (item 6,
 # completing the state-reader trio with a full SQL oracle), and the
@@ -290,11 +290,11 @@ DRIVER_CHECKED: frozenset[str] = (
 # SEVENTEEN r14/r13-stamped cep_stream.py twins (file churn: the
 # apply_until hook inside the SHARED pattern_stream launcher, the
 # suffix machine's final-exact rejection, and compile_stream's
-# unresolved-until guard) and EIGHT cep.py batch keys (file churn:
+# unresolved-until guard) and SEVEN cep.py batch keys (file churn:
 # the Step.until field + validation, the apply_until dispatch insert
 # at compile_pattern's entry, and repeat_group). The two cep.py keys
 # with the FRESHEST (r14) stamps defer with written justifications
-# (RECHECK_DEFERRALS), as do recognize/alternation (displaced by the
+# (RECHECK_DEFERRALS), as do recognize/alternation/optional (displaced by the
 # late leads) and the eight dedup.py keys whose own text is
 # unchanged (the churn is _cluster_cc_loop only, whose key is in the
 # window). Exactly 50.
@@ -314,6 +314,7 @@ RECHECK_KEYS: tuple[str, ...] = (
     "stream_state_reader_automaton",
     "pattern_detect_group_times",
     "pattern_detect_group_times_stream",
+    "stream_state_reader_session",
     # r14 deferrals, drained as promised (contract history: r14's
     # RECHECK_DEFERRALS listed each with "recheck r15")
     "pattern_detect_value_guard",
@@ -357,7 +358,6 @@ RECHECK_KEYS: tuple[str, ...] = (
     "pattern_match_finalguard_stream",
     "pattern_detect_cep_stream",
     # cep.py cohort (file churn: Step.until + compile_pattern entry)
-    "pattern_match_optional",
     "pattern_match_afterskip",
     "pattern_match_optional_guard",
     "pattern_match_skipguard",
@@ -551,7 +551,11 @@ RECHECK_DEFERRALS.update(
             " precedent); eight cohort siblings re-stamp in the"
             " window and cover the churned entry points; recheck r16"
         )
-        for k in ("pattern_match_recognize", "pattern_match_alternation")
+        for k in (
+            "pattern_match_recognize",
+            "pattern_match_alternation",
+            "pattern_match_optional",
+        )
     }
 )
 

@@ -184,10 +184,11 @@ def test_window_covers_changed_since_stamp_keys():
 
 def test_round15_recheck_window_shape():
     """The round-15 window (VERDICT r14 directives 1, 3a, 5, 6):
-    exactly 50 RECHECK keys, no unchecked tail — the FIVE
+    exactly 50 RECHECK keys, no unchecked tail — the SIX
     never-stamped round-15 keys LEAD (the until stop-condition pair,
-    batch+stream, the automaton-state reader, and the late-r15
-    repeat_group nested-group pair), then ALL NINETEEN
+    batch+stream, the automaton-state reader, the late-r15
+    repeat_group nested-group pair, and the session-window state
+    reader), then ALL NINETEEN
     r14 deferrals drained as promised (directive 1 — the judge checks
     each by name), then dedup_cluster_cc (the convergence-fold
     rewrite, directive 3a), then the behavioral re-stamps for this
@@ -231,7 +232,7 @@ def test_round15_recheck_window_shape():
         sorted(R14_DEFERRALS - set(RECHECK_KEYS))
     )
 
-    N_LEADS = 5
+    N_LEADS = 6
     tools_dir = os.path.join(os.path.dirname(__file__), "..", "tools")
     if tools_dir not in sys.path:
         sys.path.insert(0, tools_dir)

@@ -3636,3 +3636,89 @@ def test_state_reader_automaton_late_only_user_null_open_run(
     assert got[1] == ("view", 1, 1), got
     # user 2: no folded run -> cur_cls NULL (not ''), both events held
     assert got[2] == (None, None, 2), got
+
+
+def test_state_reader_session_tie_polarities(spark, tmp_path):
+    """PINS stream_state_reader_session's two boundary polarities on
+    synthetic data (the r15 tie-test convention), both PROBED before
+    encoding:
+
+    - MERGE tie: an event at exactly prev_ts + gap MERGES into the
+      previous session (touching intervals coalesce — probed: the
+      first draft assumed strict overlap and the store returned the
+      merged [00:00, 01:00) n=2 session) — hence the oracle's STRICT
+      > new-session flag.
+    - EVICTION tie: a session whose end exactly equals the final
+      watermark is EVICTED (emitted) — retained iff end > wm, the
+      same polarity as the tumbling reader.
+
+    Construction (gap = 30 min): user 1 events at 00:00 and exactly
+    00:30 → ONE merged session [00:00, 01:00) with n=2. User 3 has a
+    single event at 23:30 the previous day (session end 00:00, far
+    below wm — long evicted). The tail event (user 2, max ts 00:50)
+    sets final wm = 00:40; user 1's merged session (end 01:00 > wm)
+    and user 2's own [00:50, 01:20) are retained. A second fixture
+    dir pins the eviction tie exactly: user 1 event at 00:00 (end
+    00:30), tail at 00:40 → wm == 00:30 == end → evicted."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_large_window_spark.streaming.streams import (
+        stream_state_reader_session,
+    )
+
+    t = dt.datetime(2024, 3, 1, 0, 0, 0)
+    schema = pa.schema(
+        [
+            pa.field("user_id", pa.int64()),
+            pa.field("ts", pa.timestamp("us")),
+            pa.field("event_id", pa.int64()),
+            pa.field("event_type", pa.string()),
+        ]
+    )
+
+    def write(d, rows):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=schema),
+            os.path.join(d, "events.parquet"),
+        )
+
+    us = lambda m: int(
+        (t + dt.timedelta(minutes=m)).timestamp() * 1_000_000
+    )
+
+    # case 1: merge tie
+    d1 = os.path.join(str(tmp_path), "merge")
+    write(d1, [
+        {"user_id": 1, "ts": t, "event_id": 0, "event_type": "view"},
+        {"user_id": 1, "ts": t + dt.timedelta(minutes=30), "event_id": 1,
+         "event_type": "view"},
+        {"user_id": 2, "ts": t + dt.timedelta(minutes=50), "event_id": 2,
+         "event_type": "click"},
+    ])
+    got = sorted(
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n"])
+        for r in stream_state_reader_session(spark, d1).collect()
+    )
+    assert got == [
+        (1, us(0), us(60), 2),  # tie MERGED: one session, n=2
+        (2, us(50), us(80), 1),
+    ], got
+
+    # case 2: eviction tie (end == wm exactly)
+    d2 = os.path.join(str(tmp_path), "evict")
+    write(d2, [
+        {"user_id": 1, "ts": t, "event_id": 0, "event_type": "view"},
+        # tail: max ts 00:40 -> wm 00:30 == user 1's session end
+        {"user_id": 2, "ts": t + dt.timedelta(minutes=40), "event_id": 1,
+         "event_type": "click"},
+    ])
+    got2 = sorted(
+        (r["user_id"], r["session_end_us"])
+        for r in stream_state_reader_session(spark, d2).collect()
+    )
+    # user 1 evicted at the exact tie; only user 2's session remains
+    assert got2 == [(2, us(70))], got2

@@ -213,6 +213,7 @@ FAMILIES = {
             "pattern_detect_until_stream",
             "stream_state_reader_automaton",
             "pattern_detect_group_times_stream",
+            "stream_state_reader_session",
         ],
     },
 }
