@@ -544,6 +544,34 @@ RECHECK_DEFERRALS.update(
 RECHECK_DEFERRALS.update(
     {
         k: (
+            "latest-stamp evidence (r12-r14 per key); the r15"
+            " streams.py churn is the APPEND-ONLY"
+            " stream_state_reader_session addition (new function +"
+            " registration at end of file — git diff shows zero"
+            " touched lines above it) whose own key LEADS this"
+            " window; every cohort sibling's text is unchanged and"
+            " the window is full at 50 with the drained 19-key r14"
+            " deferral cohort — recheck r16"
+        )
+        for k in (
+            "join_asof_stream",
+            "stateful_session_timeout_stream",
+            "stream_allowed_lateness_reemit",
+            "stream_foreachbatch_upsert",
+            "stream_state_reader",
+            "stream_state_reader_window",
+            "stream_static_enrich",
+            "stream_watermark_skew",
+            "ts_ohlc_bars_stream",
+            "window_cascading_rollup_stream",
+            "window_session_dynamic_gap_stream",
+            "window_tumbling_offset_stream",
+        )
+    }
+)
+RECHECK_DEFERRALS.update(
+    {
+        k: (
             "r13 evidence; same cep.py churn rationale as the"
             " pattern_detect_times_exact entry (own text unchanged,"
             " additive compiler churn) — displaced by the late-r15"
