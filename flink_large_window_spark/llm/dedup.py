@@ -574,14 +574,16 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Dataflow: (1) hash-partition vectors into B blocks and pack each
     block into ONE row (vec_ids + a dense float64 matrix as bytes) with
-    applyInPandas — a single narrow shuffle on block_id; (2) form all
-    B×B block pairs with a self-join, so each pair row carries the two
-    packed matrices THROUGH THE SHUFFLE, never through the driver;
-    (3) mapInPandas GEMMs each block pair (rows of block a × matrix of
-    block b) and emits partial neighbor counts; (4) sum partials per
-    vec_id. Exact all-pairs is inherently O(n²) work, but memory and
+    applyInPandas — a single narrow shuffle on block_id; (2) form the
+    B(B+1)/2 UNORDERED block pairs (block_a <= block_b) with a
+    self-join, so each pair row carries the two packed matrices
+    THROUGH THE SHUFFLE, never through the driver; (3) mapInPandas
+    GEMMs each block pair ONCE and emits partial neighbor counts for
+    BOTH blocks (row sums and column sums of the same thresholded
+    product — cosine is symmetric); (4) sum partials per vec_id.
+    Exact all-pairs is inherently O(n²) work, but memory and
     parallelism are governed by B: per-task footprint is 2·(n/B) rows
-    and total shuffle volume is B·corpus, both tunable. Self-pairs are
+    and total shuffle volume is (B+1)/2·corpus, both tunable. Self-pairs are
     excluded arithmetically (cos(self)=1 always clears the threshold).
     At 100 TB exact all-pairs is the verification kernel, not the
     candidate generator — candidates come from IVF cells
@@ -648,10 +650,29 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
 
-    pairs = packed.alias("a").crossJoin(
-        packed.selectExpr(
-            "mat AS mat_b", "n_rows AS n_rows_b"
-        ).alias("b")
+    # Symmetric halving (optimization r15, guide §2.3 "shuffle fewer
+    # bytes" / §1.2 "the distributed algorithm"): cosine is symmetric,
+    # so the ordered B² pair enumeration computed every off-diagonal
+    # GEMM twice (a@b.T and its transpose b@a.T) and shuffled every
+    # packed matrix 2B times. Enumerating only unordered pairs
+    # (block_a <= block_b) and emitting BOTH sides' partial counts
+    # from the ONE product — row hits = sum over axis 1, column hits
+    # = sum over axis 0 — halves the pair-task count (B² →
+    # B(B+1)/2), the shuffled matrix bytes (2B·corpus → (B+1)·corpus)
+    # and the GEMM FLOPs. Bit-equal output: sim[i,j] = dot(a_i, b_j)
+    # is the identical float sequence either direction, so every
+    # threshold comparison is unchanged.
+    pairs = (
+        packed.alias("a")
+        .crossJoin(
+            packed.selectExpr(
+                "block AS block_b",
+                "vec_ids AS vec_ids_b",
+                "mat AS mat_b",
+                "n_rows AS n_rows_b",
+            ).alias("b")
+        )
+        .filter(F.col("block") <= F.col("block_b"))
     )
 
     def score(batches):
@@ -666,9 +687,14 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 b = np.frombuffer(row["mat_b"], dtype=np.float64).reshape(
                     int(row["n_rows_b"]), -1
                 )
-                hits = (a @ b.T >= 0.9).sum(axis=1)
+                sim = a @ b.T >= 0.9
                 ids_out.extend(row["vec_ids"])
-                cnt_out.extend(hits.tolist())
+                cnt_out.extend(sim.sum(axis=1).tolist())
+                if row["block"] != row["block_b"]:
+                    # off-diagonal pair: the same product also scores
+                    # block b's rows against block a (transpose view)
+                    ids_out.extend(row["vec_ids_b"])
+                    cnt_out.extend(sim.sum(axis=0).tolist())
             yield pd.DataFrame(
                 {"doc_id": ids_out, "partial": np.asarray(cnt_out, dtype="int64")}
             )
@@ -757,16 +783,52 @@ def _cluster_cc_loop(
     # under the session-default width, then narrow to the label-frame
     # width for the iteration. localCheckpoint is an action, so the
     # conf in force HERE is what each materialization actually uses.
-    edges = chain.unionByName(
-        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    #
+    # Optimization r15 (guide §2.4 "remove shuffles outright"): both
+    # checkpointed loop inputs are PRE-HASH-PARTITIONED on their join
+    # key at the iteration width. Dataset.checkpoint preserves the
+    # physical plan's outputPartitioning through LogicalRDD — but ONLY
+    # when the materialized plan is not an AdaptiveSparkPlan (under
+    # AQE the checkpoint reports UnknownPartitioning; probed on this
+    # Spark build), so the two loop-invariant checkpoints materialize
+    # with AQE momentarily off. Result, verified in the plan: every
+    # iteration's gather join (edges.src == labels.doc_id) sees both
+    # sides as hashpartitioning-ed RDD scans and plans with ZERO
+    # exchanges once labels outgrow the broadcast threshold (at
+    # fixture scale the join broadcasts labels anyway; at cluster
+    # scale this deletes a full edge-frame exchange — ~2 rows/doc —
+    # from EVERY round). The narrower checkpointed edge RDD (width
+    # tasks instead of the session-default scan width) also cuts
+    # per-iteration task count at fixture scale. A/B + plan evidence
+    # in OPTIMIZATION_r15.md.
+    width = iter_parts if iter_parts is not None else int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+    def _ckpt_partitioned(df: DataFrame) -> DataFrame:
+        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return df.localCheckpoint()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+    edges = _ckpt_partitioned(
+        chain.unionByName(
+            chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).repartition(width, "src")
+    )
 
     if iter_parts is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
     global _LAST_ITER_PARTS
     _LAST_ITER_PARTS = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    labels = _ckpt_partitioned(
+        docs.select("doc_id", F.col("doc_id").alias("label")).repartition(
+            width, "doc_id"
+        )
+    )
     for _ in range(32):  # bound >> log2(max component size)
         # Convergence detection is FOLDED into the iteration since
         # round 15 (VERDICT r14 item 3a): the labels branch tags its
