@@ -978,21 +978,29 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle on ps_partkey for the per-part sum; the global
     total is a broadcast 1-row aggregate, never a collect.
 
-    Round 10 (VERDICT r9 item 2): ``tot`` now rolls up from ``agg``
+    Round 10 (VERDICT r9 item 2): ``tot`` rolls up from ``agg``
     instead of from ``scope`` — Σ(sv) over the per-part sums equals
     Σ(v) over scope, and COUNT(*) over agg equals COUNT(DISTINCT
     ps_partkey) over scope, exactly (integer sums, no reordering
-    hazard). The old scope-level form paid twice: WITH is
-    macro-expansion, so the whole partsupp-derive subtree expanded
-    under BOTH tot and agg (exchange reuse replays the shuffle, but
-    every AQE stage above it re-runs), and COUNT(DISTINCT) planned the
-    two-phase distinct expand over the full 4|part|-row scope. The
-    agg-level rollup re-reads only the ≤|part|-row aggregated frame
-    and is a plain COUNT(*). Measured at sf0.1: 0.48 s → ~0.40 s
-    median, back at its r7 governing baseline.
+    hazard), which also removed the COUNT(DISTINCT) two-phase expand
+    over the full 4|part|-row scope.
+
+    Optimization r15 (guide §1.2 "don't compute things you throw
+    away" / §3.3 "materialising an intermediate truncates the plan"):
+    even with the agg-level rollup, WITH is macro-expansion, so the
+    entire derive→join→aggregate subtree still expanded under BOTH
+    the tot branch and the final select — the r15 plan capture shows
+    10 parquet scans and ZERO runtime stage reuse (AQE's
+    ReusedExchange does not fire across the differently-projected
+    copies). The ≤|part|-row ``agg`` frame is now materialized ONCE
+    with localCheckpoint and both consumers (the 1-row tot aggregate
+    and the filtered select) read the RDD: half the work, and the
+    scalar threshold stays a broadcast, never a collect. Interleaved
+    A/B at sf0.1 (4 warmups + n=5, two reps): 0.598→0.415 and
+    0.410→0.375 s medians, output cell-identical.
     """
     prep(spark)
-    return spark.sql(
+    agg = spark.sql(
         f"""
         WITH {_partsupp_spark_cte(spark, sf_dir)},
         asiasupp AS (
@@ -1002,20 +1010,22 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT /*+ BROADCAST(asiasupp) */ ps_partkey,
                  ps_availqty * ps_cost_cents AS v
           FROM partsupp JOIN asiasupp ON ps_suppkey = s_suppkey
-        ),
-        agg AS (
-          SELECT ps_partkey, SUM(v) AS sv FROM scope GROUP BY ps_partkey
-        ),
-        tot AS (
-          SELECT SUM(sv) AS t, COUNT(*) AS np FROM agg
         )
-        SELECT /*+ BROADCAST(tot) */ ps_partkey,
-               -- CAST keeps the division DOUBLE (bare 100.0 is DECIMAL
-               -- in SQL parsing; the DataFrame form used a double)
-               ROUND(sv / CAST(100.0 AS DOUBLE), 2) AS stock_value
-        FROM agg CROSS JOIN tot
-        WHERE np * sv > 2 * t
+        SELECT ps_partkey, SUM(v) AS sv FROM scope GROUP BY ps_partkey
         """
+    ).localCheckpoint()
+    tot = agg.agg(F.sum("sv").alias("t"), F.count(F.lit(1)).alias("np"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .filter(F.col("np") * F.col("sv") > 2 * F.col("t"))
+        .select(
+            "ps_partkey",
+            # CAST keeps the division DOUBLE (bare 100.0 is DECIMAL in
+            # SQL parsing; this DataFrame form uses a Python double)
+            F.round(F.col("sv") / F.lit(100.0).cast("double"), 2).alias(
+                "stock_value"
+            ),
+        )
     )
 
 
