@@ -290,14 +290,17 @@ DRIVER_CHECKED: frozenset[str] = (
 # SEVENTEEN r14/r13-stamped cep_stream.py twins (file churn: the
 # apply_until hook inside the SHARED pattern_stream launcher, the
 # suffix machine's final-exact rejection, and compile_stream's
-# unresolved-until guard) and SEVEN cep.py batch keys (file churn:
+# unresolved-until guard) and FIVE cep.py batch keys (file churn:
 # the Step.until field + validation, the apply_until dispatch insert
-# at compile_pattern's entry, and repeat_group). The two cep.py keys
-# with the FRESHEST (r14) stamps defer with written justifications
-# (RECHECK_DEFERRALS), as do recognize/alternation/optional (displaced by the
-# late leads) and the eight dedup.py keys whose own text is
-# unchanged (the churn is _cluster_cc_loop only, whose key is in the
-# window). Exactly 50.
+# at compile_pattern's entry, and repeat_group; afterskip and
+# optional_guard displaced to the ledger by the two r15-OPTIMIZATION
+# behavioral re-stamps dedup_embed_cosine + q11_important_stock).
+# The two cep.py keys with the FRESHEST (r14) stamps defer with
+# written justifications (RECHECK_DEFERRALS), as do
+# recognize/alternation/optional (displaced by the late leads) and
+# the seven dedup.py keys whose own text is unchanged (the churn is
+# _cluster_cc_loop + dedup_embed_cosine, both in the window).
+# Exactly 50.
 #
 # LEDGER NOTE (VERDICT r14 directive 8): the rows-only sextet
 # (source_rate_stream, agg_approx_count_distinct,
@@ -337,7 +340,16 @@ RECHECK_KEYS: tuple[str, ...] = (
     "window_topn_stream",
     "window_tumbling_agg_stream",
     # behavioral re-stamp: the convergence-fold rewrite (r14 item 3a)
+    # plus the r15-optimization loop-input co-partitioning
     "dedup_cluster_cc",
+    # behavioral re-stamps from the r15 OPTIMIZATION round: the
+    # symmetric pair halving (dedup.py) and the checkpointed-agg q11
+    # rewrite (tpch.py) — both verified tri-SF + bare hostile-tz
+    # drive at change time; they take the window slots of two cep.py
+    # file-churn re-stamps (displaced to the ledger — their churned
+    # compiler entry points stay covered by five in-window siblings)
+    "dedup_embed_cosine",
+    "q11_important_stock",
     # cep_stream.py cohort (file churn: apply_until in the shared
     # pattern_stream launcher + the two new validation rejections)
     "pattern_match_recognize_stream",
@@ -357,9 +369,9 @@ RECHECK_KEYS: tuple[str, ...] = (
     "pattern_detect_followedby_nobetween_stream",
     "pattern_match_finalguard_stream",
     "pattern_detect_cep_stream",
-    # cep.py cohort (file churn: Step.until + compile_pattern entry)
-    "pattern_match_afterskip",
-    "pattern_match_optional_guard",
+    # cep.py cohort (file churn: Step.until + compile_pattern entry;
+    # afterskip/optional_guard displaced to the ledger by the two
+    # r15-optimization behavioral re-stamps above)
     "pattern_match_skipguard",
     "pattern_match_optional_skip",
     "pattern_detect_followedbyany",
@@ -480,18 +492,18 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
 #: round).
 _R15_DEDUP_DEFERRAL = (
     "r12 evidence; the r15 dedup.py churn is confined to"
-    " _cluster_cc_loop (the convergence-fold rewrite, VERDICT r14"
-    " item 3a) whose own key dedup_cluster_cc re-stamps in this"
-    " window — own text unchanged; displaced by the drained 19-key"
-    " r14 deferral cohort + the until/state-reader leads — recheck"
-    " r16"
+    " _cluster_cc_loop (the convergence-fold rewrite + optimization-"
+    "round loop-input co-partitioning) and dedup_embed_cosine (the"
+    " symmetric pair halving) — BOTH of whose own keys re-stamp in"
+    " this window; this cohort's own text unchanged; displaced by"
+    " the drained 19-key r14 deferral cohort + the until/state-"
+    "reader leads — recheck r16"
 )
 _R15_DEDUP_DEFERRED = (
     "dedup_exact",
     "dedup_near_minhash",
     "dedup_simhash",
     "dedup_simhash_hamming",
-    "dedup_embed_cosine",
     "dedup_embed_cosine_ivf",
     "dedup_substring",
     "dedup_ngram_jaccard",
@@ -567,6 +579,48 @@ RECHECK_DEFERRALS.update(
             "window_session_dynamic_gap_stream",
             "window_tumbling_offset_stream",
         )
+    }
+)
+RECHECK_DEFERRALS.update(
+    {
+        k: (
+            "latest-stamp evidence; the r15-optimization tpch.py churn"
+            " is confined to q11_important_stock (the checkpointed-agg"
+            " rewrite) whose own key re-stamps in this window — this"
+            " cohort's own text unchanged; window full at 50; recheck"
+            " r16"
+        )
+        for k in (
+            "q2_min_cost_supplier",
+            "q4_order_priority",
+            "q6_forecast_revenue",
+            "q7_volume_shipping",
+            "q8_market_share",
+            "q9_product_profit",
+            "q12_priority_class",
+            "q13_customer_distribution",
+            "q14_promo_effect",
+            "q15_top_supplier",
+            "q16_supplier_variety",
+            "q17_small_quantity",
+            "q19_discounted_revenue",
+            "q20_excess_stock",
+            "q21_waiting_supplier",
+            "q22_global_sales",
+        )
+    }
+)
+RECHECK_DEFERRALS.update(
+    {
+        k: (
+            "displaced from the r15 window by the two r15-optimization"
+            " behavioral re-stamps (dedup_embed_cosine,"
+            " q11_important_stock); this key's cep.py churn is the"
+            " additive compiler entry (Step.until + dispatch insert,"
+            " inert for its pattern) whose paths five in-window cep.py"
+            " siblings still cover; own text unchanged; recheck r16"
+        )
+        for k in ("pattern_match_afterskip", "pattern_match_optional_guard")
     }
 )
 RECHECK_DEFERRALS.update(

@@ -83,7 +83,16 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-STREAM_SHUFFLE_PARTITIONS = 8
+# Streaming state-store width: each shuffle partition owns a RocksDB
+# store instance whose open/commit cost dominates bounded-replay
+# micro-batches at fixture scale, so the twins run narrower than the
+# batch default. Scale-dependent, so parameterised (optimization r15):
+# a deployment sizes it to its key cardinality / executor count; note
+# that changing it on an EXISTING checkpoint is a state-layout change
+# (Spark pins the width at first run).
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
+)
 
 #: stateOperators metrics of the most recent run_to_memory query —
 #: lets tests assert watermark behavior (e.g. numRowsDroppedByWatermark)

@@ -41,9 +41,15 @@ def prep(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Fixture scale is small; 32 shuffle partitions keeps local runs fast
-    # while AQE re-coalesces as needed. On a real cluster this is set by
-    # deployment config, not code.
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # while AQE re-coalesces as needed. Scale-dependent, so parameterised
+    # (optimization r15): a deployment sets $SPARK_GRAFT_SHUFFLE_PARTITIONS
+    # (or its own conf mechanism) to ~2-3x cluster cores with partitions in
+    # the 100MB-1GB range (guide §2.2); the local default stays 32 so the
+    # driver's bench remains comparable across rounds.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+    )
     # events.ts is parquet timestamp[ns]; Spark 4 rejects NANOS columns
     # unless they are read as raw longs. table() then converts to a
     # µs-floored TimestampType, which is bit-identical to what DuckDB's
