@@ -771,6 +771,28 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LAST_ITER_PARTS: int | None = None
 
 
+def ckpt_hash_partitioned(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """localCheckpoint that PRESERVES the frame's hash partitioning.
+
+    Dataset.checkpoint copies the physical plan's outputPartitioning
+    into the resulting LogicalRDD — but under AQE the materialized
+    plan is an AdaptiveSparkPlan whose pre-execution partitioning is
+    UnknownPartitioning, so the checkpoint silently loses the layout
+    (probed on this Spark build; the r15 optimization round's
+    co-partitioned cluster_cc loop depends on keeping it). AQE is
+    toggled off just for the materialization; downstream queries still
+    plan adaptively and see the concrete HashPartitioning on the RDD
+    scan, letting EnsureRequirements skip the exchange for joins and
+    aggregates keyed on it. tests/test_plans.py pins the preservation.
+    """
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+
 def _cluster_cc_loop(
     spark: SparkSession, sf_dir: str, iter_parts: int | None = None
 ) -> DataFrame:
@@ -808,12 +830,7 @@ def _cluster_cc_loop(
     )
 
     def _ckpt_partitioned(df: DataFrame) -> DataFrame:
-        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            return df.localCheckpoint()
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        return ckpt_hash_partitioned(spark, df)
 
     edges = _ckpt_partitioned(
         chain.unionByName(

@@ -244,6 +244,57 @@ def test_cluster_cc_iteration_runs_at_tuned_width(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+def test_embed_cosine_pairs_are_unordered_half(spark):
+    """Optimization r15: the blocked-GEMM pair join enumerates only
+    UNORDERED block pairs — the block <= block_b predicate must sit in
+    the join itself (so the B²/2 dropped pairs are never emitted into
+    the Python stage), and the score kernel emits both sides' partials
+    from the one product. Verified end-to-end by the oracle; this pin
+    catches a refactor that silently reverts to the ordered-B² form."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    plan = _plan(REGISTRY["dedup_embed_cosine"](spark, SF_SMOKE))
+    assert "<= block_b" in plan, (
+        "pair join no longer restricted to unordered block pairs"
+    )
+
+
+def test_ckpt_hash_partitioned_preserves_layout(spark):
+    """Optimization r15: ckpt_hash_partitioned must yield a LogicalRDD
+    that still reports the hash partitioning (a plain localCheckpoint
+    under AQE reports UnknownPartitioning — the co-partitioned
+    cluster_cc loop depends on the preserved layout)."""
+    from flink_large_window_spark.llm.dedup import ckpt_hash_partitioned
+    from flink_large_window_spark.tables import prep, table
+
+    prep(spark)
+    df = table(spark, SF_SMOKE, "documents").select("doc_id").repartition(
+        4, "doc_id"
+    )
+    kept = ckpt_hash_partitioned(spark, df)
+    part = (
+        kept._jdf.queryExecution().executedPlan().outputPartitioning().toString()
+    )
+    assert "hashpartitioning(doc_id" in part, part
+    # and AQE must be back on afterwards
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_q11_single_derive_execution(spark):
+    """Optimization r15: q11's per-part aggregate is materialized once
+    (localCheckpoint) — the declared query's recurring plan must read
+    the RDD, not re-derive partsupp (the before-plan had 10 parquet
+    scans from WITH macro-expansion)."""
+    from flink_large_window_spark.registry import REGISTRY
+
+    plan = _plan(REGISTRY["q11_important_stock"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 0, (
+        "q11's recurring plan re-derives partsupp instead of reading "
+        "the checkpointed aggregate"
+    )
+    assert "Scan ExistingRDD" in plan
+
+
 def test_llm_queries_release_their_caches(spark):
     """langid / minhash / simhash-hamming / kmeans persist fat
     intermediates; each must consume them eagerly and unpersist before
