@@ -557,13 +557,16 @@ RECHECK_DEFERRALS.update(
     {
         k: (
             "latest-stamp evidence (r12-r14 per key); the r15"
-            " streams.py churn is the APPEND-ONLY"
+            " streams.py churn is (a) the APPEND-ONLY"
             " stream_state_reader_session addition (new function +"
-            " registration at end of file — git diff shows zero"
-            " touched lines above it) whose own key LEADS this"
-            " window; every cohort sibling's text is unchanged and"
-            " the window is full at 50 with the drained 19-key r14"
-            " deferral cohort — recheck r16"
+            " registration at end of file) whose own key LEADS this"
+            " window, and (b) the optimization-round"
+            " STREAM_SHUFFLE_PARTITIONS env parameterisation —"
+            " default-preserving (8, env unset everywhere the driver"
+            " runs), read at use time, behaviorally inert for every"
+            " deferred key; every cohort sibling's own text is"
+            " unchanged and the window is full at 50 with the"
+            " drained 19-key r14 deferral cohort — recheck r16"
         )
         for k in (
             "join_asof_stream",

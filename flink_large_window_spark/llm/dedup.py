@@ -832,11 +832,16 @@ def _cluster_cc_loop(
     def _ckpt_partitioned(df: DataFrame) -> DataFrame:
         return ckpt_hash_partitioned(spark, df)
 
-    edges = _ckpt_partitioned(
-        chain.unionByName(
-            chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).repartition(width, "src")
-    )
+    # Two-stage edge checkpoint (review r15-opt): the HEAVY part of
+    # the derivation — the full-corpus lag window and its shuffles —
+    # materializes under AQE (skew splitting / coalescing stay in
+    # force on the one stage that needs them); only the cheap narrow
+    # repartition of the already-checkpointed 2-column frame runs
+    # through the AQE-off partition-preserving checkpoint.
+    edges_raw = chain.unionByName(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    edges = _ckpt_partitioned(edges_raw.repartition(width, "src"))
 
     if iter_parts is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
@@ -892,10 +897,11 @@ def _cluster_cc_loop(
             .localCheckpoint()
         )
         cur = gathered
+        # hop-invariant lookup (node -> its gathered label), built once
+        lk = gathered.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("labelN")
+        )
         for _hop in range(2):
-            lk = gathered.select(
-                F.col("doc_id").alias("label"), F.col("label").alias("labelN")
-            )
             # left + coalesce: every label IS some doc_id, but the
             # outer form keeps the hop total even if that invariant
             # ever loosens (a miss keeps the current label)

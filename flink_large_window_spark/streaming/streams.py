@@ -83,16 +83,29 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-# Streaming state-store width: each shuffle partition owns a RocksDB
-# store instance whose open/commit cost dominates bounded-replay
-# micro-batches at fixture scale, so the twins run narrower than the
-# batch default. Scale-dependent, so parameterised (optimization r15):
-# a deployment sizes it to its key cardinality / executor count; note
-# that changing it on an EXISTING checkpoint is a state-layout change
-# (Spark pins the width at first run).
-STREAM_SHUFFLE_PARTITIONS = int(
-    os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
-)
+# Streaming state-store width DEFAULT: each shuffle partition owns a
+# RocksDB store instance whose open/commit cost dominates bounded-
+# replay micro-batches at fixture scale, so the twins run narrower
+# than the batch default. Scale-dependent, so parameterised
+# (optimization r15) — see _stream_width(); a deployment sizes it to
+# its key cardinality / executor count; note that changing it on an
+# EXISTING checkpoint is a state-layout change (Spark pins the width
+# at first run).
+STREAM_SHUFFLE_PARTITIONS = 8
+
+
+def _stream_width() -> int:
+    """The streaming state-store width, env read at USE time — an
+    import-time read would silently ignore a harness that sets
+    SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS after importing this module
+    (review r15-opt), and a wrong width would then be frozen into the
+    checkpoint's state layout."""
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS",
+            str(STREAM_SHUFFLE_PARTITIONS),
+        )
+    )
 
 #: stateOperators metrics of the most recent run_to_memory query —
 #: lets tests assert watermark behavior (e.g. numRowsDroppedByWatermark)
@@ -185,7 +198,7 @@ def run_to_memory(
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+        "spark.sql.shuffle.partitions", str(_stream_width())
     )
     try:
         q = (
@@ -1585,7 +1598,7 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+        "spark.sql.shuffle.partitions", str(_stream_width())
     )
     try:
 
@@ -1731,7 +1744,7 @@ def stream_rule_update_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+        "spark.sql.shuffle.partitions", str(_stream_width())
     )
     try:
 

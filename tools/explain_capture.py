@@ -1,8 +1,10 @@
 """Capture .explain("formatted") for a set of declared queries.
 
-Round-15 optimization tooling: writes one plan file per key under
-plans/r15/ (``<key>_<tag>.txt``) so plan claims in OPTIMIZATION_r15.md
-are auditable without running Spark. Usage:
+Optimization-round tooling: writes one plan file per key under
+plans/$SPARK_GRAFT_PLANS_ROUND/ (default ``r15``; set the env var in
+later rounds so new captures never overwrite a previous round's
+committed evidence) as ``<key>_<tag>.txt``, so plan claims in the
+round's OPTIMIZATION doc are auditable without running Spark. Usage:
 
     python tools/explain_capture.py <tag> [key ...]
 
@@ -10,7 +12,7 @@ With no keys, captures every bench.HEADLINE key. Plans are captured at
 $SPARK_GRAFT_SF_DIR (default sf0.1) — the bench scale — with the same
 session helper the bench uses, so Exchange counts / join strategies
 match what the bench times (AQE initial plans; the final AQE plan can
-differ at runtime, noted in OPTIMIZATION_r15.md where it matters).
+differ at runtime, noted in the OPTIMIZATION doc where it matters).
 """
 
 from __future__ import annotations
@@ -26,10 +28,17 @@ if _REPO_ROOT not in sys.path:
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        raise SystemExit(
+            "usage: python tools/explain_capture.py <tag> [key ...] "
+            "(see module docstring)"
+        )
     tag = sys.argv[1]
     keys = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(_REPO_ROOT, "plans", "r15")
+    out_dir = os.path.join(
+        _REPO_ROOT, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from flink_large_window_spark import api
