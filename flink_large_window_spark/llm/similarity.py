@@ -557,6 +557,19 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = np.array([r["embedding"] for r in init], dtype=np.float64)
 
     partial_schema = "cluster long, n long, vsum array<double>"
+    # The reduce expressions, built ONCE as two SQL strings
+    # (optimization r16, the SCALING.md §12 build-cost lesson): the
+    # old `F.array(*[F.sum(F.element_at(...)) ...])` construction made
+    # ~192 py4j round trips and re-analyzed eagerly per Column —
+    # measured 113–149 ms of pure driver time per iteration (×3
+    # iterations = ~0.4 s of the key's ~1.5 s wall). One F.expr parse
+    # builds the identical aggregate (`vsum[i]` is element_at(vsum,
+    # i+1) — same element, same SUM addends in the same order, so the
+    # float results are bit-identical). Measured: build 123 → 9 ms
+    # per iteration.
+    vsum_expr = F.expr(
+        "array(" + ", ".join(f"sum(vsum[{i}])" for i in range(64)) + ") AS vsum"
+    )
     for _ in range(ITERS):
         bc = spark.sparkContext.broadcast(centroids)
 
@@ -578,14 +591,14 @@ def emb_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield pd.DataFrame(rows, columns=["cluster", "n", "vsum"])
 
         agg = (
-            emb.mapInPandas(partials, schema=partial_schema)
+            # select("embedding") before the opaque function (guide
+            # §4.1: Spark cannot prune columns it cannot see into —
+            # the iteration kernel never reads vec_id, so don't ship
+            # it through Arrow three times; optimization r16)
+            emb.select("embedding")
+            .mapInPandas(partials, schema=partial_schema)
             .groupBy("cluster")
-            .agg(
-                F.sum("n").alias("n"),
-                F.array(
-                    *[F.sum(F.element_at("vsum", i + 1)) for i in range(64)]
-                ).alias("vsum"),
-            )
+            .agg(F.sum("n").alias("n"), vsum_expr)
             .collect()  # k rows of (cluster, n, 64-dim sum) — tiny
         )
         new_c = centroids.copy()  # empty clusters keep their centroid
