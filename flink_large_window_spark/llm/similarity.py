@@ -229,9 +229,46 @@ _CENTROID_CACHE_CAP = 128
 def _evict_centroids(ab: str) -> None:
     for k in [k for k in _TRAINED_CENTROIDS if k[2] == ab]:
         del _TRAINED_CENTROIDS[k]
+    for k in [k for k in _CENTROID_VIEWS if k[2] == ab]:
+        del _CENTROID_VIEWS[k]
 
 
 register_invalidation_hook(_evict_centroids)
+
+
+# view-name registry for single-spark.sql queries that reference the
+# trained quantizer (optimization r16) — the temp-view analogue of
+# tables._VIEW_REGISTERED, same key shape and revalidation rule.
+_CENTROID_VIEWS: dict[tuple[str, int, str], str] = {}
+
+
+def ivf_centroids_sql_ref(spark: SparkSession, sf_dir: str) -> str:
+    """FROM-able temp-view name over :func:`ivf_centroids`, for
+    single-``spark.sql``-statement IVF queries (the SCALING.md §12
+    build-cost remedy). The view wraps the memoized 16-row
+    LocalTableScan, so referencing it in SQL is as cheap as the
+    DataFrame handle; registration happens once per (session, dir)
+    and is revalidated against the catalog like
+    ``tables.table_sql_ref`` (an id()-reused dead session cannot
+    serve a view its catalog never held). ``tables.invalidate``
+    evicts via ``_evict_centroids`` and the next call re-registers
+    over the stale name."""
+    import hashlib
+
+    key = (
+        spark.sparkContext.applicationId,
+        id(spark),
+        os.path.abspath(sf_dir),
+    )
+    view = _CENTROID_VIEWS.get(key)
+    if view is not None and spark.catalog.tableExists(view):
+        return view
+    if len(_CENTROID_VIEWS) >= _CENTROID_CACHE_CAP:
+        _CENTROID_VIEWS.clear()
+    view = f"flws_ivf_cents_{hashlib.md5(key[2].encode()).hexdigest()[:16]}"
+    ivf_centroids(spark, sf_dir).createOrReplaceTempView(view)
+    _CENTROID_VIEWS[key] = view
+    return view
 
 
 def ivf_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,49 +402,69 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quantizer is deterministic, so the whole operator is DuckDB-
     expressible (round-4 oracle upgrade: same assign-then-rank SQL with
     the integer-only output rule of SURVEY §2.10).
+
+    Single ``spark.sql`` statement since optimization r16 (the
+    SCALING.md §12 build-cost remedy, VERDICT r15 items 5/6): the two
+    chained assign() builds cost 208–256 ms of driver time per call —
+    36% of the key's fixture-scale wall and the dominant share of its
+    anti-scaling 8-core-beats-32 reading (build time is
+    core-independent). The SQL folds are the same lambda expressions
+    (`0D` accumulators), the query branch filters the SAME `assigned`
+    CTE (the vec_id < 10 predicate pushes through the window's
+    partition key to the scan — the plan is the old separate filtered
+    assign), and the trained-quantizer memo rides along as a temp
+    view (ivf_centroids_sql_ref). Interleaved A/B: 0.691/0.604 →
+    0.478/0.421 s medians, build 256 → 50 ms. Rows identical;
+    hash-equal at all three SFs.
     """
     prep(spark)
-    emb = _with_norm(table(spark, sf_dir, "embeddings"))
-    cents = ivf_centroids(spark, sf_dir)
-
-    def assign(df: DataFrame, id_col: str) -> DataFrame:
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("c_cos").desc(), F.col("cent_id").asc()
+    emb = table_sql_ref(spark, sf_dir, "embeddings")
+    cv = ivf_centroids_sql_ref(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS vec_d FROM {emb}
+        ),
+        en AS (
+          SELECT vec_id, vec_d,
+                 SQRT(aggregate(vec_d, 0D, (acc, x) -> acc + x * x)) AS norm
+          FROM e
+        ),
+        scored AS (
+          SELECT /*+ BROADCAST(c) */ en.vec_id, en.vec_d, en.norm, c.cent_id,
+                 aggregate(zip_with(en.vec_d, c.c_vec, (x, y) -> x * y), 0D,
+                           (acc, x) -> acc + x) / (en.norm * c.c_norm) AS c_cos
+          FROM en CROSS JOIN {cv} c
+        ),
+        assigned AS (
+          SELECT vec_id, vec_d, norm, cent_id FROM (
+            SELECT vec_id, vec_d, norm, cent_id,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY vec_id ORDER BY c_cos DESC, cent_id ASC
+                   ) AS r
+            FROM scored
+          ) WHERE r = 1
+        ),
+        q AS (
+          SELECT vec_id AS query_id, vec_d AS q_vec, norm AS q_norm,
+                 cent_id AS q_cent
+          FROM assigned WHERE vec_id < 10
+        ),
+        cand AS (
+          SELECT /*+ BROADCAST(q) */ a.vec_id AS neighbor_id, q.query_id,
+                 aggregate(zip_with(q.q_vec, a.vec_d, (x, y) -> x * y), 0D,
+                           (acc, x) -> acc + x) / (q.q_norm * a.norm) AS cos
+          FROM assigned a
+          JOIN q ON a.cent_id = q.q_cent AND a.vec_id <> q.query_id
         )
-        return (
-            df.crossJoin(F.broadcast(cents))
-            .withColumn(
-                "c_cos",
-                _dot(F.col("vec_d"), F.col("c_vec")) / (F.col("norm") * F.col("c_norm")),
-            )
-            .withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") == 1)
-            .drop("c_vec", "c_norm", "c_cos", "r")
-        )
-
-    assigned = assign(emb, "vec_id").select("vec_id", "vec_d", "norm", "cent_id")
-    queries = assign(
-        emb.filter(F.col("vec_id") < 10), "vec_id"
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("vec_d").alias("q_vec"),
-        F.col("norm").alias("q_norm"),
-        F.col("cent_id").alias("q_cent"),
-    )
-    cand = (
-        assigned.join(
-            F.broadcast(queries), assigned.cent_id == F.col("q_cent"), "inner"
-        )
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn(
-            "cos", _dot(F.col("q_vec"), F.col("vec_d")) / (F.col("q_norm") * F.col("norm"))
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
-    return (
-        cand.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rnk")
+        SELECT query_id, neighbor_id, rnk FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC
+                 ) AS rnk
+          FROM cand
+        ) WHERE rnk <= 5
+        """
     )
 
 
