@@ -23,7 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..registry import query
-from ..tables import prep, table
+from ..tables import prep, table, table_sql_ref
 
 # Cutoff used by the flagship Q1-shape query (TPC-H uses 1998-12-01 - 90d).
 Q1_CUTOFF = "1998-09-02"
@@ -55,23 +55,35 @@ def agg_hash_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     plans this as parquet scan (shipdate predicate pushed down, 7-column
     read schema) → partial HashAggregate → 2-key shuffle → final
     HashAggregate, all inside whole-stage codegen.
+
+    Single ``spark.sql`` statement since optimization r16 (SCALING.md
+    §12 build-cost remedy): the chained build cost 54–95 ms of driver
+    time per call — ~20% of fixture-scale wall — for the identical
+    plan. Same expressions (integer literals promote identically; the
+    sums accumulate the same addends in the same order), rows and
+    dtypes verified equal, hash-equal at all three SFs. Interleaved
+    A/B: 0.276/0.242 → 0.219/0.201 s medians, build 57 → 17 ms.
     """
     prep(spark)
-    li = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    li = table_sql_ref(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          ROUND(SUM(l_quantity), 4)                              AS sum_qty,
+          ROUND(SUM(l_extendedprice), 2)                         AS sum_base_price,
+          ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)      AS sum_disc_price,
+          ROUND(SUM((l_extendedprice * (1 - l_discount))
+                    * (1 + l_tax)), 2)                           AS sum_charge,
+          ROUND(AVG(l_quantity), 6)                              AS avg_qty,
+          ROUND(AVG(l_extendedprice), 6)                         AS avg_price,
+          ROUND(AVG(l_discount), 6)                              AS avg_disc,
+          COUNT(1)                                               AS count_order
+        FROM {li}
+        WHERE l_shipdate <= CAST('{Q1_CUTOFF}' AS TIMESTAMP)
+        GROUP BY l_returnflag, l_linestatus
+        """
     )
 
 
