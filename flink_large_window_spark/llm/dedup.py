@@ -676,30 +676,49 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def score(batches):
-        import pandas as pd
+        # mapInArrow since optimization r16 (guide §4.2): the pandas
+        # form copied every ~0.5 MB packed matrix into a Python bytes
+        # cell and walked rows via iterrows; Arrow binary cells are
+        # zero-copy buffer slices and the GEMM/threshold/sum sequence
+        # is unchanged (same float ops on the same bytes — rows
+        # identical). Interleaved A/B: 0.578/0.495 → 0.532/0.460 s.
+        import pyarrow as pa
 
-        for pdf in batches:
+        for batch in batches:
+            names = {n: i for i, n in enumerate(batch.schema.names)}
+            blocks = batch.column(names["block"]).to_pylist()
+            blocks_b = batch.column(names["block_b"]).to_pylist()
+            mats = batch.column(names["mat"])
+            mats_b = batch.column(names["mat_b"])
+            nrs = batch.column(names["n_rows"]).to_pylist()
+            nrs_b = batch.column(names["n_rows_b"]).to_pylist()
+            vids = batch.column(names["vec_ids"])
+            vids_b = batch.column(names["vec_ids_b"])
             ids_out, cnt_out = [], []
-            for _, row in pdf.iterrows():
-                a = np.frombuffer(row["mat"], dtype=np.float64).reshape(
-                    int(row["n_rows"]), -1
-                )
-                b = np.frombuffer(row["mat_b"], dtype=np.float64).reshape(
-                    int(row["n_rows_b"]), -1
-                )
+            for i in range(batch.num_rows):
+                a = np.frombuffer(
+                    mats[i].as_buffer(), dtype=np.float64
+                ).reshape(int(nrs[i]), -1)
+                b = np.frombuffer(
+                    mats_b[i].as_buffer(), dtype=np.float64
+                ).reshape(int(nrs_b[i]), -1)
                 sim = a @ b.T >= 0.9
-                ids_out.extend(row["vec_ids"])
+                ids_out.extend(vids[i].as_py())
                 cnt_out.extend(sim.sum(axis=1).tolist())
-                if row["block"] != row["block_b"]:
+                if blocks[i] != blocks_b[i]:
                     # off-diagonal pair: the same product also scores
                     # block b's rows against block a (transpose view)
-                    ids_out.extend(row["vec_ids_b"])
+                    ids_out.extend(vids_b[i].as_py())
                     cnt_out.extend(sim.sum(axis=0).tolist())
-            yield pd.DataFrame(
-                {"doc_id": ids_out, "partial": np.asarray(cnt_out, dtype="int64")}
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids_out, type=pa.int64()),
+                    pa.array(cnt_out, type=pa.int64()),
+                ],
+                names=["doc_id", "partial"],
             )
 
-    partials = pairs.mapInPandas(score, schema="doc_id long, partial long")
+    partials = pairs.mapInArrow(score, schema="doc_id long, partial long")
     # minus 1: each vector's self-pair (counted once, in its own block pair)
     return partials.groupBy("doc_id").agg(
         (F.sum("partial") - F.lit(1)).alias("n_neardup_09")
