@@ -160,6 +160,7 @@ from ..scratch import scratch_dir
 from .streams import (
     _events_stream,
     hold_timer_ms,
+    ingest_chunk,
     run_to_memory,
     split_by_watermark,
 )
@@ -557,20 +558,10 @@ def compile_stream(pat: Pattern, idle_evict: bool = False):
         wm_ms = state.getCurrentWatermarkMs()
         if not state.hasTimedOut:
             for chunk in pdfs:
-                vals = (
-                    chunk[val_col]
-                    if needs_val
-                    else [None] * len(chunk)
+                ingest_chunk(
+                    buf, chunk, ts_col, id_col, cls_col,
+                    val_col if needs_val else None,
                 )
-                for ts, eid, cls, val in zip(
-                    chunk[ts_col], chunk[id_col], chunk[cls_col], vals
-                ):
-                    buf.append(
-                        (int(ts.value) // 1_000, int(eid),
-                         None if pd.isna(cls) else cls,
-                         None if val is None or pd.isna(val)
-                         else float(val))
-                    )
         ready, hold = split_by_watermark(buf, wm_ms)
         out = []
 
@@ -2905,18 +2896,10 @@ def compile_suffix_stream(pat: Pattern):
         wm_ms = state.getCurrentWatermarkMs()
         if not state.hasTimedOut:
             for chunk in pdfs:
-                vals = (
-                    chunk[val_col] if needs_val else [None] * len(chunk)
+                ingest_chunk(
+                    buf, chunk, ts_col, id_col, cls_col,
+                    val_col if needs_val else None,
                 )
-                for ts, eid, cls, val in zip(
-                    chunk[ts_col], chunk[id_col], chunk[cls_col], vals
-                ):
-                    buf.append(
-                        (int(ts.value) // 1_000, int(eid),
-                         None if pd.isna(cls) else cls,
-                         None if val is None or pd.isna(val)
-                         else float(val))
-                    )
         ready, hold = split_by_watermark(buf, wm_ms)
         out = []
         nan = float("nan")

@@ -142,6 +142,35 @@ def split_by_watermark(buf, wm_ms):
     return ready, hold
 
 
+def ingest_chunk(buf, chunk, ts_col, id_col, cls_col, val_col=None):
+    """Append one ``applyInPandasWithState`` chunk to a handler's event
+    buffer as ``(ts_us, order_id, cls|None, val|None)`` tuples —
+    vectorized column decode (optimization r16, guide §4.2: the
+    per-row ``zip(chunk[ts], ...)`` walked pandas Series element-wise
+    with a per-event ``pd.Timestamp.value`` unbox + two ``pd.isna``
+    calls; whole-column ``astype/tolist`` builds the identical tuples
+    6× faster at 200 k rows — equality asserted against the old loop
+    at change time and pinned by the fake-GroupState fuzz harness).
+    Shared by the two throughput-gated CEP machines so the decode
+    contract lives in one place, like :func:`split_by_watermark`."""
+    uss = (chunk[ts_col].astype("int64") // 1_000).tolist()
+    eids = chunk[id_col].tolist()
+    clss = [
+        None if c is None or (isinstance(c, float) and c != c) else c
+        for c in chunk[cls_col].tolist()
+    ]
+    if val_col is None:
+        vs = [None] * len(uss)
+    else:
+        vs = [
+            None if v != v else v
+            for v in chunk[val_col]
+            .to_numpy(dtype="float64", na_value=float("nan"))
+            .tolist()
+        ]
+    buf.extend(zip(uss, eids, clss, vs))
+
+
 def hold_timer_ms(hold, wm_ms):
     """Re-fold timer for a non-empty hold buffer: 1 ms before the
     earliest held event (so the fold that admits it re-runs the
