@@ -659,9 +659,13 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the ONE product — row hits = sum over axis 1, column hits
     # = sum over axis 0 — halves the pair-task count (B² →
     # B(B+1)/2), the shuffled matrix bytes (2B·corpus → (B+1)·corpus)
-    # and the GEMM FLOPs. Bit-equal output: sim[i,j] = dot(a_i, b_j)
-    # is the identical float sequence either direction, so every
-    # threshold comparison is unchanged.
+    # and the GEMM FLOPs. Output parity (ADVICE r15 wording): the
+    # transpose-view reuse is mathematically identical — sim[i,j] =
+    # dot(a_i, b_j) either way — and verified bit-stable on this BLAS
+    # build via the oracle (3-SF hashes + the 20k 10× battery). A
+    # BLAS whose GEMM accumulation order differs between a@b.T and
+    # the old b@a.T path could in principle flip a similarity sitting
+    # exactly at the 0.9 threshold; the oracle hash is the guard.
     pairs = (
         packed.alias("a")
         .crossJoin(
@@ -803,6 +807,14 @@ def ckpt_hash_partitioned(spark: SparkSession, df: DataFrame) -> DataFrame:
     plan adaptively and see the concrete HashPartitioning on the RDD
     scan, letting EnsureRequirements skip the exchange for joins and
     aggregates keyed on it. tests/test_plans.py pins the preservation.
+
+    NOT concurrency-safe (ADVICE r15): the AQE toggle is session-
+    global, so any query planned on this session during the
+    materialization window (e.g. a concurrent streaming micro-batch)
+    would plan without AQE. Callers must hold the session
+    single-threaded across the call — true for the cluster_cc loop
+    and the bench/driver harnesses; scope the conf via a dedicated
+    session clone before reusing this helper from concurrent code.
     """
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

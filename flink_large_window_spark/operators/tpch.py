@@ -1005,6 +1005,15 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar threshold stays a broadcast, never a collect. Interleaved
     A/B at sf0.1 (4 warmups + n=5, two reps): 0.598→0.415 and
     0.410→0.375 s medians, output cell-identical.
+
+    Freeze-at-declare semantics (ADVICE r15): the localCheckpoint runs
+    eagerly when this function is CALLED, so the returned frame
+    reflects the source dir as of declaration (fine for the bench and
+    driver contract — both call-then-execute immediately over
+    immutable fixture dirs) and its RDD blocks live until the session
+    ends (≤|part| rows each; the dedup_cluster_cc precedent). A lazy
+    checkpoint was A/B'd in r16 isolation and lost (~0.51 vs ~0.47 s
+    cold-session medians).
     """
     prep(spark)
     agg = spark.sql(

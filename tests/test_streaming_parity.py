@@ -1575,9 +1575,14 @@ def test_state_reader_redistributes_losslessly(spark):
     residual."""
     from flink_large_window_spark.scratch import scratch_dir
     from flink_large_window_spark.streaming.streams import (
-        STREAM_SHUFFLE_PARTITIONS,
         _events_stream,
+        _stream_width,
     )
+
+    # ADVICE r15: resolve the width through the SAME use-time path the
+    # runtime uses, so an env override cannot desynchronize the test
+    # from the code under test.
+    stream_width = _stream_width()
 
     ev = (
         _events_stream(spark, SF_SMOKE)
@@ -1588,7 +1593,7 @@ def test_state_reader_redistributes_losslessly(spark):
     ckpt = scratch_dir("flws_rescale_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
-        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
+        "spark.sql.shuffle.partitions", str(stream_width)
     )
     try:
         q = (
@@ -1606,9 +1611,9 @@ def test_state_reader_redistributes_losslessly(spark):
     original = {
         (r["key"]["user_id"], r["value"]["count"]) for r in st.collect()
     }
-    # state came from STREAM_SHUFFLE_PARTITIONS stores
+    # state came from the resolved stream-width stores
     n_parts = {r["partition_id"] for r in st.collect()}
-    assert n_parts <= set(range(STREAM_SHUFFLE_PARTITIONS))
+    assert n_parts <= set(range(stream_width))
     # the batch ground truth
     batch = {
         (r["user_id"], r["n"])
