@@ -260,6 +260,18 @@ _R14_EXTRAS: frozenset[str] = frozenset(
         "stream_state_reader_window", "pattern_detect_cep_stream",
     }
 )
+# round 15 first exposure (CORRECTNESS_r15.json): the six
+# never-stamped round-15 leads — the oneOrMore().until() pair
+# (batch+stream), the automaton-state reader, the repeat_group
+# nested-group pair, and the session-window state reader. All six
+# passed rows+schema+hash in the r15 driver sweep (VERDICT r15).
+_R15_EXTRAS: frozenset[str] = frozenset(
+    {
+        "pattern_detect_until", "pattern_detect_until_stream",
+        "stream_state_reader_automaton", "pattern_detect_group_times",
+        "pattern_detect_group_times_stream", "stream_state_reader_session",
+    }
+)
 DRIVER_CHECKED: frozenset[str] = (
     frozenset(CONTRACT_KEYS)
     | _R01_EXTRAS
@@ -272,111 +284,89 @@ DRIVER_CHECKED: frozenset[str] = (
     | _R12_EXTRAS
     | _R13_EXTRAS
     | _R14_EXTRAS
+    | _R15_EXTRAS
 )
 
-# Round 15 rotation (VERDICT r14 directives 1, 3a, 5, 6; derived
-# with tools/staleness.py, evidence capped at r14). Leads are the
-# SIX never-stamped round-15 keys: the oneOrMore().until()
-# stop-condition pair (batch+stream — VERDICT r14 item 5, compiled
-# by the apply_until relabel), the automaton-state reader (item 6,
-# completing the state-reader trio with a full SQL oracle), and the
-# late-r15 repeat_group nested-group pair (beyond-directive; the
-# r11/r14 late-lead precedent). Then ALL NINETEEN r14 deferrals,
-# drained as promised (directive 1 — the judge checks each by name):
-# pattern_detect_value_guard, the two readers.py keys, and the
-# sixteen streams.py twins. Then dedup_cluster_cc (behavioral churn:
-# the convergence check folded into the iteration aggregate,
-# directive 3a). Then the re-stamps for this round's churned files:
-# SEVENTEEN r14/r13-stamped cep_stream.py twins (file churn: the
-# apply_until hook inside the SHARED pattern_stream launcher, the
-# suffix machine's final-exact rejection, and compile_stream's
-# unresolved-until guard) and FIVE cep.py batch keys (file churn:
-# the Step.until field + validation, the apply_until dispatch insert
-# at compile_pattern's entry, and repeat_group; afterskip and
-# optional_guard displaced to the ledger by the two r15-OPTIMIZATION
-# behavioral re-stamps dedup_embed_cosine + q11_important_stock).
-# The two cep.py keys with the FRESHEST (r14) stamps defer with
-# written justifications (RECHECK_DEFERRALS), as do
-# recognize/alternation/optional (displaced by the late leads) and
-# the seven dedup.py keys whose own text is unchanged (the churn is
-# _cluster_cc_loop + dedup_embed_cosine, both in the window).
-# Exactly 50.
+# Round 16 rotation (OPTIMIZATION round 2 — VERDICT r15 items 1, 8;
+# derived with tools/staleness.py, evidence capped at r15). First the
+# FOURTEEN behavioral re-stamps for this round's optimization churn,
+# each tri-SF hash-verified + bare hostile-tz driven at change time:
+# the partsupp quartet (supplier-count footer literal in both Spark
+# derive forms), emb_kmeans_assign (single-expr reduce build + column
+# pruning), the five single-spark.sql renders (sim_cosine_topk,
+# sim_ann_ivf_topk, join_asof, agg_hash_grouped, text_quality_score,
+# text_tfidf_topterms — six keys), dedup_embed_cosine (mapInArrow
+# score), and the two throughput-gated CEP machines (vectorized
+# ingest_chunk decode — the shared-launcher re-stamp convention from
+# r15's apply_until precedent). Then the rows-only SEXTET, due per
+# the 2-round cadence promised in the r15 ledger note (VERDICT r15
+# item 8 — the judge checks these by name). The remaining THIRTY
+# slots drain the OLDEST driver evidence in the registry: all
+# fifteen r7-evidence aggregations.py keys + the two r7-evidence
+# joins.py keys, the seven r8-evidence keys, and six of the eight
+# r9-evidence joins.py keys (join_right_outer/join_theta_range carry
+# the ledger with the joins.py cohort rationale). After this sweep no
+# SQL-oracle key's evidence predates r9. Exactly 50.
 #
-# LEDGER NOTE (VERDICT r14 directive 8): the rows-only sextet
-# (source_rate_stream, agg_approx_count_distinct,
-# agg_approx_percentile, window_large_day_stream, stream_late_drop,
-# agg_hll_sketch_merge) was stamped r14 and is due again ~r16 by the
-# 2-round cadence convention — the r16 window must reserve its six
-# slots.
+# LEDGER NOTE: the rows-only sextet re-stamps THIS round; by the
+# 2-round cadence it is next due ~r18.
 RECHECK_KEYS: tuple[str, ...] = (
-    # never-stamped round-15 keys (leads; the group pair landed late
-    # r15 — the r11/r14 late-lead precedent — displacing the two
-    # oldest-freshness cep.py cohort re-stamps into the ledger)
-    "pattern_detect_until",
-    "pattern_detect_until_stream",
-    "stream_state_reader_automaton",
-    "pattern_detect_group_times",
-    "pattern_detect_group_times_stream",
-    "stream_state_reader_session",
-    # r14 deferrals, drained as promised (contract history: r14's
-    # RECHECK_DEFERRALS listed each with "recheck r15")
-    "pattern_detect_value_guard",
-    "source_csv_roundtrip",
-    "scan_schema_evolution",
-    "join_interval_stream",
-    "join_window_tumbling_stream",
-    "stateful_count_session_stream",
-    "stateful_session_ttl_stream",
-    "stream_checkpoint_restart",
-    "stream_rule_update_enrich",
-    "stream_stream_full_outer",
-    "stream_stream_left_outer",
-    "watermark_dedup_stream",
-    "window_count_sliding_stream",
-    "window_count_tumbling_stream",
-    "window_early_fire_stream",
-    "window_session_agg_stream",
-    "window_sliding_agg_stream",
-    "window_topn_stream",
-    "window_tumbling_agg_stream",
-    # behavioral re-stamp: the convergence-fold rewrite (r14 item 3a)
-    # plus the r15-optimization loop-input co-partitioning
-    "dedup_cluster_cc",
-    # behavioral re-stamps from the r15 OPTIMIZATION round: the
-    # symmetric pair halving (dedup.py) and the checkpointed-agg q11
-    # rewrite (tpch.py) — both verified tri-SF + bare hostile-tz
-    # drive at change time; they take the window slots of two cep.py
-    # file-churn re-stamps (displaced to the ledger — their churned
-    # compiler entry points stay covered by five in-window siblings)
-    "dedup_embed_cosine",
+    # behavioral re-stamps — r16 optimization churn (leads)
+    "q2_min_cost_supplier",
     "q11_important_stock",
-    # cep_stream.py cohort (file churn: apply_until in the shared
-    # pattern_stream launcher + the two new validation rejections)
-    "pattern_match_recognize_stream",
-    "pattern_match_alternation_stream",
-    "pattern_detect_value_guard_stream",
-    "pattern_match_optional_stream",
-    "pattern_match_afterskip_stream",
-    "pattern_detect_notfollowedby_stream",
-    "pattern_detect_followedby_stream",
-    "pattern_detect_oneormore_stream",
-    "pattern_detect_times_stream",
-    "pattern_match_optional_guard_stream",
-    "pattern_match_skipguard_stream",
-    "pattern_detect_followedbyany_stream",
-    "pattern_timeout_partial_stream",
-    "pattern_match_optional_skip_stream",
-    "pattern_detect_followedby_nobetween_stream",
-    "pattern_match_finalguard_stream",
+    "q16_supplier_variety",
+    "q20_excess_stock",
+    "emb_kmeans_assign",
+    "sim_cosine_topk",
+    "sim_ann_ivf_topk",
+    "join_asof",
+    "agg_hash_grouped",
+    "text_quality_score",
+    "text_tfidf_topterms",
+    "dedup_embed_cosine",
     "pattern_detect_cep_stream",
-    # cep.py cohort (file churn: Step.until + compile_pattern entry;
-    # afterskip/optional_guard displaced to the ledger by the two
-    # r15-optimization behavioral re-stamps above)
-    "pattern_match_skipguard",
-    "pattern_match_optional_skip",
-    "pattern_detect_followedbyany",
-    "pattern_timeout_partial",
-    "pattern_detect_followedby_nobetween",
+    "pattern_detect_oneormore_stream",
+    # rows-only sextet (2-round cadence, promised in the r15 ledger)
+    "source_rate_stream",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "window_large_day_stream",
+    "stream_late_drop",
+    "agg_hll_sketch_merge",
+    # oldest-evidence drain: r7-stamped aggregations.py cohort (15)
+    "agg_bool",
+    "agg_collect",
+    "agg_corr_covar",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_grouping_id",
+    "agg_grouping_sets",
+    "agg_hash_global",
+    "agg_histogram_fixed",
+    "agg_mode_per_group",
+    "agg_partial_final",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_stats",
+    "agg_string_agg",
+    # r7-stamped joins.py pair
+    "join_interval",
+    "join_window_tumbling",
+    # r8-stamped cohort (7)
+    "agg_bitwise_flags",
+    "agg_distinct_multi",
+    "agg_regression",
+    "agg_skew_kurtosis_pinned",
+    "join_asof_nearest",
+    "q10_returned_items",
+    "q18_large_volume",
+    # r9-stamped joins.py drain (6 of 8 — the window is full at 50)
+    "join_inner_equi",
+    "join_sortmerge_large",
+    "join_full_outer",
+    "join_left_outer",
+    "join_left_semi",
+    "join_left_anti",
 )
 
 PRIORITY_EXTRAS: tuple[str, ...] = (
@@ -486,88 +476,178 @@ PRIORITY_EXTRAS: tuple[str, ...] = (
 # (VERDICT r10 item 4; the generalization of its item 1). Entries must
 # be re-justified or drained every round: a key may not sit here with
 # a stale rationale.
-#: One justification shared by the eight dedup.py keys whose own
-#: function text is unchanged this round (the r12/r13/r14 ledger
-#: convention: one shared string, re-justified or drained next
-#: round).
-_R15_DEDUP_DEFERRAL = (
-    "r12 evidence; the r15 dedup.py churn is confined to"
-    " _cluster_cc_loop (the convergence-fold rewrite + optimization-"
-    "round loop-input co-partitioning) and dedup_embed_cosine (the"
-    " symmetric pair halving) — BOTH of whose own keys re-stamp in"
-    " this window; this cohort's own text unchanged; displaced by"
-    " the drained 19-key r14 deferral cohort + the until/state-"
-    "reader leads — recheck r16"
+#: r16 ledger (OPTIMIZATION round 2). Every entry re-justified this
+#: round per the ledger rule. The window spends its 30 free slots on
+#: the oldest evidence in the registry (r7-r9 stamps), so the
+#: fresher-stamped cohorts below defer with the cohort convention:
+#: each names the churn, why it is covered, and the recheck round.
+_R16_JOINS_DEFERRAL = (
+    "joins.py churn is confined to join_asof (single-spark.sql render,"
+    " rows/dtypes verified identical) whose own key re-stamps in this"
+    " window; this cohort's own text is unchanged and its oldest-"
+    "evidence members (r7-r9) drain into the window (10 joins.py keys"
+    " re-stamp this round); recheck r17"
 )
-_R15_DEDUP_DEFERRED = (
-    "dedup_exact",
-    "dedup_near_minhash",
-    "dedup_simhash",
-    "dedup_simhash_hamming",
-    "dedup_embed_cosine_ivf",
-    "dedup_substring",
-    "dedup_ngram_jaccard",
+_R16_TPCH_DEFERRAL = (
+    "tpch.py churn is the partsupp supplier-count footer literal"
+    " (derived_partsupp + _partsupp_spark_cte) plus a q11 docstring"
+    " note - consumed ONLY by the quartet, all four of which re-stamp"
+    " in this window (tri-SF hash + hostile-tz drive at change time);"
+    " this cohort's own text is unchanged; recheck r17"
+)
+_R16_SIM_DEFERRAL = (
+    "similarity.py churn = single-spark.sql renders of sim_cosine_topk"
+    " and sim_ann_ivf_topk, the kmeans reduce-expression build change,"
+    " and the additive ivf_centroids_sql_ref helper (used only by"
+    " sim_ann_ivf_topk) - all three changed keys re-stamp in this"
+    " window; this cohort's own text is unchanged; recheck r17"
+)
+_R16_TEXT_DEFERRAL = (
+    "text.py churn = single-spark.sql renders of text_quality_score"
+    " and text_tfidf_topterms, both of which re-stamp in this window;"
+    " this cohort's own text is unchanged; recheck r17"
+)
+_R16_DEDUP_DEFERRAL = (
+    "dedup.py churn = dedup_embed_cosine's mapInArrow score (re-stamps"
+    " in this window; byte-identical GEMM inputs, 3-SF hash + 10x"
+    " battery at change time) plus two documentation-only edits (the"
+    " ckpt_hash_partitioned concurrency note, the transpose-parity"
+    " comment rewording); this cohort's own text is unchanged;"
+    " recheck r17"
+)
+_R16_CEP_STREAM_DEFERRAL = (
+    "cep_stream.py churn is the vectorized ingest_chunk decode inside"
+    " the two shared machine handlers - verified tuple-identical"
+    " against the old loop, fake-GroupState fuzz green, 45 parity"
+    " tests green - and the two throughput-gated machine"
+    " representatives (pattern_detect_cep_stream,"
+    " pattern_detect_oneormore_stream) re-stamp in this window (the"
+    " r15 shared-launcher precedent); this cohort's own text is"
+    " unchanged; recheck r17"
+)
+_R16_STREAMS_DEFERRAL = (
+    "streams.py churn is the APPEND-ONLY ingest_chunk helper"
+    " definition (called only by the two cep_stream machines -"
+    " behaviorally inert for every streams.py key) and the sextet"
+    " members window_large_day_stream/stream_late_drop re-stamp in"
+    " this window; this cohort's own text is unchanged; recheck r17"
+)
+_R16_CEP_DEFERRAL = (
+    "cep.py is UNCHANGED in r16; the r15 additive-compiler churn"
+    " rationale stands (its entry points were covered by the five"
+    " in-window r15 siblings, all stamped green in CORRECTNESS_r15);"
+    " evidence r14; displaced by the r7-r9 oldest-evidence drain;"
+    " recheck r17"
+)
+_R16_READERS_DEFERRAL = (
+    "readers.py is UNCHANGED in r16; the r15 churn was the Kafka"
+    " re-probe docstring refresh, and the cohort's csv/schema keys"
+    " were stamped green in the r15 window; evidence r14; displaced"
+    " by the r7-r9 oldest-evidence drain; recheck r17"
 )
 
-RECHECK_DEFERRALS: dict[str, str] = {
-    # The nineteen r14 deferrals are DRAINED into the r15 window as
-    # promised (VERDICT r14 directive 1). New deferrals below.
-    "pattern_detect_times_exact": (
-        "r14 evidence (the cohort's freshest stamp); the r15 cep.py"
-        " churn is the Step.until field + validation, the apply_until"
-        " relabel, the guarded two-line dispatch insert at"
-        " compile_pattern's entry (structurally inert for patterns"
-        " without until), and the suffix final-exact rejection (this"
-        " key routes through compile_greedy run-close, not suffix) —"
-        " own text unchanged; ten cohort siblings with older r13"
-        " stamps re-stamp in the window instead; recheck r16"
-    ),
-    "pattern_match_finalguard": (
-        "r14 evidence (the cohort's freshest stamp); same cep.py"
-        " churn rationale as pattern_detect_times_exact — own text"
-        " unchanged, older-stamped cohort siblings take the window"
-        " slots; recheck r16"
-    ),
-    "pattern_detect_times_exact_stream": (
-        "r14 evidence (the stream cohort's freshest stamp); the r15"
-        " cep_stream.py churn is apply_until in pattern_stream"
-        " (guarded by has_until — inert for this key's pattern), the"
-        " suffix machine's final-exact rejection (this key compiles"
-        " through the run-fold machine, not suffix), and the"
-        " compile_stream unresolved-until guard; its two run-close"
-        " siblings (finalguard_stream, cep_stream) re-stamp in the"
-        " window and cover the churned paths; recheck r16"
-    ),
-}
-RECHECK_DEFERRALS.update(
-    {k: _R15_DEDUP_DEFERRAL for k in _R15_DEDUP_DEFERRED}
-)
+RECHECK_DEFERRALS: dict[str, str] = {}
 RECHECK_DEFERRALS.update(
     {
-        k: (
-            "r14 evidence; the only r15 readers.py churn is the Kafka"
-            " re-probe DOCSTRING refresh (the r14 precedent), and the"
-            " cohort's two stale keys (csv/schema_evolution) drain in"
-            " this window — own text unchanged; recheck r16"
+        k: _R16_JOINS_DEFERRAL
+        for k in (
+            "join_right_outer",
+            "join_theta_range",
+            "join_asof_tolerance",
+            "join_cross",
+            "join_asof_forward",
+            "join_interval_banded",
+            "join_null_safe",
+            "join_strategy_hints",
+            "q3_shipping_priority",
+            "q5_local_supplier",
         )
-        for k in ("source_jsonl_roundtrip", "source_orc_roundtrip")
     }
 )
 RECHECK_DEFERRALS.update(
     {
-        k: (
-            "latest-stamp evidence (r12-r14 per key); the r15"
-            " streams.py churn is (a) the APPEND-ONLY"
-            " stream_state_reader_session addition (new function +"
-            " registration at end of file) whose own key LEADS this"
-            " window, and (b) the optimization-round"
-            " STREAM_SHUFFLE_PARTITIONS env parameterisation —"
-            " default-preserving (8, env unset everywhere the driver"
-            " runs), read at use time, behaviorally inert for every"
-            " deferred key; every cohort sibling's own text is"
-            " unchanged and the window is full at 50 with the"
-            " drained 19-key r14 deferral cohort — recheck r16"
+        k: _R16_TPCH_DEFERRAL
+        for k in (
+            "q4_order_priority",
+            "q6_forecast_revenue",
+            "q7_volume_shipping",
+            "q8_market_share",
+            "q9_product_profit",
+            "q12_priority_class",
+            "q13_customer_distribution",
+            "q14_promo_effect",
+            "q15_top_supplier",
+            "q17_small_quantity",
+            "q19_discounted_revenue",
+            "q21_waiting_supplier",
+            "q22_global_sales",
         )
+    }
+)
+RECHECK_DEFERRALS.update(
+    {
+        k: _R16_SIM_DEFERRAL
+        for k in ("sim_knn_join_label", "sim_ann_ivf_multiprobe")
+    }
+)
+RECHECK_DEFERRALS.update(
+    {
+        k: _R16_TEXT_DEFERRAL
+        for k in (
+            "text_fingerprint_rolling",
+            "text_lang_stats",
+            "text_langid_ngram",
+            "text_repetition_stats",
+            "text_token_count_bpe",
+            "text_ngrams",
+            "text_tokenize_wordcount",
+            "llm_corpus_pipeline",
+        )
+    }
+)
+RECHECK_DEFERRALS.update(
+    {
+        k: _R16_DEDUP_DEFERRAL
+        for k in (
+            "dedup_exact",
+            "dedup_near_minhash",
+            "dedup_simhash",
+            "dedup_simhash_hamming",
+            "dedup_embed_cosine_ivf",
+            "dedup_substring",
+            "dedup_ngram_jaccard",
+            "dedup_cluster_cc",
+        )
+    }
+)
+RECHECK_DEFERRALS.update(
+    {
+        k: _R16_CEP_STREAM_DEFERRAL
+        for k in (
+            "pattern_match_recognize_stream",
+            "pattern_match_alternation_stream",
+            "pattern_detect_value_guard_stream",
+            "pattern_match_optional_stream",
+            "pattern_match_afterskip_stream",
+            "pattern_detect_notfollowedby_stream",
+            "pattern_detect_followedby_stream",
+            "pattern_detect_times_stream",
+            "pattern_match_optional_guard_stream",
+            "pattern_match_skipguard_stream",
+            "pattern_detect_followedbyany_stream",
+            "pattern_timeout_partial_stream",
+            "pattern_match_optional_skip_stream",
+            "pattern_detect_followedby_nobetween_stream",
+            "pattern_match_finalguard_stream",
+            "pattern_detect_times_exact_stream",
+            "pattern_detect_until_stream",
+            "pattern_detect_group_times_stream",
+        )
+    }
+)
+RECHECK_DEFERRALS.update(
+    {
+        k: _R16_STREAMS_DEFERRAL
         for k in (
             "join_asof_stream",
             "stateful_session_timeout_stream",
@@ -581,66 +661,45 @@ RECHECK_DEFERRALS.update(
             "window_cascading_rollup_stream",
             "window_session_dynamic_gap_stream",
             "window_tumbling_offset_stream",
+            "join_interval_stream",
+            "join_window_tumbling_stream",
+            "stateful_count_session_stream",
+            "stateful_session_ttl_stream",
+            "stream_checkpoint_restart",
+            "stream_rule_update_enrich",
+            "stream_state_reader_automaton",
+            "stream_state_reader_session",
+            "stream_stream_full_outer",
+            "stream_stream_left_outer",
+            "watermark_dedup_stream",
+            "window_count_sliding_stream",
+            "window_count_tumbling_stream",
+            "window_early_fire_stream",
+            "window_session_agg_stream",
+            "window_sliding_agg_stream",
+            "window_topn_stream",
+            "window_tumbling_agg_stream",
         )
     }
 )
 RECHECK_DEFERRALS.update(
     {
-        k: (
-            "latest-stamp evidence; the r15-optimization tpch.py churn"
-            " is confined to q11_important_stock (the checkpointed-agg"
-            " rewrite) whose own key re-stamps in this window — this"
-            " cohort's own text unchanged; window full at 50; recheck"
-            " r16"
-        )
+        k: _R16_CEP_DEFERRAL
         for k in (
-            "q2_min_cost_supplier",
-            "q4_order_priority",
-            "q6_forecast_revenue",
-            "q7_volume_shipping",
-            "q8_market_share",
-            "q9_product_profit",
-            "q12_priority_class",
-            "q13_customer_distribution",
-            "q14_promo_effect",
-            "q15_top_supplier",
-            "q16_supplier_variety",
-            "q17_small_quantity",
-            "q19_discounted_revenue",
-            "q20_excess_stock",
-            "q21_waiting_supplier",
-            "q22_global_sales",
-        )
-    }
-)
-RECHECK_DEFERRALS.update(
-    {
-        k: (
-            "displaced from the r15 window by the two r15-optimization"
-            " behavioral re-stamps (dedup_embed_cosine,"
-            " q11_important_stock); this key's cep.py churn is the"
-            " additive compiler entry (Step.until + dispatch insert,"
-            " inert for its pattern) whose paths five in-window cep.py"
-            " siblings still cover; own text unchanged; recheck r16"
-        )
-        for k in ("pattern_match_afterskip", "pattern_match_optional_guard")
-    }
-)
-RECHECK_DEFERRALS.update(
-    {
-        k: (
-            "r13 evidence; same cep.py churn rationale as the"
-            " pattern_detect_times_exact entry (own text unchanged,"
-            " additive compiler churn) — displaced by the late-r15"
-            " repeat_group lead pair (the r11/r14 late-lead"
-            " precedent); eight cohort siblings re-stamp in the"
-            " window and cover the churned entry points; recheck r16"
-        )
-        for k in (
-            "pattern_match_recognize",
+            "pattern_detect_times_exact",
+            "pattern_match_afterskip",
             "pattern_match_alternation",
+            "pattern_match_finalguard",
             "pattern_match_optional",
+            "pattern_match_optional_guard",
+            "pattern_match_recognize",
         )
+    }
+)
+RECHECK_DEFERRALS.update(
+    {
+        k: _R16_READERS_DEFERRAL
+        for k in ("source_jsonl_roundtrip", "source_orc_roundtrip")
     }
 )
 
